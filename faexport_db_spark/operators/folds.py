@@ -1,0 +1,217 @@
+"""Arrow-batched Python folds for the two merge ops Spark expressions
+can't represent (SURVEY.md §7.3):
+
+- M5 ``extra_data`` layering: ordered shallow-dict fold, newest key
+  wins (reference: faexport_db/db.py:10-17 ``merge_dicts``;
+  models/submission.py:71-77 folds oldest→newest).
+- M7 clash-reset file merge: an ordered *stateful* fold — a clash
+  (url/size/same-algo-hash conflict) REPLACES the accumulated file,
+  dropping previously-unioned hashes (reference: models/file.py:50-72,
+  models/submission.py:89-104). Not expressible as a plain aggregate
+  because the reset discards accumulated state.
+
+Both are the slow path by design and touch only entity-local data:
+the extra-data fold is a scalar pandas UDF applied *after* the entity
+groupBy (no extra shuffle); the file fold is an ``applyInPandas`` over
+the same entity key (co-partitioned with the main merge shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def _merge_dicts(base: dict | None, overlay: dict | None) -> dict | None:
+    """Shallow overlay-wins merge. Reference: faexport_db/db.py:10-17."""
+    if base is None:
+        return overlay
+    if overlay is None:
+        return base
+    return {**base, **overlay}
+
+
+def _canonical_json(data: dict | None) -> str | None:
+    if data is None:
+        return None
+    return json.dumps(data, separators=(",", ":"), sort_keys=True)
+
+
+def _fold_json_history(history, start_empty: bool) -> str | None:
+    acc: dict | None = {} if start_empty else None
+    for doc in history if history is not None else []:
+        if doc is None:
+            continue
+        try:
+            parsed = json.loads(doc)
+        except (TypeError, ValueError):
+            continue
+        if not isinstance(parsed, dict):
+            continue
+        acc = _merge_dicts(acc, parsed)
+    return _canonical_json(acc)
+
+
+@F.pandas_udf(StringType())
+def merge_extra_data_history(histories: pd.Series) -> pd.Series:
+    """M5. Input: array<string> of JSON docs already ordered oldest →
+    newest. Output: canonical (sorted-key) JSON of the layered merge.
+
+    The reference's fold starts from ``{}`` (models/submission.py:73),
+    so an entity with no extra_data anywhere merges to ``{}``.
+    """
+    return histories.apply(lambda h: _fold_json_history(h, start_empty=True))
+
+
+MERGED_FILES_SCHEMA = (
+    "website_id string, site_submission_id string, site_file_id string, "
+    "file_url string, file_size bigint, extra_data string, hashes string"
+)
+
+
+def _none_if_nan(value):
+    if value is None:
+        return None
+    if isinstance(value, float) and pd.isna(value):
+        return None
+    return value
+
+
+def _row_file(row) -> dict:
+    hashes = {}
+    if row.hashes_json:
+        for h in json.loads(row.hashes_json):
+            hashes[int(h["algo_id"])] = h["hash_b64"]
+    extra = None
+    if row.extra_data:
+        try:
+            parsed = json.loads(row.extra_data)
+            extra = parsed if isinstance(parsed, dict) else None
+        except (TypeError, ValueError):
+            extra = None
+    size = _none_if_nan(row.file_size)
+    return {
+        "site_file_id": _none_if_nan(row.site_file_id),
+        "file_url": _none_if_nan(row.file_url),
+        "file_size": int(size) if size is not None else None,
+        "extra_data": extra,
+        "hashes": hashes,
+    }
+
+
+def _is_clashing(current: dict, update: dict) -> bool:
+    """Reference: faexport_db/models/file.py:50-63."""
+    if (
+        update["file_url"] is not None
+        and current["file_url"] is not None
+        and current["file_url"] != update["file_url"]
+    ):
+        return True
+    if (
+        update["file_size"] is not None
+        and current["file_size"] is not None
+        and current["file_size"] != update["file_size"]
+    ):
+        return True
+    shared = current["hashes"].keys() & update["hashes"].keys()
+    return any(current["hashes"][a] != update["hashes"][a] for a in shared)
+    # extra_data is assumed mutable and never clashes (file.py:62).
+
+
+def _add_update(current: dict, update: dict) -> None:
+    """Reference: faexport_db/models/file.py:65-72 — extra_data merges,
+    url/size are immutable (NOT null-filled), only new-algo hashes add."""
+    current["extra_data"] = _merge_dicts(current["extra_data"], update["extra_data"])
+    for algo_id, hash_b64 in update["hashes"].items():
+        if algo_id not in current["hashes"]:
+            current["hashes"][algo_id] = hash_b64
+
+
+def _fold_entity_files(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["scan_datetime", "submission_snapshot_id", "file_id"])
+    merged: dict = {}  # site_file_id (None ok) -> file dict, insertion-ordered
+    for row in pdf.itertuples(index=False):
+        update = _row_file(row)
+        key = update["site_file_id"]
+        current = merged.get(key)
+        if current is None or _is_clashing(current, update):
+            merged[key] = update  # first sight, or clash ⇒ full reset
+        else:
+            _add_update(current, update)
+    out = []
+    for f in merged.values():
+        out.append(
+            {
+                "website_id": pdf["website_id"].iloc[0],
+                "site_submission_id": pdf["site_submission_id"].iloc[0],
+                "site_file_id": f["site_file_id"],
+                "file_url": f["file_url"],
+                "file_size": f["file_size"],
+                "extra_data": _canonical_json(f["extra_data"]),
+                "hashes": json.dumps(
+                    [
+                        {"algo_id": a, "hash_b64": f["hashes"][a]}
+                        for a in sorted(f["hashes"])
+                    ],
+                    separators=(",", ":"),
+                ),
+            }
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "website_id",
+            "site_submission_id",
+            "site_file_id",
+            "file_url",
+            "file_size",
+            "extra_data",
+            "hashes",
+        ],
+    )
+
+
+def merged_files(
+    submission_snapshots: DataFrame,
+    files: DataFrame,
+    file_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """M7 — current files per submission entity, clash-reset semantics.
+
+    Plan shape: hashes nest into files (shuffle on file_id), files pick
+    up entity keys from their snapshot (shuffle on snapshot_id), then
+    one ``applyInPandas`` fold per entity (shuffle on the entity key —
+    the same partitioning the scalar merge uses). All three keys are
+    high-cardinality; per-group row counts are tiny.
+    """
+    if file_hashes is not None:
+        hashes_nested = file_hashes.groupBy("file_id").agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("algo_id"),
+                            F.base64(F.col("hash_value")).alias("hash_b64"),
+                        )
+                    )
+                )
+            ).alias("hashes_json")
+        )
+        files = files.join(hashes_nested, "file_id", "left")
+    else:
+        files = files.withColumn("hashes_json", F.lit(None).cast("string"))
+
+    keyed = files.join(
+        submission_snapshots.select(
+            "submission_snapshot_id", "website_id", "site_submission_id", "scan_datetime"
+        ),
+        "submission_snapshot_id",
+        "inner",
+    )
+    return keyed.groupBy("website_id", "site_submission_id").applyInPandas(
+        _fold_entity_files, MERGED_FILES_SCHEMA
+    )

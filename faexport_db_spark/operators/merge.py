@@ -1,0 +1,206 @@
+"""Merge-to-current-entity operator family (SURVEY.md §2.5, M1-M8).
+
+The reference computes the "current" state of an entity by merging all
+of its immutable snapshots newest-first in Python, one entity at a time
+(reference: faexport_db/models/submission.py:27-104, models/user.py:8-48).
+Here the same semantics are a **single-pass groupBy aggregation**: one
+shuffle on the entity key, all merge rules as JVM aggregate expressions
+(`max_by` over a deterministic order key), with exactly two Python
+(Arrow-batched) folds for the ops Spark expressions can't represent:
+
+- M5 layered JSON merge of ``extra_data`` (shallow, newest key wins —
+  reference: faexport_db/db.py:10-17, models/submission.py:71-77);
+- M7 clash-reset file merge (reference: models/submission.py:89-104,
+  models/file.py:50-72) — see ``folds.py``.
+
+Scale notes: the entity key (website_id, site_entity_id) is
+high-cardinality and well distributed (SURVEY §4 skew note), so the
+single shuffle partitions evenly; per-entity snapshot counts are tiny
+(1-6), so collect_list stays bounded. No window function is used on the
+hot path — a window would sort every partition; `max_by`/`min`/`max`
+aggregate with partial (map-side) combine instead.
+
+Determinism: the reference sorts by ``scan_datetime`` only, relying on
+Python's stable sort for ties (models/submission.py:27-29). We refine
+the order to (scan_datetime, snapshot_id) so results are deterministic
+under ties — the reference's tie behavior is storage-order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from faexport_db_spark.operators.folds import merge_extra_data_history, merged_files
+
+
+def snapshot_order(ts_col: str = "scan_datetime", id_col: str | None = None) -> Column:
+    """Deterministic recency key (M1). Reference: models/submission.py:27-29."""
+    if id_col is None:
+        return F.struct(F.col(ts_col))
+    return F.struct(F.col(ts_col), F.col(id_col))
+
+
+def latest_value(col: str | Column, order: Column) -> Column:
+    """M2 — value from the newest snapshot, even if null there.
+
+    Reference: models/submission.py:31-33 (``is_deleted`` is read off
+    ``sorted_snapshots[0]`` with no null-walk).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.max_by(col, order)
+
+
+def newest_non_null(col: str | Column, order: Column) -> Column:
+    """M4 — walk newest→oldest, take the first non-null value.
+
+    Reference: models/submission.py:43-69. Implemented by masking the
+    order key to null where the value is null: ``max_by`` ignores
+    null-keyed rows, which is exactly the newest-non-null walk.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.max_by(col, F.when(col.isNotNull(), order))
+
+
+def newest_matching(col: str | Column, predicate: Column, order: Column) -> Column:
+    """Value of ``col`` from the newest snapshot satisfying ``predicate``
+    (M6's shape: first snapshot, newest-first, with keywords_recorded —
+    reference: models/submission.py:79-87)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.max_by(col, F.when(predicate, order))
+
+
+def _merged_extra_data(order: Column) -> Column:
+    """M5 — fold ``merge_dicts`` oldest→newest (newest key wins).
+
+    Reference: models/submission.py:71-77, db.py:10-17 (shallow
+    ``{**base, **overlay}``). We collect the JSON history in scan order
+    (sort_array on (order, extra_data) structs) and fold it in one
+    Arrow-batched pandas UDF per entity. Output is canonical JSON
+    (sorted keys) — key order is non-semantic in the reference (dict).
+    """
+    ordered = F.sort_array(F.collect_list(F.struct(order.alias("o"), F.col("extra_data").alias("d"))))
+    history = F.transform(ordered, lambda s: s["d"])
+    return merge_extra_data_history(history)
+
+
+# ---------------------------------------------------------------------------
+# Entity-level assemblies (§3.1 restated as one Spark job)
+# ---------------------------------------------------------------------------
+
+
+def merged_users(user_snapshots: DataFrame) -> DataFrame:
+    """Merged current-user view. Reference: models/user.py:8-72.
+
+    Note the reference's ``display_name`` walks the *unsorted* snapshot
+    list (models/user.py:35-40 iterates ``self.snapshots``, not
+    ``sorted_snapshots``) — storage-order-dependent, clearly an
+    accident; we implement the documented intent (newest non-null),
+    consistent with Submission.title (models/submission.py:50-55).
+    """
+    order = snapshot_order("scan_datetime", "user_snapshot_id")
+    return user_snapshots.groupBy("website_id", "site_user_id").agg(
+        F.count(F.lit(1)).alias("snapshot_count"),
+        F.min("scan_datetime").alias("first_scanned"),
+        F.max("scan_datetime").alias("latest_update"),
+        latest_value("is_deleted", order).alias("is_deleted"),
+        newest_non_null("display_name", order).alias("display_name"),
+        _merged_extra_data(order).alias("extra_data"),
+    )
+
+
+def merged_submissions(
+    submission_snapshots: DataFrame,
+    keywords: DataFrame | None = None,
+    files: DataFrame | None = None,
+    file_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Merged current-submission view — the reference's flagship read
+    (GET /api/view/submissions/..., web.py:68-78 → models/submission.py).
+
+    One aggregation pass for all scalar merges + keywords; a second
+    co-partitioned applyInPandas fold for the clash-reset file merge
+    (M7), left-joined back on the entity key.
+    """
+    order = snapshot_order("scan_datetime", "submission_snapshot_id")
+    snaps = submission_snapshots
+
+    kw_type = "array<struct<ordinal:int,keyword:string>>"
+    if keywords is not None:
+        # Nest keywords per snapshot, pre-sorted by (ordinal, keyword) —
+        # reference sort key models/submission.py:83-86.
+        kw_nested = keywords.groupBy("submission_snapshot_id").agg(
+            F.array_sort(F.collect_list(F.struct("ordinal", "keyword"))).alias("kw_list")
+        )
+        snaps = snaps.join(kw_nested, "submission_snapshot_id", "left")
+        # keywords_recorded with zero child rows means "recorded as
+        # empty", not "not captured" (schema/faexport_db.sql:66,
+        # models/submission.py:252-254): null ≠ [].
+        snaps = snaps.withColumn(
+            "kw_list",
+            F.when(F.col("keywords_recorded") & F.col("kw_list").isNull(), F.lit([]).cast(kw_type)).otherwise(
+                F.col("kw_list")
+            ),
+        )
+    else:
+        snaps = snaps.withColumn("kw_list", F.lit(None).cast(kw_type))
+
+    merged = snaps.groupBy("website_id", "site_submission_id").agg(
+        F.count(F.lit(1)).alias("snapshot_count"),
+        F.min("scan_datetime").alias("first_scanned"),
+        F.max("scan_datetime").alias("latest_update"),
+        latest_value("is_deleted", order).alias("is_deleted"),
+        newest_non_null("uploader_site_user_id", order).alias("uploader_site_user_id"),
+        newest_non_null("title", order).alias("title"),
+        newest_non_null("description", order).alias("description"),
+        newest_non_null("datetime_posted", order).alias("datetime_posted"),
+        F.coalesce(
+            newest_matching("kw_list", F.col("keywords_recorded"), order),
+            F.lit([]).cast(kw_type),
+        ).alias("keywords"),
+        _merged_extra_data(order).alias("extra_data"),
+    )
+
+    if files is not None:
+        file_view = merged_files(submission_snapshots, files, file_hashes)
+        files_nested = file_view.groupBy("website_id", "site_submission_id").agg(
+            F.collect_list(
+                F.struct("site_file_id", "file_url", "file_size", "extra_data", "hashes")
+            ).alias("files")
+        )
+        merged = merged.join(files_nested, ["website_id", "site_submission_id"], "left")
+    return merged
+
+
+def merged_submission_web_json(merged: DataFrame) -> DataFrame:
+    """M8 — serialize merged entities to the API's nested JSON shape.
+
+    Reference: models/submission.py:106-125 (cache_data + submission_data
+    envelopes) with ISO datetime coercion (db.py:40-50, web.py:40).
+    """
+    iso = "yyyy-MM-dd'T'HH:mm:ssXXX"
+    return merged.select(
+        "website_id",
+        "site_submission_id",
+        F.to_json(
+            F.struct(
+                F.col("website_id"),
+                F.col("site_submission_id"),
+                F.struct(
+                    F.col("snapshot_count"),
+                    F.date_format("first_scanned", iso).alias("first_scanned"),
+                    F.date_format("latest_update", iso).alias("latest_update"),
+                ).alias("cache_data"),
+                F.struct(
+                    F.col("is_deleted"),
+                    F.col("uploader_site_user_id"),
+                    F.col("title"),
+                    F.col("description"),
+                    F.date_format("datetime_posted", iso).alias("datetime_posted"),
+                    F.col("keywords"),
+                    F.col("files"),
+                    F.col("extra_data"),
+                ).alias("submission_data"),
+            )
+        ).alias("web_json"),
+    )

@@ -1,0 +1,322 @@
+"""M1-M8 merge-family queries over the driver fixture tables.
+
+The faexport-shaped golden semantics live in ``operators/merge.py`` and
+are pinned by unit tests; these registry entries demonstrate the same
+operator shapes on the driver's ``events``/``documents``/``customer``
+tables so the DuckDB oracle can check them (FIXTURES.md §B mapping:
+entity = ``user_id``, recency = ``ts``, ``props`` plays extra_data).
+
+Spark/DuckDB equivalence notes (verified):
+- Spark ``max_by(v, ts)`` returns NULL when v is null at the max ts;
+  DuckDB ``arg_max`` skips null v. We therefore always mask the order
+  key (``max_by(v, CASE WHEN pred THEN ts END)``) and mirror with
+  ``arg_max(...) FILTER (WHERE pred)``.
+- Double sums are order-sensitive in the last ulp: every summed double
+  is rounded to 2 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.folds import merged_files
+from faexport_db_spark.operators.merge import (
+    latest_value,
+    newest_matching,
+    newest_non_null,
+    snapshot_order,
+)
+from faexport_db_spark.queries.registry import register
+
+ISO = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "merged_entity",
+    oracle="""
+    SELECT m.user_id, m.snapshot_count, m.first_scanned, m.latest_update,
+           m.latest_event_type, m.last_purchase_value, m.latest_k,
+           m.total_value, c.c_name, c.c_mktsegment
+    FROM (
+      SELECT user_id,
+             count(*) AS snapshot_count,
+             min(ts) AS first_scanned,
+             max(ts) AS latest_update,
+             arg_max(event_type, ts) AS latest_event_type,
+             arg_max(value, ts) FILTER (WHERE event_type = 'purchase') AS last_purchase_value,
+             arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT), ts) AS latest_k,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id
+    ) m LEFT JOIN customer c ON m.user_id = c.c_custkey
+    """,
+)
+def merged_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: merge-to-current-entity rollup over the events stream
+    (the driver-table restatement of GET /api/view/submissions — SURVEY
+    §3.1, §7.1), then a broadcast dim join (J1 shape).
+
+    Single shuffle on the high-cardinality entity key with map-side
+    partial aggregation; the dim join is broadcast so no second
+    shuffle. This is the plan the reference needs 4 SQL round-trips +
+    Python merge loops to produce.
+    """
+    events = _events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    order = snapshot_order("ts", "event_id")
+    merged = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("snapshot_count"),
+        F.min("ts").alias("first_scanned"),
+        F.max("ts").alias("latest_update"),
+        latest_value("event_type", order).alias("latest_event_type"),
+        newest_matching("value", F.col("event_type") == "purchase", order).alias(
+            "last_purchase_value"
+        ),
+        newest_non_null(
+            F.get_json_object("props", "$.k").cast("bigint"), order
+        ).alias("latest_k"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return merged.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        merged.user_id == F.col("c_custkey"),
+        "left",
+    ).drop("c_custkey")
+
+
+@register(
+    "m1_snapshot_order",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT)
+             AS recency_rank
+    FROM events
+    """,
+)
+def m1_snapshot_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 sorted_snapshots: recency ranking within each entity.
+
+    Reference: models/submission.py:27-29 (sort desc by scan_datetime).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return _events(spark, sf_dir).select(
+        "user_id", "event_id", F.row_number().over(w).cast("bigint").alias("recency_rank")
+    )
+
+
+@register(
+    "m2_latest_value",
+    oracle="""
+    SELECT user_id, arg_max(event_type, ts) AS latest_event_type,
+           arg_max(value, ts) AS latest_value
+    FROM events GROUP BY user_id
+    """,
+)
+def m2_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 latest-snapshot value (is_deleted shape).
+
+    Reference: models/submission.py:31-33. ``event_type``/``value`` are
+    never null in the fixture, so max_by == arg_max here.
+    """
+    order = snapshot_order("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            latest_value("event_type", order).alias("latest_event_type"),
+            latest_value("value", order).alias("latest_value"),
+        )
+    )
+
+
+@register(
+    "m3_scan_bounds",
+    oracle="""
+    SELECT user_id, min(ts) AS first_scanned, max(ts) AS latest_update,
+           CAST(count(*) AS BIGINT) AS snapshot_count
+    FROM events GROUP BY user_id
+    """,
+)
+def m3_scan_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 first/last scan datetime + A6 snapshot_count.
+
+    Reference: models/submission.py:35-41,111.
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_scanned"),
+            F.max("ts").alias("latest_update"),
+            F.count(F.lit(1)).alias("snapshot_count"),
+        )
+    )
+
+
+@register(
+    "m4_newest_non_null",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, ts) FILTER (WHERE event_type = 'purchase') AS last_purchase_value,
+           arg_max(value, ts) FILTER (WHERE event_type = 'error') AS last_error_value
+    FROM events GROUP BY user_id
+    """,
+)
+def m4_newest_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 newest-non-null coalesce: the value walk skips rows where the
+    field is absent (here: events of other types).
+
+    Reference: models/submission.py:43-69.
+    """
+    order = snapshot_order("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            newest_matching("value", F.col("event_type") == "purchase", order).alias(
+                "last_purchase_value"
+            ),
+            newest_matching("value", F.col("event_type") == "error", order).alias(
+                "last_error_value"
+            ),
+        )
+    )
+
+
+@register(
+    "m5_extra_data_merge",
+    oracle="""
+    SELECT user_id, k.key AS props_key,
+           arg_max(json_extract_string(props, '$.' || k.key), ts) AS latest_value
+    FROM events, unnest(json_keys(props)) AS k(key)
+    GROUP BY user_id, k.key
+    """,
+)
+def m5_extra_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 layered JSON merge, key-wise: folding dicts oldest→newest with
+    overlay-wins is equivalent per top-level key to "newest value for
+    that key" — which IS SQL-expressible, so the oracle can check it.
+    (The non-SQL nested-fidelity fold is ``merge_extra_data_history``;
+    golden tests pin it.) Reference: models/submission.py:71-77,
+    db.py:10-17.
+    """
+    order = snapshot_order("ts", "event_id")
+    exploded = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.explode(F.from_json("props", "map<string,string>")).alias(
+                "props_key", "props_value"
+            ),
+        )
+    )
+    return exploded.groupBy("user_id", "props_key").agg(
+        newest_non_null("props_value", order).alias("latest_value")
+    )
+
+
+@register(
+    "m6_newest_recorded_list",
+    oracle="""
+    SELECT lang,
+           array_to_string(list_sort(string_split(
+             arg_max(text, doc_id) FILTER (WHERE source = 'src0'), ' ')), ' ')
+             AS sorted_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def m6_newest_recorded_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 newest-recorded keyword list: take the list from the newest
+    snapshot where it was recorded, then sort it.
+
+    Reference: models/submission.py:79-87 (sort key (ordinal, keyword)).
+    Demonstrated on documents: newest src0 doc's tokens per lang.
+    """
+    order = snapshot_order("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(
+            F.array_sort(
+                newest_matching(F.split("text", " "), F.col("source") == "src0", order)
+            ),
+            " ",
+        ).alias("sorted_tokens")
+    )
+
+
+@register("m7_file_clash_merge")  # stateful ordered fold — no SQL oracle (rows-only)
+def m7_file_clash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 clash-reset file merge, driven on events recast as file rows:
+    entity=user, site_file_id=event_type, url/size derived from value —
+    url changes across the stream force clash resets.
+
+    Reference semantics: models/file.py:50-72, models/submission.py:89-104;
+    golden unit tests pin the exact fold. Not SQL-expressible (a clash
+    discards accumulated hash state), so the driver records rows-only.
+    """
+    ev = _events(spark, sf_dir)
+    snaps = ev.select(
+        F.lit("events").alias("website_id"),
+        F.col("user_id").cast("string").alias("site_submission_id"),
+        F.col("event_id").alias("submission_snapshot_id"),
+        F.col("ts").alias("scan_datetime"),
+    )
+    files = ev.select(
+        F.col("event_id").alias("file_id"),
+        F.col("event_id").alias("submission_snapshot_id"),
+        F.col("event_type").alias("site_file_id"),
+        F.concat(F.lit("u"), F.floor(F.col("value") / 20).cast("string")).alias("file_url"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 5).alias("file_size"),
+        F.col("props").alias("extra_data"),
+    )
+    hashes = ev.select(
+        F.col("event_id").alias("file_id"),
+        F.lit(1).cast("bigint").alias("algo_id"),
+        F.unhex(F.md5(F.col("event_type"))).alias("hash_value"),
+    )
+    return merged_files(snaps, files, hashes)
+
+
+@register(
+    "m8_entity_web_json",
+    oracle="""
+    SELECT user_id,
+           '{"user_id":' || user_id || ',"snapshot_count":' || count(*) ||
+           ',"first_scanned":"' || strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') ||
+           '","latest_update":"' || strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') || '"}'
+             AS web_json
+    FROM events GROUP BY user_id
+    """,
+)
+def m8_entity_web_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 entity → nested JSON serialization with ISO datetime coercion.
+
+    Reference: models/submission.py:106-125, db.py:40-50. Built by
+    string concat on both sides so formatting is bit-identical.
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit('{"user_id":'),
+                F.col("user_id").cast("string"),
+                F.lit(',"snapshot_count":'),
+                F.count(F.lit(1)).cast("string"),
+                F.lit(',"first_scanned":"'),
+                F.date_format(F.min("ts"), ISO),
+                F.lit('","latest_update":"'),
+                F.date_format(F.max("ts"), ISO),
+                F.lit('"}'),
+            ).alias("web_json")
+        )
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale notes (tuned for a real cluster, testable on local[N]):
+- UTC session timezone everywhere: the reference is tz-aware UTC
+  throughout (faexport_db/models/user.py:135,139); without this,
+  oracle comparisons and merge tie-breaks drift.
+- AQE on: runtime coalescing + skew-join handling. ``website_id`` is a
+  skewed partition key in the reference's data (FurAffinity dominates),
+  so skew mitigation is a first-class requirement.
+- Arrow on: every Pandas-UDF path (file-merge fold, multimodal decode)
+  moves batches over Arrow, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "faexport_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the core count: at local scale a
+    shuffle fan-out of 200 (Spark's default) makes 60k-row stages pay
+    ~170 empty-task launches; on a cluster the caller sizes it to
+    ~2-3x total cores. AQE coalescing trims the excess either way.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{DEFAULT_CPUS}]")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_CPUS))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
