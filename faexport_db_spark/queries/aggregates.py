@@ -1,0 +1,114 @@
+"""A1-A7 aggregation operators (SURVEY.md §2.4).
+
+All aggregations get map-side partial combine for free from Catalyst;
+counts/min/max never move raw rows across the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.queries.registry import register
+
+
+@register(
+    "a1_filtered_count",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a1_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-key COUNT(*): the reference issues one filtered count
+    per website/contributor (models/website.py:19-35,
+    models/archive_contributor.py:13-29); the batch form is a single
+    groupBy over all keys."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a2_full_count",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+)
+def a2_full_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — full table count (ingest row count cache,
+    scripts/ingest/ingestion_job.py:19-22). Parquet row-group metadata
+    answers this without reading data pages."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a3_distinct_projection",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def a3_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — DISTINCT projection (unique site ids per website,
+    web.py:143-147, models/submission.py:193-200)."""
+    return load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+
+@register(
+    "a4_min_string_date",
+    oracle="SELECT min(strftime(o_orderdate, '%Y-%m-%d')) AS earliest FROM orders",
+)
+def a4_min_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — MIN over ISO-formatted date strings (the reference scans its
+    dump for the earliest updated_at as a string,
+    scripts/ingest/fuzzysearch/main.py:58-65)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("earliest"))
+    )
+
+
+@register(
+    "a5_group_count_topk",
+    oracle="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM part
+    GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 5
+    """,
+)
+def a5_group_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — Counter.most_common(5): group-count + deterministic top-k
+    (count desc, key asc tiebreak). Reference:
+    scripts/ingest/e621_db_export/main.py:163-186."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("p_brand"))
+        .limit(5)
+    )
+
+
+@register(
+    "a6_count_per_group",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS snapshot_count
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a6_count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — snapshot_count per entity (models/submission.py:111)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("snapshot_count"))
+    )
+
+
+@register(
+    "a7_seen_set_dedup",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def a7_seen_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — the reference's in-memory ``seen_usernames`` set
+    (scripts/ingest/fa_indexer/main.py:85-93) is a dropDuplicates —
+    distributed, no driver-side state."""
+    return load_table(spark, sf_dir, "documents").select("lang", "source").dropDuplicates()

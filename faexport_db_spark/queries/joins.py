@@ -1,0 +1,219 @@
+"""J1-J8 join operators (SURVEY.md §2.3).
+
+All reference joins are equi-joins with broadcastable dims or
+co-partitionable fact-fact keys; the Spark plans here broadcast every
+dim explicitly and leave fact-fact joins to AQE (sort-merge or
+shuffled-hash with skew splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.queries.registry import register
+
+
+@register(
+    "j1_fact_dim_left_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_brand, p.p_type
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def j1_fact_dim_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact ⟕ dim broadcast hash join (snapshots ⟕ contributors).
+
+    Reference: models/submission.py:140-146. The dim side is broadcast:
+    no shuffle of the fact table at any scale.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "p_brand", "p_type")
+
+
+@register(
+    "j2_fact_dim_left_join_users",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j2_fact_dim_left_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — user_snapshots ⟕ contributors. Reference: models/user.py:78-87."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "left"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+
+
+@register(
+    "j3_hash_search_chain",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, c.c_name, n.n_name
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_partkey = 10 AND l.l_returnflag = 'N'
+    """,
+)
+def j3_hash_search_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the hash-search 4-way left-join chain with a selective
+    two-column predicate on the driving table.
+
+    Reference: models/submission.py:400-412 (file_hashes ⟕ files ⟕
+    snapshots ⟕ contributors WHERE algo_id=? AND hash_value=?).
+    Catalyst pushes the predicate below the joins, so only the few
+    matching rows are joined — the reference needs a covering index
+    for the same effect (schema/indexes.sql:21).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") == 10) & (F.col("l_returnflag") == "N")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "c_name", "n_name")
+    )
+
+
+@register(
+    "j4_orphan_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def j4_orphan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — orphan detection: child rows whose parent is gone.
+
+    Reference: scripts/cron/remove_duplicates.py:89-96,143-150,199-206
+    (LEFT JOIN … WHERE right.id IS NULL). Spark's left_anti is the
+    direct physical form.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j5_child_attach",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           coalesce(l.n_items, 0) AS n_items,
+           coalesce(l.items_str, '') AS items_str
+    FROM orders o LEFT JOIN (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+             string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS items_str
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def j5_child_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — batch child-attach: nest children under parents in one join
+    (replaces the reference's Python-side list-comprehension match).
+
+    Reference: models/submission.py:154-168,416-431. Shuffle on the
+    high-cardinality parent key only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    children = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_linenumber"))).cast("array<string>"), ","
+        ).alias("items_str"),
+    )
+    return orders.join(
+        children, orders.o_orderkey == children.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("items_str", F.lit("")).alias("items_str"),
+    )
+
+
+@register(
+    "j6_dim_dedup",
+    oracle="""
+    SELECT DISTINCT c.c_nationkey, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def j6_dim_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — the reference dedups dim objects in a Python dict while
+    materializing rows (models/submission.py:161-164); in DataFrame
+    form the join already carries dim columns, so the op reduces to a
+    distinct over them."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_nationkey", "n_name")
+        .distinct()
+    )
+
+
+@register(
+    "j7_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — semi-join form of the IN-list fetch (large id sets).
+
+    Reference: models/file.py:118-124 (WHERE … IN %s) — at scale the
+    literal list becomes a semi-join against the id set.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    big_items = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_orderkey")
+    )
+    return orders.join(
+        big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "j8_broadcast_enrichment",
+    oracle="""
+    SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_clicks, any_value(c.c_name) AS c_name
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+    """,
+)
+def j8_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — broadcast-dict enrichment: the reference keeps a local
+    username→user cache and joins rows against it in Python
+    (scripts/ingest/fuzzysearch/user_lookup.py:86-99); Spark form is a
+    broadcast join against the pre-resolved lookup table (S8 design
+    note, SURVEY §7.4.6).
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    lookup = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        events.join(F.broadcast(lookup), events.user_id == F.col("c_custkey"), "left")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"), F.any_value("c_name").alias("c_name"))
+    )

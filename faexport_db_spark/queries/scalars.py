@@ -1,0 +1,398 @@
+"""C1-C22 scalar-function queries (SURVEY.md §2.9).
+
+Each entry synthesizes reference-shaped inputs from the fixture tables
+(URLs, resolutions, tag strings, …) and applies the engine's column
+builders, with a DuckDB oracle computing the same transformation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.functions import scalars as FX
+from faexport_db_spark.queries.registry import register
+
+
+@register(
+    "c1_id_from_url",
+    oracle="""
+    SELECT p_partkey,
+           (string_split(rtrim('https://example.net/view/' || p_partkey || '/', '/'), '/'))[-1]
+             AS site_id
+    FROM part
+    """,
+)
+def c1_id_from_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — submission id from URL. Reference: ingest_formats/faexport.py:24,79-88."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            FX.id_from_url(
+                F.concat(F.lit("https://example.net/view/"), F.col("p_partkey"), F.lit("/"))
+            ).alias("site_id"),
+        )
+    )
+
+
+@register(
+    "c2_split_resolution",
+    oracle="""
+    SELECT p_partkey,
+           CAST((string_split(p_size || 'x' || p_size * 2, 'x'))[1] AS INT) AS width,
+           CAST((string_split(p_size || 'x' || p_size * 2, 'x'))[2] AS INT) AS height
+    FROM part
+    """,
+)
+def c2_split_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — resolution 'WxH' split. Reference: ingest_formats/faexport.py:50-51."""
+    res = F.concat(F.col("p_size"), F.lit("x"), (F.col("p_size") * 2))
+    width, height = FX.split_resolution(res)
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", width.alias("width"), height.alias("height")
+    )
+
+
+@register(
+    "c3_split_whitespace",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tags,
+           (string_split(trim(text), ' '))[1] AS first_tag
+    FROM documents
+    """,
+)
+def c3_split_whitespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — tag_string → keyword list. Reference: e621_db_export/main.py:76."""
+    tags = FX.split_whitespace("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tags).alias("n_tags"), tags.getItem(0).alias("first_tag")
+    )
+
+
+@register(
+    "c4_split_lines_trimmed",
+    oracle="""
+    SELECT doc_id,
+           trim((string_split(replace(text, ' ', chr(10)), chr(10)))[2]) AS second_source
+    FROM documents
+    """,
+)
+def c4_split_lines_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — newline-separated sources, trimmed. Reference: e621_db_export/main.py:78."""
+    lines = FX.split_lines_trimmed(F.regexp_replace("text", " ", "\n"))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.element_at(lines, 2).alias("second_source")
+    )
+
+
+@register(
+    "c5_username_canon",
+    oracle="""
+    SELECT c_custkey, regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') AS canon
+    FROM customer
+    """,
+)
+def c5_username_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C6 — username canonicalization. Reference: fuzzysearch/user_lookup.py:135,225."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", FX.canonical_username("c_name").alias("canon")
+    )
+
+
+@register(
+    "c7_nul_scrub",
+    oracle="""
+    SELECT doc_id, CAST(length(replace(text, chr(0), '')) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def c7_nul_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — NUL-character scrub. Reference: fa_indexer/main.py:76-83."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(FX.strip_nul("text")).cast("bigint").alias("clean_len")
+    )
+
+
+@register(
+    "c8_md5_shard_url",
+    oracle="""
+    SELECT p_partkey,
+           'https://static.example.net/data/' || substr(md5(p_name), 1, 2) || '/' ||
+           substr(md5(p_name), 3, 2) || '/' || md5(p_name) || '.png' AS file_url
+    FROM part
+    """,
+)
+def c8_md5_shard_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — md5-sharded static URL. Reference: e621_db_export/main.py:51."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        FX.md5_shard_url(
+            F.md5(F.col("p_name")), F.lit("png"), "https://static.example.net/data"
+        ).alias("file_url"),
+    )
+
+
+@register(
+    "c9_prefix_tests",
+    oracle="""
+    SELECT o_orderkey, starts_with(o_orderpriority, '1-') AS is_urgent,
+           regexp_replace(o_orderpriority, '^\\d-', '') AS stripped
+    FROM orders
+    """,
+)
+def c9_prefix_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — prefix tests + prefix strip. Reference:
+    ingest_formats/faexport.py:78, e621_db_export/main.py:149-150."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").startswith("1-").alias("is_urgent"),
+        F.regexp_replace("o_orderpriority", r"^\d-", "").alias("stripped"),
+    )
+
+
+@register(
+    "c10_charset_validation",
+    oracle="""
+    SELECT c_custkey, regexp_matches(c_name, '^[A-Za-z0-9#_ ]*$') AS is_valid
+    FROM customer
+    """,
+)
+def c10_charset_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — allowed-charset validation. Reference: fuzzysearch/main.py:140-142,174-179."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").rlike("^[A-Za-z0-9#_ ]*$").alias("is_valid")
+    )
+
+
+@register(
+    "c11_iso_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+             AS parsed
+    FROM orders
+    """,
+)
+def c11_iso_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — lenient ISO-8601 parse (dateutil.parser.parse).
+
+    Reference: db.py:34-37, e621_db_export/main.py:58. Round-trips a
+    formatted timestamp back through the parser on both engines.
+    """
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss").alias("parsed")
+    )
+
+
+@register("c12_now_stamping")  # current_timestamp is nondeterministic → rows-only check
+def c12_now_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — UTC ingest_datetime stamping (models/submission.py:229,
+    models/user.py:135,139). Oracle-less: the stamp is wall-clock."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .limit(100)
+        .select("event_id", F.current_timestamp().alias("ingest_datetime"))
+    )
+
+
+@register(
+    "c13_iso_output_format",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S+00:00') AS ship_iso
+    FROM lineitem
+    """,
+)
+def c13_iso_output_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 — ISO output formatting with explicit UTC offset (db.py:40-50)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        FX.iso_format("l_shipdate", "yyyy-MM-dd'T'HH:mm:ssxxx").alias("ship_iso"),
+    )
+
+
+@register(
+    "c14_base64_roundtrip",
+    oracle="""
+    SELECT c_custkey, to_base64(encode(c_name)) AS name_b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS name_back
+    FROM customer
+    """,
+)
+def c14_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 — base64 encode/decode at the JSON boundary
+    (models/file.py:184,191, web.py:208)."""
+    b64 = F.base64(F.encode(F.col("c_name"), "utf-8"))
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.decode(F.unbase64(b64), "utf-8").alias("name_back"),
+    )
+
+
+@register(
+    "c15_int64_be_bytes",
+    oracle="""
+    SELECT event_id,
+           lpad(to_hex(CAST(json_extract_string(props, '$.k') AS BIGINT) - 50), 16, '0')
+             AS dhash_hex
+    FROM events
+    """,
+)
+def c15_int64_be_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 — signed int64 → 8-byte big-endian bytes (struct.pack '>q').
+
+    Reference: fuzzysearch/main.py:101. Uses k-50 so negatives exercise
+    the two's-complement path on both engines.
+    """
+    k = F.get_json_object("props", "$.k").cast("bigint") - 50
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", FX.int64_be_bytes_hex(k).alias("dhash_hex")
+    )
+
+
+@register(
+    "c16_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+           CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE) AS price_roundtrip
+    FROM lineitem
+    """,
+)
+def c16_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 — str→int / str→float casts. Reference: e621_db_export/main.py:69-73."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("string").cast("double").alias("price_roundtrip"),
+    )
+
+
+@register(
+    "c17_bool_literals",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN lower(CASE o_orderstatus WHEN 'F' THEN 'f' WHEN 'O' THEN 'T'
+                           ELSE 'NULL' END) IN ('t', 'true') THEN true
+                WHEN lower(CASE o_orderstatus WHEN 'F' THEN 'f' WHEN 'O' THEN 'T'
+                           ELSE 'NULL' END) IN ('f', 'false') THEN false
+                ELSE NULL END AS is_open
+    FROM orders
+    """,
+)
+def c17_bool_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 — 't'/'f'/'NULL' literal parsing. Reference:
+    e621_db_export/main.py:61, foxoblue_userlist/main.py:59-62."""
+    literal = (
+        F.when(F.col("o_orderstatus") == "F", F.lit("f"))
+        .when(F.col("o_orderstatus") == "O", F.lit("T"))
+        .otherwise(F.lit("NULL"))
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", FX.parse_bool_literal(literal).alias("is_open")
+    )
+
+
+@register(
+    "c18_struct_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           '{"order_key":' || o_orderkey || ',"cust_key":' || o_custkey ||
+           ',"order_date":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '"}'
+             AS payload
+    FROM orders
+    """,
+)
+def c18_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 — dict→JSON with datetime coercion (json_to_db +
+    CustomJSONEncoder, db.py:20-23,40-50)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_key"),
+                F.col("o_custkey").alias("cust_key"),
+                F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("order_date"),
+            )
+        ).alias("payload"),
+    )
+
+
+@register(
+    "c19_json_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def c19_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 — JSON body parse (fa_indexer/main.py:130-131, web.py:164)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@register(
+    "c20_posexplode_ordinals",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS ordinal, toks[i] AS keyword
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 5) d,
+         UNNEST(generate_series(1, len(d.toks))) AS t(i)
+    """,
+)
+def c20_posexplode_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 — enumerate→ordinal: ordered keyword lists materialize their
+    position (models/keyword.py:111-115)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("ordinal", "keyword"))
+    )
+
+
+@register(
+    "c21_url_dissection",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract('https://' || source || '.example.net/art/' || doc_id,
+                          '://([^/]+)', 1) AS host,
+           regexp_extract('https://' || source || '.example.net/art/' || doc_id,
+                          '://[^/]+(/.*)$', 1) AS path
+    FROM documents
+    """,
+)
+def c21_url_dissection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 — URL protocol/domain/path dissection
+    (e621_db_export/main.py:144-162). Spark side uses the native
+    parse_url; oracle mirrors with regex."""
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.net/art/"), F.col("doc_id")
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+
+
+@register(
+    "c22_duplicate_ordinal_check",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+    """,
+)
+def c22_duplicate_ordinal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — duplicate-ordinal uniqueness assert as a validation query
+    (models/submission.py:237-245): expected empty on clean data."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )

@@ -1,0 +1,124 @@
+"""W1-W4 row_number dedup windows (SURVEY.md §2.6) — the maintenance
+job's duplicate-snapshot detection patterns.
+
+Reference: scripts/cron/remove_duplicates.py. Tie-break direction
+matters and differs by table (SURVEY §7.4.5): hashes/files keep the
+HIGHEST surrogate id (107-124, 161-178), snapshot tables keep the
+LOWEST (253-271, 290-307).
+
+The generic engine-side implementation is
+``maintenance.dedup.keep_one_per_key``; these entries demonstrate the
+same window shapes on the fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.queries.registry import register
+
+
+def _keep_one(df: DataFrame, keys: list[str], order_col: str, keep: str) -> DataFrame:
+    order = F.desc(order_col) if keep == "highest" else F.asc(order_col)
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "w1_dedup_keep_highest",
+    oracle="""
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w1_dedup_keep_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — hash-row dedup: keep the highest id per (file_id, algo_id).
+
+    Reference: scripts/cron/remove_duplicates.py:107-124.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    return _keep_one(ev, ["user_id", "event_type"], "event_id", "highest")
+
+
+@register(
+    "w2_dedup_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, l_partkey DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def w2_dedup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — file-row dedup: keep highest id per (snapshot, site_file_id).
+
+    Reference: scripts/cron/remove_duplicates.py:161-178. l_linenumber
+    repeats within an order at larger SFs, so the window carries a
+    second tiebreak column (the reference orders by a unique surrogate
+    id, which needs no tiebreak).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_linenumber"), F.desc("l_partkey")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@register(
+    "w3_dedup_keep_lowest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w3_dedup_keep_lowest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — submission-snapshot dedup keeps the LOWEST id (note the ASC
+    vs W1/W2's DESC — SURVEY §7.4.5).
+
+    Reference: scripts/cron/remove_duplicates.py:253-271.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    return _keep_one(ev, ["user_id", "event_type"], "event_id", "lowest")
+
+
+@register(
+    "w4_dedup_user_snapshots",
+    oracle="""
+    SELECT user_id, day, event_id FROM (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_id,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w4_dedup_user_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — user-snapshot dedup on (website, user, scan_datetime,
+    contributor), keep lowest. Reference:
+    scripts/cron/remove_duplicates.py:290-307.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_id"
+    )
+    return _keep_one(ev, ["user_id", "day"], "event_id", "lowest")
