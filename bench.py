@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan through the noop sink (no driver
+collect — measures distributed execution, not toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # flagship merge + the operator families that dominate real workloads
+    "merged_entity",
+    "m5_extra_data_merge",
+    "m7_file_clash_merge",
+    "j1_fact_dim_left_join",
+    "j3_hash_search_chain",
+    "j5_child_attach",
+    "j7_semi_join",
+    "a5_group_count_topk",
+    "w1_dedup_keep_highest",
+    "u1_upsert_returning",
+    # training-data ops (registered in later milestones; skipped if absent)
+    "t_exact_dedup",
+    "t_minhash_lsh_dedup",
+    "t_simhash_dedup",
+    "t_ann_cosine_topk",
+    "t_text_quality",
+    "t_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from faexport_db_spark.queries import QUERIES
+    from faexport_db_spark.session import get_spark
+
+    spark = get_spark("faexport-db-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (exclude JIT/IO-cache jitter)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
