@@ -12,6 +12,7 @@ from faexport_db_spark.queries import (  # noqa: F401
     scalars,
     setops,
     sorts,
+    training_queries,
     windows,
 )
 from faexport_db_spark.queries.registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,283 @@
+"""Training-data operator queries over documents/embeddings.
+
+Engine-specific hashing (xxhash64 signatures, seeded hyperplanes) is
+not reproducible in DuckDB, so the MinHash/SimHash/LSH entries are
+rows-only; their exact counterparts (content-hash dedup, exact n-gram
+Jaccard, brute-force cosine) ARE oracle-checked, and unit tests assert
+the approximate ops' candidates are supersets/subsets as appropriate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.queries.registry import register
+from faexport_db_spark.training.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+    word_shingles,
+)
+from faexport_db_spark.training.multimodal import documents_as_media, extract_features
+from faexport_db_spark.training.similarity import brute_force_topk, lsh_bucketed_topk
+from faexport_db_spark.training.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _mutated_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ a lightly-mutated copy (first word replaced) —
+    guarantees near-duplicate pairs exist for the approximate ops."""
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+@register(
+    "t_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (lowest id) per content hash."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "t_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] ELSE t[i] END
+             ))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs via inverted-index join
+    (shared-shingle equi-join, never an all-pairs cross join)."""
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("g")
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("t_minhash_lsh_dedup")  # xxhash64 signatures aren't DuckDB-reproducible
+def t_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified.
+    Run over documents ∪ mutated copies so true near-dups exist."""
+    return minhash_dedup_pairs(_mutated_corpus(_docs(spark, sf_dir)), threshold=0.6)
+
+
+@register("t_simhash_dedup")  # engine-specific hashing → rows-only
+def t_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup pairs at Hamming ≤ 3 via pigeonhole banding."""
+    return simhash_dedup_pairs(_mutated_corpus(_docs(spark, sf_dir)), max_hamming=3)
+
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                              s -> s[1]::DOUBLE * s[2]::DOUBLE), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+             6) AS cosine
+      FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@register("t_ann_cosine_topk", oracle=_COSINE_ORACLE)
+def t_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for a broadcast query set — the exact
+    baseline for similarity search. Dot product is a codegen'd
+    zip_with/aggregate fold with deterministic summation order (matches
+    the oracle bit-for-bit before rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("t_ann_lsh_bucketed")  # seeded-hyperplane codes → rows-only
+def t_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (8-bit codes, Hamming-1 probing) —
+    the scale path: corpus hashed once, probe set joins on bucket code."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_bucketed_topk(emb, queries, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "t_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x IN ('the','a','is','of','and','to','in','for'))) AS s_en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x IN ('query','table','join','scan','filter','sort','merge','hash'))) AS s_query,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x IN ('stream','batch','window','spark','row','column','data','value'))) AS s_stream
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_query AND s_en >= s_stream THEN 'en'
+                WHEN s_query >= s_stream THEN 'query'
+                ELSE 'stream' END AS pred_lang,
+           CAST(greatest(s_en, s_query, s_stream) AS INT) AS lang_score
+    FROM scored
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (argmax profile score,
+    lexicographic tiebreak)."""
+    return lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "t_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_computed
+      FROM documents
+    )
+    SELECT doc_id, n_chars_computed,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(n_chars_computed * 1.0 / len(toks), 6) AS mean_token_len,
+           round(len(list_filter(toks, x -> x IN
+             ('the','a','of','and','to','in','is','it','for','on'))) * 1.0 / len(toks), 6)
+             AS stopword_ratio,
+           round((n_chars_computed - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 * 1.0 / n_chars_computed, 6) AS non_alnum_ratio,
+           round(least(len(toks) / 400.0, 1.0) * 0.4
+                 + round(len(list_filter(toks, x -> x IN
+                     ('the','a','of','and','to','in','is','it','for','on'))) * 1.0 / len(toks), 6) * 0.4
+                 + (1.0 - round((n_chars_computed - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                        * 1.0 / n_chars_computed, 6)) * 0.2, 6) AS quality_score
+    FROM t
+    """,
+)
+def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (length/stopword/
+    punctuation signals — the standard pre-training filter stack)."""
+    return quality_features(_docs(spark, sf_dir))
+
+
+@register(
+    "t_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return token_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "t_doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+                 i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])),
+               h -> h LIKE '0%'))) AS fp
+      FROM t
+    )
+    SELECT doc_id, coalesce(array_to_string(fp, ','), '') AS fingerprint,
+           CAST(coalesce(len(fp), 0) AS BIGINT) AS fp_size
+    FROM fps
+    """,
+)
+def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-p-sampled 4-gram md5 fingerprint (winnowing-lite sketch)."""
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "t_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CONCAT('0x', substr(sha256(text), 1, 2)) AS INTEGER) / 255.0 AS f0,
+           CAST(CONCAT('0x', substr(sha256(text), 3, 2)) AS INTEGER) / 255.0 AS f1,
+           CAST(CONCAT('0x', substr(sha256(text), 5, 2)) AS INTEGER) / 255.0 AS f2,
+           CAST(CONCAT('0x', substr(sha256(text), 7, 2)) AS INTEGER) / 255.0 AS f3
+    FROM documents
+    """,
+)
+def t_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as opaque binary media →
+    Arrow-batched mapInPandas feature extraction (deterministic
+    digest-based fake standing in for the codec/model — see
+    training/multimodal.py)."""
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media)

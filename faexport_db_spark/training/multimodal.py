@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata structs;
+decode / feature-extraction run as Arrow-batched ``mapInPandas``
+operators so each Python worker sees whole record batches (never
+row-at-a-time). The actual codec calls are STUBBED — the image/audio
+libraries are not in this container — behind ``decode_media``, which
+raises NotImplementedError; ``extract_features`` uses a deterministic
+digest-based fake so the Spark-side contract (schema, batching,
+partitioning) is real and testable end-to-end.
+
+Scale notes: binary payloads ride the shuffle only when explicitly
+repartitioned; feature extraction is map-only (no shuffle), and batch
+size is governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_bytes", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = (
+    "media_id bigint, n_bytes bigint, f0 double, f1 double, f2 double, f3 double"
+)
+
+N_FEATURES = 4
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real codec entry point — STUB. Plug PIL/librosa/pyav here.
+
+    Raises NotImplementedError by design: the container ships no media
+    libraries (SURVEY/driver brief). Everything around it (schemas,
+    batch shapes, partitioning) is real.
+    """
+    raise NotImplementedError(
+        f"media decoding for {media_type!r} requires codec libraries "
+        "not present in this environment; extract_features uses a "
+        "deterministic digest-based fake instead"
+    )
+
+
+def _digest_features(payload: bytes | None) -> list[float]:
+    if payload is None:
+        return [0.0] * N_FEATURES
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i] / 255.0 for i in range(N_FEATURES)]
+
+
+def extract_features(media: DataFrame, id_col: str = "media_id", bytes_col: str = "media_bytes") -> DataFrame:
+    """Feature extraction over binary media columns via mapInPandas.
+
+    Deterministic fake: 4 floats from the sha256 digest of the payload
+    (stands in for an image-embedding model; same signature, same
+    batching). Output: (media_id, n_bytes, f0..f3).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf[bytes_col].apply(
+                lambda b: _digest_features(bytes(b) if b is not None else None)
+            )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": pdf[bytes_col].apply(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+            for i in range(N_FEATURES):
+                out[f"f{i}"] = feats.apply(lambda fs, i=i: fs[i])
+            yield out
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads so
+    the multimodal plumbing can be exercised on the fixture tables."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("media_bytes"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of a (small, broadcast)
+  query set against the corpus — the correctness baseline. Linear in
+  |corpus| x |queries|; at 100 TB you bound |queries| per job and let
+  the corpus stream partition-parallel. The dot product is a
+  zip_with/aggregate fold — whole-stage codegen, no UDF.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH signs
+  (fixed seed, hyperplanes shipped as literals/broadcast) bucket the
+  corpus; queries probe their own bucket plus all Hamming-≤1 codes.
+  Corpus is hashed once (linear), probing joins on the bucket code —
+  a uniform equi-join key — so no cross join ever materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Output: (query_id, neighbor_id,
+    cosine, rank), self-matches excluded, ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).round(6).tolist()
+
+
+def _code_expr(vec: Column, planes: list[list[float]]) -> Column:
+    code = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = dot_expr(vec, F.array(*[F.lit(v) for v in plane]))
+        code = code.bitwiseOR(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return code
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's LSH bucket and every
+    bucket at Hamming distance 1 (nbits+1 probes). Deterministic: the
+    hyperplanes derive from a fixed seed and travel as literals.
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("bucket", _code_expr(F.col("c_vec"), planes))
+    bit_masks = F.array(*[F.lit(1 << i) for i in range(nbits)])
+    probe_codes = F.array_union(
+        F.array(F.col("q_bucket")),
+        F.transform(bit_masks, lambda m: F.col("q_bucket").bitwiseXOR(m)),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_bucket", _code_expr(F.col("q_vec"), planes))
+        .withColumn("bucket", F.explode(probe_codes))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

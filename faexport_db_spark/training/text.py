@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (codegen'd, no UDFs); each has an exact
+DuckDB-oracle counterpart registered in queries/training_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word profiles for the n-gram/stopword language heuristic.
+# Real pipelines plug fasttext/cld3 here; the operator contract is the
+# same: per-language evidence score -> argmax with deterministic ties.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and", "to", "in", "for"),
+    "query": ("query", "table", "join", "scan", "filter", "sort", "merge", "hash"),
+    "stream": ("stream", "batch", "window", "spark", "row", "column", "data", "value"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_expr(text: str | Column) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), r"\s+")
+
+
+def _profile_score(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language-ID by marker-word evidence: score each profile, take the
+    argmax (lexicographically-first language wins ties). Output:
+    (id, pred_lang, lang_score)."""
+    toks = tokens_expr(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            _profile_score(toks, words).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_PROFILES.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_PROFILES)])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    return scored.select(
+        id_col, pred.alias("pred_lang"), best.cast("int").alias("lang_score")
+    )
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-signal features + a composite score: char length, token
+    count, mean token length, stopword ratio, non-alnum ratio. The
+    score is a fixed linear blend — the operator contract (per-doc
+    bounded score usable as a filter threshold) is what matters."""
+    toks = tokens_expr(text_col)
+    n_chars = F.length(text_col)
+    n_toks = F.size(toks)
+    mean_tok = F.round(n_chars.cast("double") / n_toks, 6)
+    stop_ratio = F.round(
+        _profile_score(toks, STOPWORDS).cast("double") / n_toks, 6
+    )
+    non_alnum = F.round(
+        (
+            n_chars
+            - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+        ).cast("double")
+        / n_chars,
+        6,
+    )
+    score = F.round(
+        F.least(n_toks / F.lit(400.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - non_alnum) * 0.2,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars_computed"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        non_alnum.alias("non_alnum_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — the classic pre-tokenizer shape)."""
+    ws = F.size(tokens_expr(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 4,
+    keep_prefix: str = "0",
+) -> DataFrame:
+    """Mod-p-sampled shingle fingerprint (winnowing-lite): hash every
+    word ``gram``-gram with md5, keep hashes starting with
+    ``keep_prefix`` (1/16 sample), sorted + joined. Two docs share
+    fingerprint elements iff they share sampled shingles — a compact
+    containment sketch. md5 keeps it engine-portable (oracle-checkable).
+    """
+    toks = tokens_expr(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (gram - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, gram))),
+    )
+    sampled = F.array_sort(
+        F.array_distinct(F.filter(grams, lambda h: h.startswith(keep_prefix)))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(sampled, ",").alias("fingerprint"),
+        F.size(sampled).cast("bigint").alias("fp_size"),
+    )

@@ -1,0 +1,102 @@
+"""Semantic tests for the training-data operators (beyond the oracle
+differential): approximate methods must agree with their exact
+counterparts on planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.training.dedup import (
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from faexport_db_spark.training.multimodal import decode_media, documents_as_media, extract_features
+from faexport_db_spark.training.similarity import brute_force_topk, lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def test_minhash_finds_planted_pairs(planted):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(planted, threshold=0.6).collect()
+    }
+    n_docs = planted.count() // 2
+    planted_pairs = {(i, i + 1000000) for i in range(n_docs)}
+    found = planted_pairs & pairs
+    # LSH is probabilistic per-pair but with 16 bands at jaccard ≈0.99
+    # recall should be essentially total
+    assert len(found) >= int(0.9 * n_docs)
+    # and every emitted pair is verified ≥ threshold (no false accepts)
+    assert all(r["jaccard"] >= 0.6 for r in minhash_dedup_pairs(planted).collect())
+
+
+def test_simhash_exact_consistency(planted):
+    """The pigeonhole banding must find EXACTLY the pairs whose true
+    signature Hamming distance is within budget — candidates are
+    complete (any pair ≤ k shares a clean chunk) and verification
+    filters the rest."""
+    from faexport_db_spark.training.dedup import simhash_signatures
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup_pairs(planted, max_hamming=3).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(planted).collect()}
+    truth = {}
+    ids = sorted(sigs)
+    n_docs = len(ids) // 2
+    for i in range(n_docs):  # planted pairs are the interesting ground truth
+        a, b = i, i + 1000000
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            truth[(a, b)] = ham
+    assert truth, "corpus should contain some close planted pairs"
+    assert {p: h for p, h in pairs.items() if p in truth} == truth
+    missing = set(truth) - set(pairs)
+    assert not missing, f"banding missed true-positive pairs: {sorted(missing)[:5]}"
+
+
+def test_lsh_ann_finds_planted_neighbors(spark, sf_small):
+    """LSH's contract is recall on HIGH-similarity items (near-dups),
+    not on the weak (~0.3 cosine) neighbors random gaussians have.
+    Plant scaled copies (cosine exactly 1, identical sign pattern →
+    identical bucket) and require the approximate search to find them;
+    also sanity-check against brute force on the same corpus."""
+    emb = load_table(spark, sf_small, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(twins)
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_bucketed_topk(corpus, queries, k=1).collect()
+    }
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    for q in range(5):
+        assert approx[q] == q + 1000000  # planted twin found in-bucket
+        assert exact[q] == q + 1000000  # and brute force agrees
+
+
+def test_multimodal_stub_and_plumbing(spark, sf_small):
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image")
+    media = documents_as_media(load_table(spark, sf_small, "documents"))
+    feats = extract_features(media)
+    rows = feats.limit(5).collect()
+    assert {c for c in feats.columns} == {"media_id", "n_bytes", "f0", "f1", "f2", "f3"}
+    assert all(0.0 <= r["f0"] <= 1.0 and r["n_bytes"] > 0 for r in rows)
