@@ -12,6 +12,7 @@ from faexport_db_spark.queries import (  # noqa: F401
     scalars,
     setops,
     sorts,
+    sources_queries,
     training_queries,
     windows,
 )

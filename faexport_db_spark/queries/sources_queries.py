@@ -1,0 +1,250 @@
+"""S1-S8 sources and K1-K4 sinks (SURVEY.md §2.1) on the driver
+harness: each entry round-trips fixture data through the real
+reader/writer (CSV, JSON dir, SQLite, parquet append, JSONL) in a
+fresh temp dir, with the oracle reading the original parquet — so a
+format-fidelity bug (quoting, escaping, schema drift) shows up as a
+value mismatch, not just a crash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.queries.registry import register
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"faexport_spark_{prefix}_")
+
+
+@register(
+    "s1_csv_scan_positional",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s1_csv_scan_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — headerless positional CSV scan with an explicit schema
+    (e621 dump shape, e621_db_export/main.py:125-130). Fixture data is
+    staged out as CSV and read back through the production reader."""
+    out = _tmp("s1")
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").option("header", "false").csv(out)
+    return spark.read.csv(out, schema="r_regionkey int, r_name string", header=False)
+
+
+@register(
+    "s2_csv_scan_header",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s2_csv_scan_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — DictReader-style CSV (header row names columns;
+    fuzzysearch/main.py:188-192)."""
+    out = _tmp("s2")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    return spark.read.csv(
+        out, schema="n_nationkey int, n_name string, n_regionkey int", header=True
+    )
+
+
+@register(
+    "s3_json_dir_scan",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+)
+def s3_json_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — recursive JSON-directory scan (fa_indexer/main.py:128-135):
+    nested subdirectories of JSON files, recursiveFileLookup read."""
+    out = _tmp("s3")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.filter(F.col("n_nationkey") < 10).write.mode("overwrite").json(f"{out}/a/x")
+    nation.filter(F.col("n_nationkey") >= 10).write.mode("overwrite").json(f"{out}/b/y/z")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("n_nationkey int, n_name string")
+        .json(out)
+    )
+
+
+@register(
+    "s4_sqlite_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s4_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — SQLite table scan (findfurrypicbot/main.py:64-69). No JDBC
+    sqlite driver ships here, so this exercises the stdlib-driver
+    fallback documented in ingest/findfurrypicbot.py (dim-table scale;
+    the 100 TB answer is one-time conversion to parquet)."""
+    import sqlite3
+
+    db_path = os.path.join(_tmp("s4"), "fixture.sqlite")
+    rows = [(r["r_regionkey"], r["r_name"]) for r in load_table(spark, sf_dir, "region").collect()]
+    con = sqlite3.connect(db_path)
+    con.execute("CREATE TABLE region (r_regionkey INTEGER, r_name TEXT)")
+    con.executemany("INSERT INTO region VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+
+    con = sqlite3.connect(db_path)
+    try:
+        data = con.execute("SELECT r_regionkey, r_name FROM region").fetchall()
+    finally:
+        con.close()
+    return spark.createDataFrame(data, "r_regionkey int, r_name string")
+
+
+@register(
+    "s5_streaming_cursor_scan",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def s5_streaming_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — the reference streams large results through a server-side
+    cursor at 5000 rows/fetch (db.py:77-89); the Spark equivalent is
+    simply a partition-parallel scan — no driver bottleneck at all."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "s6_point_select",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey = 3",
+)
+def s6_point_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — point select (db.py:58-75): pushed-down PK filter."""
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") == 3)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "s7_http_push_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type AS format_name
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+)
+def s7_http_push_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — HTTP push-ingest body parsing (web.py:156-169): raw JSON
+    payload strings → format adapter expressions. events.props plays
+    the POST body; the streaming micro-batch wrapper lives in
+    streaming/ingest_stream.py."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.col("event_type").alias("format_name"),
+        )
+    )
+
+
+@register(
+    "s8_preresolved_lookup_join",
+    oracle="""
+    SELECT DISTINCT e.user_id, c.c_name AS resolved_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'signup'
+    """,
+)
+def s8_preresolved_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the rate-limited external REST lookup
+    (fuzzysearch/user_lookup.py:79-126) stays OUTSIDE the engine
+    (SURVEY §7.4.6): the resolved results become a broadcast lookup
+    table joined J8-style. This entry demonstrates that composition."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    lookup = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("resolved_name")
+    )
+    return events.join(F.broadcast(lookup), "user_id").select(
+        "user_id", "resolved_name"
+    ).distinct()
+
+
+@register(
+    "k1_bulk_append_sink",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def k1_bulk_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 — bulk insert sink (db.py:102-127's chunked multi-VALUES →
+    a single distributed parquet append). Writes the table out, reads
+    it back, aggregates — so写-path fidelity is value-checked."""
+    out = _tmp("k1")
+    load_table(spark, sf_dir, "lineitem").write.mode("append").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "k2_microbatch_sink",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n FROM events",
+)
+def k2_microbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — micro-batch buffered appends (ingestion_job.py:42-43,
+    78-115: flush every 1000 rows / 60s). Batch restatement: successive
+    appends of slices land in one consistent table; the true streaming
+    trigger lives in streaming/ingest_stream.py (tested there)."""
+    out = _tmp("k2")
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(out)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(out)
+    return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "k3_jsonl_export",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def k3_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — JSONL dump (scripts/cron/dump_db.py:13-42). The reference
+    capped exports at 10/100 rows because its per-row child fetch was
+    'very slow' (dump_db.py:21); the distributed write needs no cap —
+    full table out, full table back."""
+    out = _tmp("k3")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").json(out)
+    return spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+
+
+@register(
+    "k4_delete_rewrite",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def k4_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — chunked DELETE (remove_duplicates.py:61-84) as a
+    rewrite-with-anti-join: survivors = table ⟂ ids-to-delete. The id
+    set here is 'lineitems of finished orders'."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    doomed = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return lineitem.join(doomed, "l_orderkey", "left_anti").select(
+        "l_orderkey", "l_linenumber"
+    )
