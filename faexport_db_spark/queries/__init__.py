@@ -13,6 +13,7 @@ from faexport_db_spark.queries import (  # noqa: F401
     setops,
     sorts,
     sources_queries,
+    streaming_queries,
     training_queries,
     windows,
 )

@@ -1,0 +1,152 @@
+"""Structured Streaming tests: drained with availableNow triggers so
+they run deterministically on the batch fixtures."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.schemas import USER_SNAPSHOTS
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.merge import merged_users
+from faexport_db_spark.streaming import (
+    start_incremental_merged_users,
+    start_submission_ingest,
+    windowed_event_counts,
+)
+
+SCAN_T = "2024-03-01 12:00:00"
+
+
+def _payload(sub_id: int, title: str) -> str:
+    return json.dumps(
+        {
+            "link": f"https://www.furaffinity.net/view/{sub_id}/",
+            "profile_name": "artist1",
+            "name": "Artist One",
+            "title": title,
+            "download": f"https://d.facdn.net/art/{sub_id}.png",
+            "resolution": "100x50",
+            "keywords": ["a", "b"],
+        }
+    )
+
+
+def test_streaming_ingest_two_batches(spark, tmp_path):
+    dropzone = tmp_path / "dropzone"
+    dropzone.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    (dropzone / "b1.jsonl").write_text(_payload(1, "one") + "\n" + _payload(2, "two"))
+    q = start_submission_ingest(
+        spark, str(dropzone), store, contributor_id=1, checkpoint=ckpt,
+        trigger={"availableNow": True}, scan_time=SCAN_T,
+    )
+    q.awaitTermination(120)
+
+    # second file arrives; checkpoint resumes without re-ingesting b1
+    (dropzone / "b2.jsonl").write_text(_payload(3, "three"))
+    q = start_submission_ingest(
+        spark, str(dropzone), store, contributor_id=1, checkpoint=ckpt,
+        trigger={"availableNow": True}, scan_time=SCAN_T,
+    )
+    q.awaitTermination(120)
+
+    snaps = spark.read.parquet(f"{store}/submission_snapshots")
+    assert snaps.count() == 3
+    assert set(r[0] for r in snaps.select("site_submission_id").collect()) == {"1", "2", "3"}
+    # ids unique across batches (batch id in the high bits)
+    assert snaps.select("submission_snapshot_id").distinct().count() == 3
+
+    kws = spark.read.parquet(f"{store}/submission_snapshot_keywords")
+    joined = snaps.join(kws, "submission_snapshot_id").groupBy("site_submission_id").count()
+    assert all(r["count"] == 2 for r in joined.collect())
+
+    files = spark.read.parquet(f"{store}/submission_snapshot_files")
+    assert files.count() == 3
+    assert files.join(snaps, "submission_snapshot_id", "left_anti").count() == 0
+
+
+def test_incremental_merged_view_converges(spark, tmp_path):
+    store = str(tmp_path / "snaps")
+    view = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    batch1 = [
+        (1, "fa", "u1", t1, 1, t1, False, "Alpha", None),
+        (2, "fa", "u2", t1, 1, t1, False, "Beta", None),
+        (3, "weasyl", "w1", t1, 1, t1, False, "Gamma", None),
+    ]
+    # batch 2 touches only u1 (newer) — u2/w1 partitions must survive
+    batch2 = [(4, "fa", "u1", t2, 1, t2, True, None, None)]
+
+    for i, rows in enumerate((batch1, batch2), 1):
+        spark.createDataFrame(rows, USER_SNAPSHOTS).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(USER_SNAPSHOTS).parquet(str(src / f"b{i}"))
+        q = start_incremental_merged_users(
+            spark, stream, store, view, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    got = spark.read.parquet(view)
+    expected = merged_users(spark.read.parquet(store))
+    g = {(r["website_id"], r["site_user_id"]): r for r in got.collect()}
+    e = {(r["website_id"], r["site_user_id"]): r for r in expected.collect()}
+    assert set(g) == set(e) == {("fa", "u1"), ("fa", "u2"), ("weasyl", "w1")}
+    for key in e:
+        assert g[key]["display_name"] == e[key]["display_name"]
+        assert g[key]["is_deleted"] == e[key]["is_deleted"]
+        assert g[key]["snapshot_count"] == e[key]["snapshot_count"]
+    # incremental view == batch rebuild, including the merged history of u1
+    assert g[("fa", "u1")]["snapshot_count"] == 2
+    assert g[("fa", "u1")]["is_deleted"] is True
+    assert g[("fa", "u1")]["display_name"] == "Alpha"
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, sf_small, tmp_path):
+    events = load_table(spark, sf_small, "events")
+    batch = windowed_event_counts(events, watermark=None)
+
+    # replay the same table as a file stream with a watermark
+    src = str(tmp_path / "events_parquet")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("win_counts")
+
+    # append mode emits only windows closed by the final watermark;
+    # every emitted row must match the batch result exactly
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    b = {key(r): (r["n_events"], r["sum_value"]) for r in batch.collect()}
+    s = {key(r): (r["n_events"], r["sum_value"]) for r in streamed.collect()}
+    assert s  # at least the pre-watermark windows closed
+    for k, v in s.items():
+        assert b[k] == v
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_window_counts_oracle_parity(spark, sf_dir):
+    from faexport_db_spark.queries import ORACLES, QUERIES
+    from faexport_db_spark.testing import assert_oracle_match
+
+    df = QUERIES["st_event_window_counts"](spark, sf_dir)
+    assert_oracle_match(df, ORACLES["st_event_window_counts"], sf_dir, name="st_event_window_counts")
