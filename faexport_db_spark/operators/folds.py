@@ -131,8 +131,21 @@ def _add_update(current: dict, update: dict) -> None:
             current["hashes"][algo_id] = hash_b64
 
 
-def _fold_entity_files(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["scan_datetime", "submission_snapshot_id", "file_id"])
+_MERGED_FILES_COLUMNS = [
+    "website_id",
+    "site_submission_id",
+    "site_file_id",
+    "file_url",
+    "file_size",
+    "extra_data",
+    "hashes",
+]
+
+
+def _fold_entity_rows(pdf: pd.DataFrame) -> list[dict]:
+    """Fold ONE entity's pre-sorted file rows (oldest→newest) into its
+    current files. Order is established Spark-side by
+    ``sortWithinPartitions`` — no per-group pandas sort."""
     merged: dict = {}  # site_file_id (None ok) -> file dict, insertion-ordered
     for row in pdf.itertuples(index=False):
         update = _row_file(row)
@@ -142,37 +155,60 @@ def _fold_entity_files(pdf: pd.DataFrame) -> pd.DataFrame:
             merged[key] = update  # first sight, or clash ⇒ full reset
         else:
             _add_update(current, update)
-    out = []
-    for f in merged.values():
-        out.append(
-            {
-                "website_id": pdf["website_id"].iloc[0],
-                "site_submission_id": pdf["site_submission_id"].iloc[0],
-                "site_file_id": f["site_file_id"],
-                "file_url": f["file_url"],
-                "file_size": f["file_size"],
-                "extra_data": _canonical_json(f["extra_data"]),
-                "hashes": json.dumps(
-                    [
-                        {"algo_id": a, "hash_b64": f["hashes"][a]}
-                        for a in sorted(f["hashes"])
-                    ],
-                    separators=(",", ":"),
-                ),
-            }
+    website_id = pdf["website_id"].iloc[0]
+    site_submission_id = pdf["site_submission_id"].iloc[0]
+    return [
+        {
+            "website_id": website_id,
+            "site_submission_id": site_submission_id,
+            "site_file_id": f["site_file_id"],
+            "file_url": f["file_url"],
+            "file_size": f["file_size"],
+            "extra_data": _canonical_json(f["extra_data"]),
+            "hashes": json.dumps(
+                [
+                    {"algo_id": a, "hash_b64": f["hashes"][a]}
+                    for a in sorted(f["hashes"])
+                ],
+                separators=(",", ":"),
+            ),
+        }
+        for f in merged.values()
+    ]
+
+
+def _fold_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows: list[dict] = []
+    for _, group in pdf.groupby(["website_id", "site_submission_id"], sort=False):
+        rows.extend(_fold_entity_rows(group))
+    return pd.DataFrame(rows, columns=_MERGED_FILES_COLUMNS)
+
+
+def _fold_file_stream(batches) -> "pd.DataFrame":
+    """mapInPandas kernel: rows arrive entity-contiguous and pre-sorted;
+    one Python invocation per ~10k-row Arrow batch instead of one per
+    entity group (applyInPandas pays per-group call + Arrow framing —
+    at millions of small groups that overhead IS the runtime). The tail
+    group of each batch may continue into the next, so it's carried
+    over and folded once complete."""
+    leftover: pd.DataFrame | None = None
+    for pdf in batches:
+        if leftover is not None and len(leftover):
+            pdf = pd.concat([leftover, pdf], ignore_index=True)
+        if not len(pdf):
+            leftover = None
+            continue
+        tail_site = pdf["website_id"].iloc[-1]
+        tail_sub = pdf["site_submission_id"].iloc[-1]
+        tail_mask = (pdf["website_id"] == tail_site) & (
+            pdf["site_submission_id"] == tail_sub
         )
-    return pd.DataFrame(
-        out,
-        columns=[
-            "website_id",
-            "site_submission_id",
-            "site_file_id",
-            "file_url",
-            "file_size",
-            "extra_data",
-            "hashes",
-        ],
-    )
+        leftover = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if len(body):
+            yield _fold_batch(body)
+    if leftover is not None and len(leftover):
+        yield _fold_batch(leftover)
 
 
 def merged_files(
@@ -212,6 +248,14 @@ def merged_files(
         "submission_snapshot_id",
         "inner",
     )
-    return keyed.groupBy("website_id", "site_submission_id").applyInPandas(
-        _fold_entity_files, MERGED_FILES_SCHEMA
+    # One shuffle on the entity key, sort establishes fold order, then a
+    # streaming mapInPandas fold (see _fold_file_stream for why this
+    # beats a per-group applyInPandas).
+    arranged = keyed.repartition("website_id", "site_submission_id").sortWithinPartitions(
+        "website_id",
+        "site_submission_id",
+        "scan_datetime",
+        "submission_snapshot_id",
+        "file_id",
     )
+    return arranged.mapInPandas(_fold_file_stream, MERGED_FILES_SCHEMA)

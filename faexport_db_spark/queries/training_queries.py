@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.partitioning import fan_out
 from faexport_db_spark.queries.registry import register
 from faexport_db_spark.training.dedup import (
     exact_dedup,
@@ -88,7 +89,7 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs via inverted-index join
     (shared-shingle equi-join, never an all-pairs cross join)."""
     docs = _docs(spark, sf_dir)
-    shingled = docs.select(
+    shingled = fan_out(docs).select(
         "doc_id", F.explode(word_shingles("text", 2)).alias("g")
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from faexport_db_spark.operators.partitioning import fan_out
+
 
 def tokens_expr(text: str | Column) -> Column:
     text = F.col(text) if isinstance(text, str) else text
@@ -65,8 +67,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of xxhash64(shingle,
     seed_i) for each of ``num_perm`` seeded permutations. One explode +
-    one groupBy; the min-aggs combine map-side."""
-    exploded = docs.select(
+    one groupBy; the min-aggs combine map-side. ``fan_out`` spreads
+    narrow inputs over every core — the hashing is the hot loop."""
+    exploded = fan_out(docs).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
     aggs = [
@@ -126,12 +129,16 @@ def _verify_jaccard(
     shingle_n: int,
     threshold: float,
 ) -> DataFrame:
-    shingled = docs.select(
+    # The candidate set is orders of magnitude smaller than the corpus:
+    # broadcast IT (both hops), so the shingled corpus streams through
+    # two broadcast hash joins without being shuffled — and without the
+    # optimizer electing to broadcast the (bigger) shingle side.
+    shingled = fan_out(docs).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    joined = F.broadcast(F.broadcast(pairs).join(a, "id_a")).join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -147,7 +154,7 @@ SIMHASH_BITS = 60  # stay clear of the int64 sign bit
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = [
