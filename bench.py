@@ -35,6 +35,7 @@ HEADLINE = [
     "t_minhash_lsh_dedup",
     "t_simhash_dedup",
     "t_ann_cosine_topk",
+    "t_embed_cosine_dedup_lsh",
     "t_text_quality",
     "t_token_count",
 ]

@@ -22,7 +22,12 @@ from faexport_db_spark.training.dedup import (
     word_shingles,
 )
 from faexport_db_spark.training.multimodal import documents_as_media, extract_features
-from faexport_db_spark.training.similarity import brute_force_topk, lsh_bucketed_topk
+from faexport_db_spark.training.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_lsh,
+    lsh_bucketed_topk,
+)
 from faexport_db_spark.training.text import (
     doc_fingerprint,
     lang_id,
@@ -282,3 +287,57 @@ def t_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     training/multimodal.py)."""
     media = documents_as_media(_docs(spark, sf_dir))
     return extract_features(media)
+
+
+def _planted_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ scaled copies (×2 per component — an exact fp
+    operation, cosine exactly 1.0) so true near-dup pairs exist."""
+    two = F.lit(2.0).cast("float")
+    mutated = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * two).cast("float")).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(mutated)
+
+
+_PLANTED_EMB_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings
+"""
+
+
+@register(
+    "t_embed_cosine_dedup",
+    oracle=f"""
+    WITH e AS ({_PLANTED_EMB_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                         s -> s[1]::DOUBLE * s[2]::DOUBLE), 'sum')
+          / (sqrt(list_aggregate(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+             * sqrt(list_aggregate(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+        6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+)
+def t_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.95) over the
+    corpus with planted scaled duplicates — the embedding-dedup
+    correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(_planted_embeddings(emb), threshold=0.95)
+
+
+@register("t_embed_cosine_dedup_lsh")  # seeded-hyperplane candidates → rows-only
+def t_embed_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH candidate buckets +
+    exact-cosine verify — the linear-scan scale path for embedding
+    dedup (unit tests assert it recovers the planted pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_lsh(_planted_embeddings(emb), threshold=0.95)

@@ -124,3 +124,71 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold) — the correctness baseline for embedding dedup.
+
+    All-pairs with one side broadcast: right for corpora that fit a
+    broadcast (dim tables, per-partition blocks); at 100 TB use
+    ``cosine_near_dup_pairs_lsh`` — same verify expression, candidates
+    from bucket joins instead of the quadratic product.
+    """
+    a = fan_out(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: hyperplane-LSH buckets
+    generate candidates (same bucket, or Hamming-1 via probe explode on
+    the left side), exact cosine verifies. Linear hash pass + equi-join
+    on bucket codes; the quadratic term is confined within buckets.
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    coded = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", _code_expr(F.col("vec"), planes))
+    bit_masks = F.array(*[F.lit(1 << i) for i in range(nbits)])
+    probes = F.array_union(
+        F.array(F.col("bucket")),
+        F.transform(bit_masks, lambda m: F.col("bucket").bitwiseXOR(m)),
+    )
+    left = coded.select(
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    right = coded.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,88 @@
+"""Plan-quality audits: scale properties asserted on the physical plan.
+
+These catch regressions that would only hurt at cluster scale —
+a filter that stops reaching the scan, a dim join that stops
+broadcasting, an extra shuffle — while running in milliseconds at
+sf0.001 (nothing executes; only the plan is inspected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.merge import merged_users
+from faexport_db_spark.plans import (
+    assert_plan,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from faexport_db_spark.queries import QUERIES
+
+
+def test_point_filter_pushes_to_scan(spark, sf_small):
+    """F1 shape: the compound-key predicate must reach the parquet
+    reader (the Spark analog of the reference's covering index,
+    schema/indexes.sql:10-11)."""
+    ev = load_table(spark, sf_small, "events")
+    q = ev.filter((F.col("user_id") == 7) & (F.col("event_type") == "click"))
+    assert_plan(q, requires_pushed_filter="user_id")
+    assert_plan(q, requires_pushed_filter="event_type")
+
+
+def test_projection_prunes_read_schema(spark, sf_small):
+    """F7: a 2-column projection must read 2 columns, not 16."""
+    li = load_table(spark, sf_small, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    assert_plan(q, max_read_columns=2)
+
+
+def test_fact_dim_join_broadcasts(spark, sf_small):
+    """J1 shape: dim side broadcasts; no sort-merge, no shuffle of the
+    fact side just to join a tiny dim."""
+    q = QUERIES["j1_fact_dim_left_join"](spark, sf_small)
+    assert_plan(q, require_join=("BroadcastHashJoin",), forbid_join=("SortMergeJoin",))
+
+
+def test_hash_search_chain_pushes_predicate_below_joins(spark, sf_small):
+    """J3: the search predicate must sit on a scan, not above the
+    3-join chain."""
+    q = QUERIES["j3_hash_search_chain"](spark, sf_small)
+    assert any(f for f in pushed_filters(q) if f), (
+        "hash-search predicate not pushed to any scan: " + str(pushed_filters(q))
+    )
+
+
+def test_merged_users_is_single_shuffle(spark, sf_small):
+    """The scalar merge family (M1-M5) is ONE aggregation pass: exactly
+    one shuffle on the entity key, and only the M5 JSON fold touches
+    Python."""
+    from tests.fixtures_faexport import user_snapshots as mk
+
+    merged = merged_users(mk(spark))
+    assert shuffle_count(merged) == 1
+    assert_plan(merged, max_python_evals=1)
+
+
+def test_merged_entity_flagship_plan(spark, sf_small):
+    """Flagship rollup: dims broadcast, no cartesian anywhere."""
+    q = QUERIES["merged_entity"](spark, sf_small)
+    strategies = join_strategies(q)
+    assert strategies["CartesianProduct"] == 0
+    assert strategies["BroadcastNestedLoopJoin"] == 0
+    assert strategies["BroadcastHashJoin"] >= 1
+
+
+def test_training_hot_paths_stay_jvm_side(spark, sf_small):
+    """Dedup/text operators are expression-only: no Python eval
+    operators anywhere in their plans (UDFs are the slow path)."""
+    for name in ("t_exact_dedup", "t_simhash_dedup", "t_token_count", "t_lang_id"):
+        assert_plan(QUERIES[name](spark, sf_small), max_python_evals=0)
+
+
+def test_exact_dedup_reads_only_needed_columns(spark, sf_small):
+    q = QUERIES["t_exact_dedup"](spark, sf_small)
+    schemas = read_schemas(q)
+    assert schemas and all(s.count(":") <= 2 for s in schemas), schemas

@@ -100,3 +100,21 @@ def test_multimodal_stub_and_plumbing(spark, sf_small):
     rows = feats.limit(5).collect()
     assert {c for c in feats.columns} == {"media_id", "n_bytes", "f0", "f1", "f2", "f3"}
     assert all(0.0 <= r["f0"] <= 1.0 and r["n_bytes"] > 0 for r in rows)
+
+
+def test_embed_cosine_dedup_lsh_recovers_planted_pairs(spark, sf_small):
+    from faexport_db_spark.queries.training_queries import _planted_embeddings
+    from faexport_db_spark.training.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    corpus = _planted_embeddings(load_table(spark, sf_small, "embeddings"))
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(corpus).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs_lsh(corpus).collect()}
+    n = corpus.count() // 2
+    planted = {(i, i + 1000000) for i in range(n)}
+    assert planted <= exact  # every scaled twin is an exact near-dup
+    assert approx <= exact  # LSH never invents a pair (verify is exact)
+    # identical vectors share every bucket: LSH recall on planted = 100%
+    assert planted <= approx
