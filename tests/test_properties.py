@@ -1,0 +1,213 @@
+"""Property-based tests (SURVEY.md §5 plan item 3).
+
+Split by cost: the pure-Python fold kernels get hundreds of hypothesis
+examples (no Spark); the Spark-level invariants (merge permutation
+insensitivity, maintenance idempotence) run a handful of examples.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from faexport_db_spark.operators.folds import (
+    _fold_entity_rows,
+    _fold_json_history,
+)
+
+# --- pure kernels ---------------------------------------------------------
+
+json_values = st.recursive(
+    st.none() | st.booleans() | st.integers(-9999, 9999) | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=3)
+    | st.dictionaries(st.text(max_size=4), children, max_size=3),
+    max_leaves=6,
+)
+json_docs = st.dictionaries(st.sampled_from("abcdef"), json_values, max_size=4)
+
+
+@given(st.lists(json_docs, max_size=6))
+@settings(max_examples=200)
+def test_json_fold_is_per_key_last_wins(history):
+    """M5 invariant: every output key's value comes from the LAST doc
+    in history containing that key (db.py:10-17 overlay-wins fold)."""
+    out = json.loads(_fold_json_history([json.dumps(d) for d in history], True))
+    expected = {}
+    for doc in history:
+        expected.update(doc)
+    assert out == expected
+
+
+@given(st.lists(json_docs | st.none(), max_size=6))
+@settings(max_examples=100)
+def test_json_fold_none_entries_are_transparent(history):
+    """Null extra_data snapshots neither contribute nor reset keys."""
+    folded = _fold_json_history(
+        [None if d is None else json.dumps(d) for d in history], True
+    )
+    dense = _fold_json_history([json.dumps(d) for d in history if d is not None], True)
+    assert folded == dense
+
+
+file_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["f1", "f2", None]),  # site_file_id
+        st.sampled_from(["u1", "u2", None]),  # file_url
+        st.sampled_from([1, 2, None]),  # file_size
+        st.sampled_from([None, '{"k":1}', '{"k":2}']),  # extra_data
+        st.lists(  # hashes (algo_id, b64)
+            st.tuples(st.sampled_from([1, 2]), st.sampled_from(["aa==", "bb=="])),
+            max_size=2,
+            unique_by=lambda h: h[0],
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _mk_pdf(rows):
+    return pd.DataFrame(
+        [
+            {
+                "website_id": "fa",
+                "site_submission_id": "s1",
+                "scan_datetime": datetime(2024, 1, 1) + timedelta(days=i),
+                "submission_snapshot_id": i,
+                "file_id": i,
+                "site_file_id": fid,
+                "file_url": url,
+                "file_size": size,
+                "extra_data": extra,
+                "hashes_json": json.dumps(
+                    [{"algo_id": a, "hash_b64": b} for a, b in hashes]
+                ),
+            }
+            for i, (fid, url, size, extra, hashes) in enumerate(rows)
+        ]
+    )
+
+
+@given(file_rows)
+@settings(max_examples=200)
+def test_file_fold_invariants(rows):
+    """M7 invariants that hold for EVERY history (models/file.py:50-72):
+    one output per site_file_id; url/size, once recorded, stay non-null
+    (clash replaces, never erases); every output hash was observed for
+    that site_file_id; the newest row's hashes always survive."""
+    pdf = _mk_pdf(rows)
+    out = _fold_entity_rows(pdf)
+    by_key = {}
+    for f in out:
+        assert f["site_file_id"] not in by_key  # unique per site_file_id
+        by_key[f["site_file_id"]] = f
+
+    seen_urls: dict = {}
+    seen_hashes: dict = {}
+    for fid, url, size, extra, hashes in rows:
+        seen_urls.setdefault(fid, set()).add(url)
+        seen_hashes.setdefault(fid, set()).update(hashes)
+    assert set(by_key) == set(seen_urls)
+
+    for fid, f in by_key.items():
+        if any(u is not None for u in seen_urls[fid]):
+            # some snapshot recorded a url; the merged file keeps one of them
+            assert f["file_url"] in seen_urls[fid]
+        out_hashes = {(h["algo_id"], h["hash_b64"]) for h in json.loads(f["hashes"])}
+        assert out_hashes <= seen_hashes[fid]
+
+    # the newest row's own hashes are always present (union or reset)
+    last = rows[-1]
+    last_out = by_key[last[0]]
+    last_hashes = {(a, b) for a, b in last[4]}
+    got = {(h["algo_id"], h["hash_b64"]) for h in json.loads(last_out["hashes"])}
+    assert last_hashes <= got
+
+
+@given(file_rows)
+@settings(max_examples=100)
+def test_file_fold_single_row_identity(rows):
+    """Folding a single snapshot's files returns them unchanged."""
+    pdf = _mk_pdf(rows[:1])
+    (f,) = _fold_entity_rows(pdf)
+    fid, url, size, extra, hashes = rows[0]
+    assert f["site_file_id"] == fid and f["file_url"] == url
+    assert {(h["algo_id"], h["hash_b64"]) for h in json.loads(f["hashes"])} == set(hashes)
+
+
+# --- Spark-level invariants (few, slow examples) --------------------------
+
+user_rows = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # site_user_id pool
+        st.integers(0, 4),  # scan day offset
+        st.booleans(),  # is_deleted
+        st.sampled_from([None, "A", "B"]),  # display_name
+        st.sampled_from([None, '{"x":1}', '{"x":2,"y":3}']),  # extra_data
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(user_rows, st.randoms())
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merged_users_permutation_insensitive(spark, rows, rnd):
+    """The merged view is a pure function of the snapshot SET
+    (surrogate ids included — they are the documented tie-break for
+    equal scan_datetimes, merge.py): permuting physical row order
+    changes nothing. Reassigning ids in arrival order CAN legitimately
+    change tie-broken fields — hypothesis found that case, matching the
+    reference's own storage-order-dependence (models/submission.py:27-29)."""
+    from faexport_db_spark.datamodel.schemas import USER_SNAPSHOTS
+    from faexport_db_spark.operators.merge import merged_users
+
+    data = [
+        (i, "fa", f"u{uid}", datetime(2024, 1, 1 + day), 1,
+         datetime(2024, 2, 1), deleted, name, extra)
+        for i, (uid, day, deleted, name, extra) in enumerate(rows)
+    ]
+
+    def build(seq):
+        df = spark.createDataFrame(seq, USER_SNAPSHOTS)
+        return {
+            r["site_user_id"]: (
+                r["snapshot_count"], r["first_scanned"], r["latest_update"],
+                r["is_deleted"], r["display_name"], r["extra_data"],
+            )
+            for r in merged_users(df).collect()
+        }
+
+    shuffled = list(data)
+    rnd.shuffle(shuffled)
+    assert build(data) == build(shuffled)
+
+
+@given(user_rows)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_reingest_plus_dedup_equals_single_ingest(spark, rows):
+    """SURVEY §2.10 delivery contract: append-again + W4 dedup ≡ one
+    ingest. Doubled snapshot rows (fresh ids, same dedup key) collapse
+    to the single-ingest result."""
+    from faexport_db_spark.datamodel.schemas import USER_SNAPSHOTS
+    from faexport_db_spark.maintenance.dedup import USER_DEDUP_KEYS, dedup_keep_one
+
+    def mk(offset):
+        return [
+            (offset + i, "fa", f"u{uid}", datetime(2024, 1, 1 + day), 1,
+             datetime(2024, 2, 1), deleted, name, extra)
+            for i, (uid, day, deleted, name, extra) in enumerate(rows)
+        ]
+
+    once = spark.createDataFrame(mk(0), USER_SNAPSHOTS)
+    twice = once.unionByName(spark.createDataFrame(mk(1000), USER_SNAPSHOTS))
+    key_cols = [c for c in USER_SNAPSHOTS.fieldNames() if c != "user_snapshot_id"]
+    deduped_once = dedup_keep_one(once, USER_DEDUP_KEYS, "user_snapshot_id", keep="lowest")
+    deduped_twice = dedup_keep_one(twice, USER_DEDUP_KEYS, "user_snapshot_id", keep="lowest")
+    assert sorted(map(tuple, deduped_once.select(*key_cols).collect())) == sorted(
+        map(tuple, deduped_twice.select(*key_cols).collect())
+    )
