@@ -112,3 +112,70 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, media_bytes binary, media_type string, "
+    "width int, height int"
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int,
+    id_col: str = "media_id", bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Resize plumbing via mapInPandas — map-only, no shuffle; the
+    pixel work is stubbed (decode_media is the real codec seam) with a
+    deterministic payload transform sized to width×height so byte-size
+    assertions are meaningful end-to-end."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media_bytes": pdf[bytes_col].apply(
+                        lambda b: (bytes(b) * (target // max(len(b), 1) + 1))[:target]
+                        if b is not None
+                        else None
+                    ),
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4,
+    id_col: str = "media_id", bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Frame sampling plumbing (video → N evenly-spaced frames): a
+    flat-map — each input row yields up to ``n_frames`` rows — done in
+    mapInPandas so one Python call handles a whole Arrow batch. The
+    decoder is stubbed: 'frames' are evenly-spaced payload slices."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                step = max(len(payload) // n_frames, 1)
+                for i in range(min(n_frames, len(payload))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * step : i * step + step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return media.mapInPandas(batches, FRAMES_SCHEMA)

@@ -171,3 +171,51 @@ def test_push_ingest_appends_with_consistent_ids(spark, store):
         .collect()
     )
     assert all(r[0] > old_max for r in new_ids)
+
+
+def test_snapshot_dump_jsonl(spark, store, tmp_path):
+    from faexport_db_spark.serve.export import dump_snapshots
+
+    out = str(tmp_path / "snap_dump")
+    dump_snapshots(store, out)
+    back = spark.read.json(out)
+    assert back.count() == store["submission_snapshots"].count()
+    row = back.filter(F.col("submission_snapshot_id") == 1).first()
+    assert row["cache_data"]["archive_contributor"]["name"] == "scraper-one"
+    assert [k["keyword"] for k in row["submission_data"]["keywords"]] == ["cat", "dog"]
+    assert row["submission_data"]["files"][0]["file_hashes"][0]["hash_value"] == fx.b64(b"\x01\x01")
+    # keywords_recorded=False dumps null keywords, not []
+    row3 = back.filter(F.col("submission_snapshot_id") == 3).first()
+    assert row3["submission_data"]["keywords"] is None
+
+
+def test_merged_dump_jsonl(spark, store, tmp_path):
+    from faexport_db_spark.serve.export import dump_merged_submissions
+
+    out = str(tmp_path / "merged_dump")
+    dump_merged_submissions(store, out)
+    back = spark.read.json(out)
+    assert back.count() == 3  # fa/101, fa/102, e621/201
+    row = back.filter(F.col("site_submission_id") == "101").first()
+    assert row["cache_data"]["snapshot_count"] == 3
+    assert row["submission_data"]["title"] == "Old Title"
+
+
+def test_multimodal_resize_and_frames(spark, sf_small):
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.training.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(load_table(spark, sf_small, "documents")).limit(20)
+    resized = resize_media(media, 8, 4)
+    rows = resized.collect()
+    assert all(len(r["media_bytes"]) == 32 for r in rows)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows)
+
+    frames = sample_frames(media, n_frames=4)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert per_media and all(r["count"] <= 4 for r in per_media)
+    assert frames.filter(F.col("frame_bytes").isNull()).count() == 0
