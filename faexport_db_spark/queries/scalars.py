@@ -95,9 +95,23 @@ def c4_split_lines_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c5_username_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5/C6 — username canonicalization. Reference: fuzzysearch/user_lookup.py:135,225."""
+    """C5 — lowercase + charset-strip username guess. Reference: fuzzysearch/user_lookup.py:135."""
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey", FX.canonical_username("c_name").alias("canon")
+    )
+
+
+@register(
+    "c6_underscore_strip",
+    oracle="""
+    SELECT c_custkey, replace(c_name, '_', '') AS fa_canon FROM customer
+    """,
+)
+def c6_underscore_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — FA-specific underscore removal (usernames compare with
+    ``_`` stripped). Reference: fuzzysearch/user_lookup.py:225."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.regexp_replace("c_name", "_", "").alias("fa_canon")
     )
 
 
