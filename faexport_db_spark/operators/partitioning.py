@@ -23,3 +23,71 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys (e.g. ``website_id``
+    — FurAffinity dominates the reference's data, SURVEY §4).
+
+    Phase 1 groups by (keys + random salt) so one hot key spreads over
+    ``salt_buckets`` reducers; phase 2 re-aggregates the per-salt
+    partials. ``aggs`` maps output column → (phase1_fn, phase2_fn),
+    e.g. ``{"n": ("count", "sum"), "mx": ("max", "max")}`` — the
+    phase-2 fn must combine phase-1 partials (count→sum, sum→sum,
+    min→min, max→max).
+
+    With AQE skew handling on, Spark often rescues skewed SORTS and
+    JOINS on its own; a skewed AGGREGATION's map-side combine usually
+    suffices too — this helper is for the residual case (few distinct
+    keys × heavy reduce-side state), and for engines/pipelines where
+    AQE is off.
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[getattr(F, p1)(F.col(src) if src != "*" else F.lit(1)).alias(out)
+          for out, (p1, _p2, src) in _normalize_aggs(aggs).items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[getattr(F, p2)(out).alias(out)
+          for out, (_p1, p2, _src) in _normalize_aggs(aggs).items()]
+    )
+
+
+def _normalize_aggs(aggs: dict) -> dict:
+    """Accept {out: (p1, p2)} (src defaults to out) or {out: (p1, p2, src)}."""
+    norm = {}
+    for out, spec in aggs.items():
+        if len(spec) == 2:
+            norm[out] = (spec[0], spec[1], out)
+        else:
+            norm[out] = spec
+    return norm
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed on its join key so co-bucketed joins
+    skip both shuffles (the Spark analog of the reference's composite
+    covering indexes, schema/indexes.sql:10-11). Both sides of a
+    co-located join must share bucket count and key. ``path`` makes it
+    an external table (bucketing requires the table catalog either way)."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

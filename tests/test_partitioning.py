@@ -1,0 +1,85 @@
+"""Scale-mechanics tests: salting for skewed keys, bucketing for
+co-located joins — asserted on results AND on the physical plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.partitioning import fan_out, salted_agg, write_bucketed
+from faexport_db_spark.plans.audit import shuffle_count
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_small):
+    """Two-phase salted aggregation is result-identical to the direct
+    groupBy for decomposable aggregates."""
+    ev = load_table(spark, sf_small, "events")
+    plain = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", "sum", "value"), "mx": ("max", "max", "value")},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_spreads_hot_key(spark, sf_small):
+    """The phase-1 grouping key includes the salt: a single hot key
+    occupies up to salt_buckets reduce groups instead of one."""
+    hot = spark.range(10000).select(
+        F.lit("fa").alias("website_id"), F.col("id").alias("v")
+    )
+    out = salted_agg(hot, ["website_id"], {"n": ("count", "sum", "v")}, salt_buckets=8)
+    assert out.collect()[0]["n"] == 10000
+    # phase 1 must partition on (key, salt): the hot key fans out
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\([^)]*__salt", plan), plan
+
+
+def test_bucketed_join_skips_both_shuffles(spark, sf_small, tmp_path):
+    """Co-bucketed fact/fact join (J5 child-attach shape at scale):
+    bucketing both sides on the join key removes every exchange from
+    the join plan — the scan itself delivers the co-partitioning."""
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem")
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderstatus"), "b_orders", ["o_orderkey"], 8,
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        path=str(tmp_path / "b_lineitem"),
+    )
+    left = spark.table("b_orders")
+    right = spark.table("b_lineitem")
+    joined = left.join(right, "o_orderkey").hint("merge")
+    assert shuffle_count(joined) == 0, "bucketed join must not shuffle"
+    # and it still computes the right thing
+    expected = orders.join(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "o_orderkey",
+    ).count()
+    assert joined.count() == expected
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_fan_out_widens_narrow_input_only(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    widened = fan_out(docs)
+    target = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == target
+    assert fan_out(widened).rdd.getNumPartitions() == target  # idempotent
