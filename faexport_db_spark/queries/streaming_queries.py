@@ -32,3 +32,45 @@ def st_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(
         load_table(spark, sf_dir, "events"), window="1 hour", watermark=None
     )
+
+
+@register(
+    "st_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) — Spark's
+    ``session_window`` in batch mode; under streaming the same
+    expression runs with a watermark and merging session state. The
+    oracle derives identical sessions via gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
