@@ -150,3 +150,47 @@ def test_window_counts_oracle_parity(spark, sf_dir):
 
     df = QUERIES["st_event_window_counts"](spark, sf_dir)
     assert_oracle_match(df, ORACLES["st_event_window_counts"], sf_dir, name="st_event_window_counts")
+
+
+def test_first_seen_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a key emitted in batch 1 is suppressed in
+    batch 2; new keys still emit (reference analog: fa_indexer's
+    seen_usernames set, SURVEY §2.10 stateful ops)."""
+    from faexport_db_spark.streaming import first_seen
+
+    src = tmp_path / "seen_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "seen_ckpt")
+    (src / "b1.jsonl").write_text(
+        '{"key":"u1","value":"first-u1"}\n{"key":"u2","value":"first-u2"}\n'
+        '{"key":"u1","value":"dup-in-batch"}\n'
+    )
+    schema = "key string, value string"
+
+    def drain(qname):
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = first_seen(stream)
+        emitted = []
+
+        def collect(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["key"]: r for r in emitted}
+
+    got1 = drain("seen1")
+    assert set(got1) == {"u1", "u2"}
+    assert got1["u1"]["first_value"] == "first-u1"
+    assert got1["u1"]["batch_rows"] == 2  # both batch-1 rows counted
+
+    (src / "b2.jsonl").write_text(
+        '{"key":"u1","value":"late-dup"}\n{"key":"u3","value":"first-u3"}\n'
+    )
+    got2 = drain("seen2")
+    assert set(got2) == {"u3"}  # u1 suppressed by persisted state
+    assert got2["u3"]["first_value"] == "first-u3"
