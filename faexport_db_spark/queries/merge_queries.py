@@ -34,7 +34,11 @@ ISO = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    from faexport_db_spark.operators.partitioning import fan_out
+
+    # The fixture table is one parquet file → one scan task; fan_out
+    # spreads the map side across cores (no-op on many-split inputs).
+    return fan_out(load_table(spark, sf_dir, "events"))
 
 
 @register(

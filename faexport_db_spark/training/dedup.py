@@ -107,7 +107,10 @@ def minhash_dedup_pairs(
         F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias("band_idx", "band_hash"),
     )
     left = banded.alias("l")
-    right = banded.alias("r")
+    # Pin the build side: the banded frame is per-doc-small (bands x id),
+    # and leaving the choice to estimated stats makes the strategy (and
+    # runtime) flap between BHJ and SMJ run to run.
+    right = F.broadcast(banded.alias("r"))
     candidates = (
         left.join(
             right,
@@ -201,7 +204,10 @@ def simhash_dedup_pairs(
         F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val"),
     )
     left = banded.alias("l")
-    right = banded.alias("r")
+    # Pin the build side: the banded frame is per-doc-small (bands x id),
+    # and leaving the choice to estimated stats makes the strategy (and
+    # runtime) flap between BHJ and SMJ run to run.
+    right = F.broadcast(banded.alias("r"))
     candidates = (
         left.join(
             right,
