@@ -248,3 +248,36 @@ def k4_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem.join(doomed, "l_orderkey", "left_anti").select(
         "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "v1_validation_report",
+    oracle="""
+    SELECT 'quantity_out_of_range' AS rule,
+           CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'negative_price', CAST(count(*) FILTER (l_extendedprice < 0) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'bad_flag', CAST(count(*) FILTER (l_returnflag NOT IN ('A','N','R')) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'null_shipdate', CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) FROM lineitem
+    """,
+)
+def v1_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation mode as one aggregation pass (ingest/base.py
+    ``validation_report``): the reference asserts per row and dies on
+    the first violation (ingestion_job.py:117-122, e621 rules
+    main.py:99-123); the engine counts every rule in one job."""
+    from faexport_db_spark.ingest.base import validation_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return validation_report(
+        li,
+        {
+            "quantity_out_of_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "negative_price": F.col("l_extendedprice") < 0,
+            "bad_flag": ~F.col("l_returnflag").isin("A", "N", "R"),
+            "null_shipdate": F.col("l_shipdate").isNull(),
+        },
+    )
