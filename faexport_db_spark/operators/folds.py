@@ -83,8 +83,10 @@ def _none_if_nan(value):
 
 def _row_file(row) -> dict:
     hashes = {}
-    if row.hashes_json:
-        for h in json.loads(row.hashes_json):
+    if row.hashes_list is not None:
+        # Arrow delivers list<struct> as a sequence of dicts — no JSON
+        # round-trip per row.
+        for h in row.hashes_list:
             hashes[int(h["algo_id"])] = h["hash_b64"]
     extra = None
     if row.extra_data:
@@ -226,20 +228,21 @@ def merged_files(
     """
     if file_hashes is not None:
         hashes_nested = file_hashes.groupBy("file_id").agg(
-            F.to_json(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("algo_id"),
-                            F.base64(F.col("hash_value")).alias("hash_b64"),
-                        )
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("algo_id"),
+                        F.base64(F.col("hash_value")).alias("hash_b64"),
                     )
                 )
-            ).alias("hashes_json")
+            ).alias("hashes_list")
         )
         files = files.join(hashes_nested, "file_id", "left")
     else:
-        files = files.withColumn("hashes_json", F.lit(None).cast("string"))
+        files = files.withColumn(
+            "hashes_list",
+            F.lit(None).cast("array<struct<algo_id:bigint,hash_b64:string>>"),
+        )
 
     keyed = files.join(
         submission_snapshots.select(

@@ -83,9 +83,7 @@ def _mk_pdf(rows):
                 "file_url": url,
                 "file_size": size,
                 "extra_data": extra,
-                "hashes_json": json.dumps(
-                    [{"algo_id": a, "hash_b64": b} for a, b in hashes]
-                ),
+                "hashes_list": [{"algo_id": a, "hash_b64": b} for a, b in hashes],
             }
             for i, (fid, url, size, extra, hashes) in enumerate(rows)
         ]
