@@ -38,6 +38,13 @@ ARCHIVE_CONTRIBUTORS = _struct(
     ("api_key", T.StringType(), True),
 )
 
+# reference: faexport_db/schema/faexport_db.sql:116-124 (seeded with
+# the schema-version row: setting_id='version', value '0.2.1')
+SETTINGS = _struct(
+    ("setting_id", T.StringType(), False),
+    ("setting_value", T.StringType(), True),
+)
+
 # reference: faexport_db/schema/faexport_db.sql:94-104
 HASH_ALGOS = _struct(
     ("algo_id", T.LongType(), False),
@@ -105,6 +112,7 @@ FAEXPORT_SCHEMAS: dict[str, T.StructType] = {
     "websites": WEBSITES,
     "archive_contributors": ARCHIVE_CONTRIBUTORS,
     "hash_algos": HASH_ALGOS,
+    "settings": SETTINGS,
     "user_snapshots": USER_SNAPSHOTS,
     "submission_snapshots": SUBMISSION_SNAPSHOTS,
     "submission_snapshot_keywords": KEYWORDS,

@@ -448,20 +448,45 @@ def search_hash(tables: Tables, algo_id: int, hash_value: bytes) -> list[dict]:
 
 
 def push_ingest(
-    tables: Tables, payloads: DataFrame, contributor_id: int
+    tables: Tables,
+    payloads: DataFrame,
+    contributor_id: int,
+    format: str = "faexport_submission",
 ) -> dict[str, DataFrame]:
-    """POST /api/ingest/faexport_submission (web.py:156-169): payload
-    rows (``payload`` string column of FAExport JSON) → snapshot trees
-    appended to the store. Returns the updated store tables; ids are
-    minted, never round-tripped (SURVEY §7.3)."""
+    """POST /api/ingest/<format> (web.py:156-169, format registry
+    web.py:20-35): payload rows (``payload`` string column) → snapshots
+    appended to the store. Formats mirror the reference's converter:
+    ``submission``/``user`` (snapshot-shaped passthrough,
+    ingest_formats/base.py:33-48) and ``faexport_submission`` (FAExport
+    API shape). Returns the updated store tables; ids are minted, never
+    round-tripped (SURVEY §7.3)."""
+    from faexport_db_spark.ingest import simple
     from faexport_db_spark.ingest.base import explode_to_store
     from faexport_db_spark.ingest.faexport_api import (
         parse_submission_payloads,
         submission_snapshots,
     )
 
-    parsed = parse_submission_payloads(payloads)
-    nested = submission_snapshots(parsed, contributor_id)
+    if format == "user":
+        rows = simple.user_snapshots(payloads, contributor_id)
+        existing = tables.get("user_snapshots")
+        offset = 0
+        if existing is not None:
+            offset = (existing.agg(F.max("user_snapshot_id")).first()[0] or 0) + 1
+        with_ids = rows.select(
+            (F.monotonically_increasing_id() + offset).alias("user_snapshot_id"), "*"
+        )
+        out = dict(tables)
+        out["user_snapshots"] = (
+            with_ids if existing is None else existing.unionByName(with_ids)
+        )
+        return out
+    if format == "submission":
+        nested = simple.submission_snapshots(payloads, contributor_id)
+    elif format == "faexport_submission":
+        nested = submission_snapshots(parse_submission_payloads(payloads), contributor_id)
+    else:
+        raise ValueError(f"unknown ingest format {format!r}")
     new = explode_to_store(nested)
 
     # Freshly minted ids restart at 0 per batch; shift them past the

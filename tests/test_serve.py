@@ -219,3 +219,72 @@ def test_multimodal_resize_and_frames(spark, sf_small):
     per_media = frames.groupBy("media_id").count().collect()
     assert per_media and all(r["count"] <= 4 for r in per_media)
     assert frames.filter(F.col("frame_bytes").isNull()).count() == 0
+
+
+def test_push_ingest_simple_submission_format(spark, store):
+    payload = json.dumps(
+        {
+            "website_id": "weasyl",
+            "site_submission_id": "W77",
+            "scan_datetime": "2024-04-01T00:00:00",
+            "title": "simple push",
+            "is_deleted": False,
+            "ordered_keywords": ["one", "two"],
+            "extra_data": {"nested": {"deep": [1, 2]}},
+            "files": [
+                {
+                    "site_file_id": "main",
+                    "file_url": "http://w/a.png",
+                    "file_size": 5,
+                    "extra_data": {"ext": "png"},
+                    "file_hashes": [{"algo_id": 1, "hash_value": fx.b64(b"\x42\x42")}],
+                }
+            ],
+        }
+    )
+    out = serve.push_ingest(
+        store, spark.createDataFrame([(payload,)], "payload string"),
+        contributor_id=2, format="submission",
+    )
+    data = serve.view_submission(out, "weasyl", "W77")
+    assert data["submission_data"]["title"] == "simple push"
+    assert [k["keyword"] for k in data["submission_data"]["keywords"]] == ["one", "two"]
+    assert [k["ordinal"] for k in data["submission_data"]["keywords"]] == [0, 1]
+    # top-level extra_data keeps nested JSON fidelity
+    assert data["submission_data"]["extra_data"] == {"nested": {"deep": [1, 2]}}
+    [f] = data["submission_data"]["files"]
+    assert f["file_hashes"][0]["hash_value"] == fx.b64(b"\x42\x42")
+    assert f["extra_data"] == {"ext": "png"}
+
+
+def test_push_ingest_simple_user_format(spark, store):
+    payload = json.dumps(
+        {
+            "website_id": "weasyl",
+            "site_user_id": "newbie",
+            "scan_datetime": "2024-04-01T00:00:00",
+            "display_name": "New Bee",
+            "extra_data": {"fave_count": 3},
+        }
+    )
+    out = serve.push_ingest(
+        store, spark.createDataFrame([(payload,)], "payload string"),
+        contributor_id=1, format="user",
+    )
+    data = serve.view_user(out, "weasyl", "newbie")
+    assert data["user_data"]["display_name"] == "New Bee"
+    assert data["user_data"]["extra_data"] == {"fave_count": 3}
+    # existing users untouched, ids unique
+    assert serve.view_user(out, "fa", "u1")["user_data"]["display_name"] == "Name1"
+    ids = out["user_snapshots"].select("user_snapshot_id").collect()
+    assert len({r[0] for r in ids}) == len(ids)
+
+
+def test_push_ingest_unknown_format_rejected(spark, store):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        serve.push_ingest(
+            store, spark.createDataFrame([("{}",)], "payload string"),
+            contributor_id=1, format="nope",
+        )
