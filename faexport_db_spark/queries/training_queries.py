@@ -341,3 +341,16 @@ def t_embed_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (unit tests assert it recovers the planted pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs_lsh(_planted_embeddings(emb), threshold=0.95)
+
+
+@register("t_ann_ivf")  # k-means cells + nprobe search → rows-only
+def t_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (cosine
+    assignment), queries probe their 2 nearest cells — the
+    partition-prunable scale path alongside the LSH variant."""
+    from faexport_db_spark.training.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2, iters=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

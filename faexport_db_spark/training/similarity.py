@@ -192,3 +192,113 @@ def cosine_near_dup_pairs_lsh(
         cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax cosine over a literal centroid set (scale-invariant, so
+    IVF assignment is stable under embedding renormalization)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine_expr(vec, F.lit(c).cast("array<double>"))).alias("neg_cos"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["cid"]
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means with cosine assignment, deterministic seeding
+    (lowest xxhash64(id) rows). Centroids are tiny (n_centroids × dim)
+    and round-trip through the driver each iteration — the standard
+    Spark k-means shape: assignment is a map-only pass over the corpus,
+    the update is one groupBy; only the centroid table ever collects.
+    """
+    seeds = (
+        fan_out(corpus)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    assigned = None
+    for _ in range(iters):
+        assigned = fan_out(corpus).select(
+            _as_double(F.col(vec_col)).alias("v"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [comp[p] for p in sorted(comp)] if (comp := by_cid.get(i)) else centroids[i]
+            for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells
+    (one linear assignment pass), queries probe their ``nprobe``
+    nearest cells — an equi-join on cell id, exact cosine inside.
+
+    At 100 TB the assigned corpus is written once partitioned by
+    ``cid`` (partition pruning turns a probe into a ~1/n_centroids
+    scan); here the assignment stays inline.
+    """
+    centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cells = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    probe_scored = F.array(
+        *[
+            F.struct(
+                (-cosine_expr(F.col("q_vec"), F.lit(c).cast("array<double>"))).alias("neg_cos"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(probe_scored), 1, nprobe), lambda s: s["cid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cid", F.explode(probes))
+    scored = (
+        cells.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

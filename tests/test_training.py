@@ -118,3 +118,22 @@ def test_embed_cosine_dedup_lsh_recovers_planted_pairs(spark, sf_small):
     assert approx <= exact  # LSH never invents a pair (verify is exact)
     # identical vectors share every bucket: LSH recall on planted = 100%
     assert planted <= approx
+
+
+def test_ivf_topk_finds_planted_twins(spark, sf_small):
+    from faexport_db_spark.training.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(twins)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = {r["query_id"]: r["neighbor_id"] for r in ivf_topk(corpus, queries, k=1, n_centroids=4, nprobe=2, iters=2).collect()}
+    exact = {r["query_id"]: r["neighbor_id"] for r in brute_force_topk(corpus, queries, k=1).collect()}
+    for qid in range(5):
+        # a scaled twin has cosine 1.0 and lands in the SAME cell as its
+        # original (cosine assignment is scale-invariant) → always found
+        assert ivf[qid] == exact[qid] == qid + 1000000
