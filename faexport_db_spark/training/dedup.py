@@ -3,15 +3,18 @@
 Scale design notes:
 - Exact dedup: hash-groupBy on a content digest — one shuffle keyed by
   the digest (uniform), keep-lowest-id tiebreak.
-- MinHash+LSH: shingle explode → per-doc signature (num_perm min-aggs,
-  map-side combined) → band buckets → candidate pairs only within a
-  bucket (never all-pairs) → exact-Jaccard verification of candidates.
-  At 100 TB the only quadratic term is within-bucket, bounded by band
-  tuning; everything else is linear shuffles on uniform keys.
-- SimHash: 64-bit signature from token hashes; Hamming-≤k candidate
+- MinHash+LSH: shingle explode → one xxhash64 per shingle → per-doc
+  signature (num_perm min-aggs over reseeded rehashes of that one
+  long, map-side combined) → band buckets via groupBy → candidate
+  pairs expanded *within* each bucket (never all-pairs, never a
+  corpus-wide self-join or broadcast) → exact-Jaccard verification in
+  a single corpus scan. At 100 TB every shuffle is linear on uniform
+  keys; the only quadratic term is within-bucket, bounded by band
+  tuning plus the ``max_bucket`` stop-bucket guard.
+- SimHash: 60-bit signature from token hashes; Hamming-≤k candidate
   generation by the pigeonhole band trick (split signature into k+1
-  chunks; any pair within distance k shares an exact chunk), verified
-  with bit_count(xor).
+  chunks; any pair within distance k shares an exact chunk), same
+  bucket-groupBy expansion, verified with bit_count(xor).
 
 All hashing is xxhash64 with fixed seeds — deterministic across runs
 and executors, no Python in the hot path.
@@ -65,15 +68,24 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(shingle,
-    seed_i) for each of ``num_perm`` seeded permutations. One explode +
-    one groupBy; the min-aggs combine map-side. ``fan_out`` spreads
-    narrow inputs over every core — the hashing is the hot loop."""
-    exploded = fan_out(docs).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    """Per-doc MinHash signature. Each shingle string is hashed ONCE
+    (``xxhash64``); the ``num_perm`` permutations are derived by
+    rehashing that fixed-width long with a per-permutation seed column
+    — 64 long-hashes per row instead of 64 string-hashes, the hot loop
+    of the whole pipeline. One explode + one groupBy; the min-aggs
+    combine map-side, so the shuffle carries one partial signature per
+    (doc × map partition). ``fan_out`` spreads narrow inputs over
+    every core."""
+    exploded = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -87,6 +99,41 @@ def _band_hashes(num_perm: int, bands: int) -> list[Column]:
     ]
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    member: Column,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Expand ordered member pairs within each LSH bucket.
+
+    groupBy the bucket key, collect the (sorted) members, then a
+    two-stage explode — posexplode picks the left member, a
+    slice-explode pairs it with every later member — so no row ever
+    materializes a bucket² pair array, only the bucket's own member
+    list. This replaces a corpus-wide banded self-join: the signature
+    plan is computed ONCE and nothing corpus-sized is broadcast, which
+    is what makes the shape viable at 100 TB. ``max_bucket`` drops
+    degenerate over-common buckets (the LSH analog of stop words) —
+    a bucket shared by millions of near-identical docs would otherwise
+    reintroduce the quadratic term LSH exists to avoid.
+    """
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(member)).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    lefts = buckets.select(
+        F.col("members"), F.posexplode("members").alias("i", "ma")
+    )
+    return lefts.select(
+        F.col("ma"),
+        F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("mb"),
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -95,6 +142,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified with exact
     shingle Jaccard ≥ threshold.
@@ -106,19 +154,9 @@ def minhash_dedup_pairs(
         F.col(id_col),
         F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias("band_idx", "band_hash"),
     )
-    left = banded.alias("l")
-    # Pin the build side: the banded frame is per-doc-small (bands x id),
-    # and leaving the choice to estimated stats makes the strategy (and
-    # runtime) flap between BHJ and SMJ run to run.
-    right = F.broadcast(banded.alias("r"))
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        _bucket_pairs(banded, ["band_idx", "band_hash"], F.col(id_col), max_bucket)
+        .select(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
         .distinct()
     )
     return _verify_jaccard(docs, candidates, text_col, id_col, shingle_n, threshold)
@@ -132,20 +170,30 @@ def _verify_jaccard(
     shingle_n: int,
     threshold: float,
 ) -> DataFrame:
-    # The candidate set is orders of magnitude smaller than the corpus:
-    # broadcast IT (both hops), so the shingled corpus streams through
-    # two broadcast hash joins without being shuffled — and without the
-    # optimizer electing to broadcast the (bigger) shingle side.
-    shingled = fan_out(docs).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    # The candidate set is orders of magnitude smaller than the corpus,
+    # so the corpus is scanned exactly ONCE: a broadcast semi-join
+    # keeps only candidate docs (shingles are computed post-filter, and
+    # only for those), then each doc row fans out to the broadcast
+    # pair-membership list and one small groupBy reunites the two
+    # shingle arrays per pair. No corpus-sized shuffle or broadcast.
+    member = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
     )
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = F.broadcast(F.broadcast(pairs).join(a, "id_a")).join(b, "id_b")
+    cand_ids = member.select(F.col("mid").alias(id_col)).distinct()
+    shingled = (
+        fan_out(docs)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    )
+    joined = shingled.join(F.broadcast(member), F.col(id_col) == F.col("mid"))
+    per_pair = joined.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("mid") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
+        F.max(F.when(F.col("mid") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
+        per_pair.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -180,13 +228,18 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation via pigeonhole banding: split the signature
     into (max_hamming + 1) chunks; any pair within the distance budget
-    must agree exactly on ≥1 chunk, so a per-chunk equi-self-join finds
-    every true pair without an all-pairs comparison.
+    must agree exactly on ≥1 chunk, so per-chunk bucket expansion
+    (``_bucket_pairs`` — signature plan computed once, no corpus-wide
+    self-join/broadcast) finds every true pair without an all-pairs
+    comparison. The signature travels inside the member struct, so
+    verification is a pure expression — the Hamming filter runs BEFORE
+    the cross-band distinct, shrinking the dedup shuffle to true pairs.
     """
     sigs = simhash_signatures(docs, text_col, id_col)
     chunks = max_hamming + 1
@@ -203,29 +256,15 @@ def simhash_dedup_pairs(
         F.col("simhash"),
         F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val"),
     )
-    left = banded.alias("l")
-    # Pin the build side: the banded frame is per-doc-small (bands x id),
-    # and leaving the choice to estimated stats makes the strategy (and
-    # runtime) flap between BHJ and SMJ run to run.
-    right = F.broadcast(banded.alias("r"))
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sig_a"),
-            F.col("r.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+    cand = _bucket_pairs(banded, ["chunk_idx", "chunk_val"], member, max_bucket)
+    hamming = F.bit_count(F.col("ma.sig").bitwiseXOR(F.col("mb.sig")))
     return (
-        candidates.withColumn("hamming", hamming)
+        cand.select(
+            F.col("ma.id").alias("id_a"),
+            F.col("mb.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
