@@ -3,18 +3,23 @@
 Scale design notes:
 - Exact dedup: hash-groupBy on a content digest — one shuffle keyed by
   the digest (uniform), keep-lowest-id tiebreak.
-- MinHash+LSH: shingle explode → one xxhash64 per shingle → per-doc
-  signature (num_perm min-aggs over reseeded rehashes of that one
-  long, map-side combined) → band buckets via groupBy → candidate
-  pairs expanded *within* each bucket (never all-pairs, never a
-  corpus-wide self-join or broadcast) → exact-Jaccard verification in
-  a single corpus scan. At 100 TB every shuffle is linear on uniform
-  keys; the only quadratic term is within-bucket, bounded by band
-  tuning plus the ``max_bucket`` stop-bucket guard.
-- SimHash: 60-bit signature from token hashes; Hamming-≤k candidate
-  generation by the pigeonhole band trick (split signature into k+1
-  chunks; any pair within distance k shares an exact chunk), same
-  bucket-groupBy expansion, verified with bit_count(xor).
+- MinHash+LSH: signatures are computed entirely MAP-SIDE with
+  higher-order array functions — shingle array → one xxhash64 per
+  shingle → num_perm ``array_min`` over reseeded rehashes of that one
+  long. No explode, no shuffle: the signature stage is a narrow
+  projection, so the first exchange in the whole pipeline is the
+  band-bucket groupBy. Candidate pairs are expanded *within* each
+  bucket (never all-pairs, never a corpus-wide self-join or
+  broadcast), then exact-Jaccard verified in a single corpus scan.
+  At 100 TB every shuffle is linear on uniform keys; the only
+  quadratic term is within-bucket, bounded by band tuning plus the
+  ``max_bucket`` stop-bucket guard.
+- SimHash: 60-bit signature from token hashes, also map-side — one
+  ``aggregate`` bit-vote per signature bit over the per-doc token-hash
+  array. Hamming-≤k candidate generation by the pigeonhole band trick
+  (split signature into k+1 chunks; any pair within distance k shares
+  an exact chunk), same bucket-groupBy expansion, verified with
+  bit_count(xor).
 
 All hashing is xxhash64 with fixed seeds — deterministic across runs
 and executors, no Python in the hot path.
@@ -68,27 +73,37 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature. Each shingle string is hashed ONCE
-    (``xxhash64``); the ``num_perm`` permutations are derived by
-    rehashing that fixed-width long with a per-permutation seed column
-    — 64 long-hashes per row instead of 64 string-hashes, the hot loop
-    of the whole pipeline. One explode + one groupBy; the min-aggs
-    combine map-side, so the shuffle carries one partial signature per
-    (doc × map partition). ``fan_out`` spreads narrow inputs over
+    """Per-doc MinHash signature, computed without any shuffle.
+
+    Each shingle string is hashed ONCE (``xxhash64``); the ``num_perm``
+    permutations are derived by rehashing that fixed-width long with a
+    per-permutation seed — num_perm long-hashes per shingle instead of
+    num_perm string-hashes, the hot loop of the whole pipeline. The
+    mins are taken with ``array_min`` over the per-doc shingle-hash
+    array, so the stage is a pure narrow projection: no explode, no
+    groupBy, nothing exchanged. ``fan_out`` spreads narrow inputs over
     every core."""
-    exploded = (
-        fan_out(docs)
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-        )
-        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    hashed = fan_out(docs).select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias(
+            "hs"
+        ),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_perm)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform("hs", _reseed_hash(i))
+            ).alias(f"mh{i}")
+            for i in range(num_perm)
+        ],
+    )
+
+
+def _reseed_hash(seed: int):
+    """Unary lambda for ``transform`` (pyspark infers arity from the
+    Python signature, so the seed must be closed over, not defaulted)."""
+    return lambda h: F.xxhash64(h, F.lit(seed))
 
 
 def _band_hashes(num_perm: int, bands: int) -> list[Column]:
@@ -202,25 +217,34 @@ def _verify_jaccard(
 SIMHASH_BITS = 60  # stay clear of the int64 sign bit
 
 
+def _bit_vote(bit: int):
+    """Binary merge lambda for ``aggregate``: count tokens whose hash
+    has ``bit`` set (closure, not default arg — see ``_reseed_hash``)."""
+    return lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1))
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    exploded = fan_out(docs).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sig_df = exploded.groupBy(id_col).agg(*votes)
+    """Per-doc SimHash signature, computed without any shuffle.
+
+    One xxhash64 per distinct token, then one ``aggregate`` bit-count
+    per signature bit over the per-doc hash array. Bit j of the
+    signature is set iff a strict majority of token hashes have bit j
+    set (ties → 0), identical to the classic ±1-vote formulation. Pure
+    narrow projection — no explode, no groupBy."""
+    hs = F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t))
+    hashed = fan_out(docs).select(F.col(id_col), hs.alias("hs"))
+    n = F.size("hs")
     sig = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
+        cnt = F.aggregate("hs", F.lit(0).cast("long"), _bit_vote(j))
         sig = sig.bitwiseOR(
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+            F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return sig_df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dedup_pairs(
