@@ -15,9 +15,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from faexport_db_spark.operators.folds import (
-    _fold_entity_rows,
+    _fold_batch,
     _fold_json_history,
 )
+
+
+def _fold_entity_rows(pdf):
+    return _fold_batch(pdf).to_dict("records")
 
 # --- pure kernels ---------------------------------------------------------
 
