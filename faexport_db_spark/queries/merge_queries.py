@@ -291,6 +291,53 @@ def m7_file_clash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m7_clash_fold_checked",
+    oracle="""
+    WITH rows AS (
+      SELECT CAST(user_id AS VARCHAR) AS site_submission_id,
+             event_type AS site_file_id,
+             'u' || CAST(CAST(floor(value/20) AS BIGINT) AS VARCHAR) AS file_url,
+             CAST(json_extract_string(props,'$.k') AS BIGINT) % 5 AS file_size,
+             event_id, ts
+      FROM events
+    ),
+    grouped AS (
+      SELECT site_submission_id, site_file_id,
+             list(struct_pack(url := file_url, size := file_size)
+                  ORDER BY ts, event_id) AS hist
+      FROM rows GROUP BY site_submission_id, site_file_id
+    )
+    SELECT 'events' AS website_id, site_submission_id, site_file_id,
+           folded.url AS file_url, folded.size AS file_size
+    FROM (
+      SELECT site_submission_id, site_file_id,
+             list_reduce(hist, (acc, x) -> CASE WHEN
+                 (x.url IS NOT NULL AND acc.url IS NOT NULL AND acc.url <> x.url)
+                 OR (x.size IS NOT NULL AND acc.size IS NOT NULL AND acc.size <> x.size)
+               THEN x ELSE acc END) AS folded
+      FROM grouped
+    )
+    """,
+)
+def m7_clash_fold_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7's clash-reset CORE, oracle-checked through the real fold.
+
+    Same pipeline as ``m7_file_clash_merge`` (the actual
+    ``merged_files`` mapInPandas fold), projected to the columns DuckDB
+    can reproduce: a ``list_reduce`` lambda replays the reset rule —
+    conflicting non-null url/size replaces the accumulated state, which
+    is otherwise immutable. The state for one file key only ever
+    changes on that key's own rows, so folding the per-(entity, file)
+    subsequence equals folding the full entity stream; the JSON-merge
+    and hash-union outputs stay under the rows-only entry + golden
+    tests (canonical-JSON key order isn't SQL-reproducible).
+    """
+    return m7_file_clash_merge(spark, sf_dir).select(
+        "website_id", "site_submission_id", "site_file_id", "file_url", "file_size"
+    )
+
+
+@register(
     "m8_entity_web_json",
     oracle="""
     SELECT user_id,
