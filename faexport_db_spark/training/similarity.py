@@ -150,6 +150,32 @@ def cosine_near_dup_pairs(
     )
 
 
+def _pair_cosines(
+    corpus: DataFrame, pairs: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact cosine for a (small) candidate id-pair set, scanning the
+    corpus exactly ONCE: broadcast semi-join keeps candidate vectors
+    only, each fans out to the broadcast pair-membership list, one
+    small groupBy reunites the two vectors per pair. Vectors are never
+    shuffled corpus-wide and never hashed through a distinct."""
+    member = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
+    )
+    cand_ids = member.select(F.col("mid").alias(id_col)).distinct()
+    vecs = (
+        fan_out(corpus)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    )
+    joined = vecs.join(F.broadcast(member), F.col("vid") == F.col("mid"))
+    per_pair = joined.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("mid") == F.col("id_a"), F.col("vec"))).alias("va"),
+        F.max(F.when(F.col("mid") == F.col("id_b"), F.col("vec"))).alias("vb"),
+    )
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return per_pair.select("id_a", "id_b", cos.alias("cosine"))
+
+
 def cosine_near_dup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -158,39 +184,61 @@ def cosine_near_dup_pairs_lsh(
     nbits: int = 8,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: hyperplane-LSH buckets
-    generate candidates (same bucket, or Hamming-1 via probe explode on
-    the left side), exact cosine verifies. Linear hash pass + equi-join
-    on bucket codes; the quadratic term is confined within buckets.
+    generate candidate pairs whose codes are within Hamming-1, exact
+    cosine verifies.
+
+    Candidates come from within-bucket pair expansion (never a
+    corpus-wide self-join): group -1 keys the exact bucket code
+    (Hamming-0 pairs); group i keys the code with bit i masked out, so
+    two members whose retained bit differs are exactly Hamming-1. The
+    member struct carries (vid, bit); only id pairs leave the
+    expansion — vectors rejoin in ``_pair_cosines``'s single corpus
+    scan. Every shuffle is linear on uniform keys; ``max_bucket``
+    drops degenerate over-dense codes.
     """
+    from faexport_db_spark.training.dedup import _bucket_pairs
+
     planes = _hyperplanes(dim, nbits, seed)
     coded = fan_out(corpus).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", _code_expr(F.col("vec"), planes))
-    bit_masks = F.array(*[F.lit(1 << i) for i in range(nbits)])
-    probes = F.array_union(
-        F.array(F.col("bucket")),
-        F.transform(bit_masks, lambda m: F.col("bucket").bitwiseXOR(m)),
+        F.col(id_col).alias("vid"),
+        _code_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    left = coded.select(
-        F.col("vid").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.explode(probes).alias("bucket"),
-    )
-    right = coded.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    full_mask = (1 << nbits) - 1
+    groups = [
+        F.struct(
+            F.lit(-1).alias("gidx"),
+            F.col("bucket").alias("gkey"),
+            F.lit(-1).alias("bit"),
+        )
+    ] + [
+        F.struct(
+            F.lit(i).alias("gidx"),
+            F.col("bucket").bitwiseAND(F.lit(full_mask ^ (1 << i))).alias("gkey"),
+            F.shiftright(F.col("bucket"), i).bitwiseAND(F.lit(1)).alias("bit"),
+        )
+        for i in range(nbits)
+    ]
+    entries = coded.select(
+        F.explode(F.array(*groups)).alias("g"), F.col("vid")
+    ).select(
+        F.col("g.gidx").alias("gidx"),
+        F.col("g.gkey").alias("gkey"),
+        F.struct(F.col("vid"), F.col("g.bit").alias("bit")).alias("m"),
     )
     cand = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        _bucket_pairs(entries, ["gidx", "gkey"], F.col("m"), max_bucket)
+        # gidx -1 (same full code) keeps every pair; a masked group only
+        # contributes pairs whose retained bit differs (true Hamming-1 —
+        # same-bit pairs are Hamming-0 and already in group -1).
+        .filter((F.col("ma.bit") == -1) | (F.col("ma.bit") != F.col("mb.bit")))
+        .select(F.col("ma.vid").alias("id_a"), F.col("mb.vid").alias("id_b"))
         .distinct()
     )
-    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
-    return (
-        cand.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    return _pair_cosines(corpus, cand, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
     )
 
 
