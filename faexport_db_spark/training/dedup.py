@@ -169,11 +169,11 @@ def minhash_dedup_pairs(
         F.col(id_col),
         F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias("band_idx", "band_hash"),
     )
-    candidates = (
-        _bucket_pairs(banded, ["band_idx", "band_hash"], F.col(id_col), max_bucket)
-        .select(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
-        .distinct()
-    )
+    # Cross-band duplicate candidates are NOT distinct'ed here: the
+    # verify stage's per-pair groupBy collapses them, saving a shuffle.
+    candidates = _bucket_pairs(
+        banded, ["band_idx", "band_hash"], F.col(id_col), max_bucket
+    ).select(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
     return _verify_jaccard(docs, candidates, text_col, id_col, shingle_n, threshold)
 
 

@@ -232,10 +232,11 @@ def cosine_near_dup_pairs_lsh(
         _bucket_pairs(entries, ["gidx", "gkey"], F.col("m"), max_bucket)
         # gidx -1 (same full code) keeps every pair; a masked group only
         # contributes pairs whose retained bit differs (true Hamming-1 —
-        # same-bit pairs are Hamming-0 and already in group -1).
+        # same-bit pairs are Hamming-0 and already in group -1). Cross-
+        # group duplicates are NOT distinct'ed here: the verify stage's
+        # per-pair groupBy collapses them, saving a shuffle.
         .filter((F.col("ma.bit") == -1) | (F.col("ma.bit") != F.col("mb.bit")))
         .select(F.col("ma.vid").alias("id_a"), F.col("mb.vid").alias("id_b"))
-        .distinct()
     )
     return _pair_cosines(corpus, cand, id_col, vec_col).filter(
         F.col("cosine") >= threshold
