@@ -10,6 +10,12 @@
   corpus; queries probe their own bucket plus all Hamming-≤1 codes.
   Corpus is hashed once (linear), probing joins on the bucket code —
   a uniform equi-join key — so no cross join ever materializes.
+- ``ivf_topk``: IVF ANN — deterministic k-means coarse quantizer,
+  queries probe their nprobe nearest cells (equi-join on cell id).
+- ``cosine_near_dup_pairs`` / ``cosine_near_dup_pairs_lsh``:
+  embedding near-duplicate pairs — exact all-pairs baseline, and the
+  scale path via Hamming-≤1 bucket-pair expansion + single-scan
+  exact-cosine verification (no corpus-wide vector shuffle).
 """
 
 from __future__ import annotations
