@@ -86,3 +86,29 @@ def test_exact_dedup_reads_only_needed_columns(spark, sf_small):
     q = QUERIES["t_exact_dedup"](spark, sf_small)
     schemas = read_schemas(q)
     assert schemas and all(s.count(":") <= 2 for s in schemas), schemas
+
+
+def test_signature_stages_are_shuffle_free(spark, sf_small):
+    """MinHash/SimHash signatures are narrow map-side projections:
+    zero exchanges before banding (the higher-order array formulation —
+    an explode+groupBy here would shuffle the whole corpus)."""
+    from faexport_db_spark.training.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    assert shuffle_count(minhash_signatures(docs)) == 0
+    assert shuffle_count(simhash_signatures(docs)) == 0
+
+
+def test_lsh_candidates_never_broadcast_the_corpus(spark, sf_small):
+    """The near-dup pipelines' only broadcasts are the (small)
+    candidate-pair frames in the verify stage — the banded corpus is
+    grouped, not self-joined, so no corpus-sized broadcast and no
+    nested-loop/cartesian strategy can appear."""
+    for name in ("t_minhash_lsh_dedup", "t_simhash_dedup", "t_embed_cosine_dedup_lsh"):
+        strategies = join_strategies(QUERIES[name](spark, sf_small))
+        assert strategies["BroadcastNestedLoopJoin"] == 0, (name, strategies)
+        assert strategies["CartesianProduct"] == 0, (name, strategies)
+        assert strategies["SortMergeJoin"] == 0, (name, strategies)
