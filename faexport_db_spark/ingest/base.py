@@ -10,15 +10,60 @@ NESTED snapshot DataFrame (keywords/files/hashes as array columns);
 minted surrogate ids — no id round-trips, one pass per table.
 
 Surrogate ids are non-semantic (SURVEY §1.2: dedup tie-breaks aside,
-nothing reads them as meaning); we mint them with
-``monotonically_increasing_id`` on a persisted frame so parent/child
-ids stay consistent across the multiple explode passes.
+nothing reads them as meaning); we mint them DENSE (0..n-1) with
+``with_dense_ids`` on persisted frames so parent/child ids stay
+consistent across the multiple explode passes AND callers can pack
+batches of ids into fixed strides (streaming/ingest_stream.py) without
+the sparse-id overflow monotonically_increasing_id would cause.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id() == (partition index << 33) | row-in-partition.
+_MID_ROW_BITS = 33
+
+
+def with_dense_ids(df: DataFrame, name: str) -> DataFrame:
+    """Mint DENSE ``0..n-1`` surrogate ids in ``name`` — no global sort.
+
+    ``monotonically_increasing_id`` alone is unique-within-frame but
+    sparse: it encodes ``partitionId*2^33 + row``, so a frame with >=128
+    partitions mints raw ids >= 2^40 — which collides with the next
+    micro-batch once a ``batch_id * 2^40`` stride is added
+    (streaming/ingest_stream.py). Dense ids bound every id by the row
+    count, making any stride >= rows-per-batch collision-free.
+
+    Two map-side passes, no shuffle of the data itself: (1) count rows
+    per partition (a tiny aggregation — one row per partition), (2)
+    broadcast the cumulative offsets back and add the in-partition row
+    number. This is ``zipWithIndex``'s algorithm kept in DataFrame land
+    (no Python RDD round-trip), so it scales to any partition count.
+
+    The input is persisted before the counting job so both passes see
+    identical partitioning; the returned frame still carries that
+    persisted lineage.
+    """
+    marked = df.withColumn("_mid", F.monotonically_increasing_id()).persist()
+    pid = F.shiftright(F.col("_mid"), _MID_ROW_BITS)
+    counts = marked.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_cnt")).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_cnt"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid bigint, _offset bigint"
+    )
+    row_in_part = F.col("_mid").bitwiseAND(F.lit((1 << _MID_ROW_BITS) - 1))
+    return (
+        marked.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(name, (F.col("_offset") + row_in_part).cast("bigint"))
+        .drop("_mid", "_pid", "_offset")
+    )
 
 KEYWORD_ARRAY = "array<struct<ordinal:int,keyword:string>>"
 HASH_ARRAY = "array<struct<algo_id:bigint,hash_value:binary>>"
@@ -63,10 +108,10 @@ def unordered_keywords(arr: F.Column) -> F.Column:
 
 def explode_to_store(nested: DataFrame) -> dict[str, DataFrame]:
     """Nested snapshots → relational store tables (parent + 3 children)
-    with consistent minted ids. Map-only except the persist barrier."""
-    with_ids = nested.withColumn(
-        "submission_snapshot_id", F.monotonically_increasing_id()
-    ).persist()
+    with consistent minted DENSE ids (0..n-1 per table, see
+    ``with_dense_ids``). Map-only except the persist barrier and the
+    per-partition count jobs."""
+    with_ids = with_dense_ids(nested, "submission_snapshot_id").persist()
 
     snapshots = with_ids.select(
         "submission_snapshot_id",
@@ -84,23 +129,20 @@ def explode_to_store(nested: DataFrame) -> dict[str, DataFrame]:
         F.col("keywords").isNotNull().alias("keywords_recorded"),
     )
 
-    keywords = (
-        with_ids.select(
-            "submission_snapshot_id", F.explode("keywords").alias("kw")
-        )
-        .select(
-            F.monotonically_increasing_id().alias("keyword_id"),
-            "submission_snapshot_id",
-            F.col("kw.keyword").alias("keyword"),
-            F.col("kw.ordinal").alias("ordinal"),
-        )
+    keywords = with_dense_ids(
+        with_ids.select("submission_snapshot_id", F.explode("keywords").alias("kw")),
+        "keyword_id",
+    ).select(
+        "keyword_id",
+        "submission_snapshot_id",
+        F.col("kw.keyword").alias("keyword"),
+        F.col("kw.ordinal").alias("ordinal"),
     )
 
-    files_flat = (
-        with_ids.select("submission_snapshot_id", F.explode("files").alias("f"))
-        .withColumn("file_id", F.monotonically_increasing_id())
-        .persist()
-    )
+    files_flat = with_dense_ids(
+        with_ids.select("submission_snapshot_id", F.explode("files").alias("f")),
+        "file_id",
+    ).persist()
     files = files_flat.select(
         "file_id",
         "submission_snapshot_id",
@@ -109,10 +151,11 @@ def explode_to_store(nested: DataFrame) -> dict[str, DataFrame]:
         F.col("f.file_size").alias("file_size"),
         F.col("f.extra_data").alias("extra_data"),
     )
-    file_hashes = files_flat.select(
-        "file_id", F.explode("f.hashes").alias("h")
+    file_hashes = with_dense_ids(
+        files_flat.select("file_id", F.explode("f.hashes").alias("h")),
+        "hash_id",
     ).select(
-        F.monotonically_increasing_id().alias("hash_id"),
+        "hash_id",
         "file_id",
         F.col("h.algo_id").alias("algo_id"),
         F.col("h.hash_value").alias("hash_value"),

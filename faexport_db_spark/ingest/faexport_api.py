@@ -30,6 +30,13 @@ SUBMISSION_PAYLOAD_SCHEMA = (
 USER_PAYLOAD_SCHEMA = (
     "struct<error:string, url:string, profile:string, name:string, "
     "account_type:string, avatar:string, user_title:string, registered_at:string, "
+    "guest_access:boolean, current_mood:string, artist_profile:string, "
+    "pageviews:bigint, submissions:bigint, comments_received:bigint, "
+    "comments_given:bigint, journals:bigint, favorites:bigint, "
+    "featured_submission:struct<id:string,title:string,thumbnail:string>, "
+    "profile_id:struct<id:string,title:string,thumbnail:string>, "
+    "artist_information:map<string,string>, "
+    "contact_information:array<struct<title:string,name:string,link:string>>, "
     "watchers:struct<count:bigint, recent:array<struct<profile_name:string,name:string>>>, "
     "watching:struct<count:bigint, recent:array<struct<profile_name:string,name:string>>>>"
 )
@@ -165,6 +172,19 @@ def user_snapshots(parsed: DataFrame, contributor_id: int, scan_time=None) -> Da
                 F.date_format(
                     F.try_to_timestamp(F.col("p.registered_at")), "yyyy-MM-dd'T'HH:mm:ssXXX"
                 ).alias("registered_datetime"),
+                F.col("p.guest_access").alias("guest_access"),
+                F.col("p.current_mood").alias("current_mood"),
+                F.col("p.artist_profile").alias("profile_html"),
+                F.col("p.pageviews").alias("view_count"),
+                F.col("p.submissions").alias("submission_count"),
+                F.col("p.comments_received").alias("comments_received_count"),
+                F.col("p.comments_given").alias("comments_given_count"),
+                F.col("p.journals").alias("journal_count"),
+                F.col("p.favorites").alias("favorite_count"),
+                F.col("p.featured_submission.id").alias("featured_submission_id"),
+                F.col("p.profile_id.id").alias("profile_id_submission_id"),
+                F.col("p.artist_information").alias("artist_information"),
+                F.col("p.contact_information").alias("contact_information"),
                 F.col("p.watchers.count").alias("watchers_count"),
                 F.col("p.watching.count").alias("watching_count"),
                 watcher_structs.alias("watchers_recent"),
@@ -188,3 +208,45 @@ def user_snapshots(parsed: DataFrame, contributor_id: int, scan_time=None) -> Da
         )
     )
     return tombstones.unionByName(main_users).unionByName(stubs)
+
+
+def user_featured_submissions(
+    parsed: DataFrame, contributor_id: int, scan_time=None
+) -> DataFrame:
+    """faexport.py:129-174: a user payload also yields up to two
+    submission snapshots — the featured submission and the profile-id
+    submission, each a thin stub (title + thumbnail file, keywords NOT
+    recorded). Output is the nested snapshot shape ``explode_to_store``
+    consumes (ingest/base.py NESTED_SUBMISSION_SCHEMA)."""
+    ok = parsed.filter(F.col("p.error").isNull())
+    scan = F.lit(scan_time).cast("timestamp") if scan_time else F.current_timestamp()
+    featured = F.array(F.col("p.featured_submission"), F.col("p.profile_id"))
+    exploded = ok.select(
+        id_from_url(F.col("p.profile")).alias("uploader_site_user_id"),
+        F.explode(F.filter(featured, lambda s: s.isNotNull() & s["id"].isNotNull())).alias("s"),
+    )
+    file_struct = F.struct(
+        F.lit(None).cast("string").alias("site_file_id"),
+        F.lit(None).cast("string").alias("file_url"),
+        F.lit(None).cast("bigint").alias("file_size"),
+        F.to_json(
+            F.struct(F.col("s.thumbnail").alias("thumbnail_url")),
+            {"ignoreNullFields": "false"},
+        ).alias("extra_data"),
+        F.lit([]).cast("array<struct<algo_id:bigint,hash_value:binary>>").alias("hashes"),
+    )
+    return exploded.select(
+        F.lit(FA_SITE_ID).alias("website_id"),
+        F.col("s.id").alias("site_submission_id"),
+        scan.alias("scan_datetime"),
+        F.lit(contributor_id).cast("bigint").alias("archive_contributor_id"),
+        F.current_timestamp().alias("ingest_datetime"),
+        F.col("uploader_site_user_id"),
+        F.lit(False).alias("is_deleted"),
+        F.col("s.title").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("timestamp").alias("datetime_posted"),
+        F.lit(None).cast("string").alias("extra_data"),
+        F.lit(None).cast("array<struct<ordinal:int,keyword:string>>").alias("keywords"),
+        F.array(file_struct).alias("files"),
+    )

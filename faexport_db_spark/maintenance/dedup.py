@@ -6,11 +6,13 @@ streams ids into Python lists and issues chunked DELETEs; here each
 step is a window/anti-join and the "delete" is a rewrite: the kept
 DataFrame replaces the table (K4 — delete-as-anti-join, SURVEY §2.1).
 
-Faithful quirk: the reference runs the steps in a fixed order where
-duplicate-parent removal happens *after* orphan-child cleanup, so
-children orphaned by a dedup are only collected on the next run. We
-keep that order (tested), and expose ``cleanup_to_fixpoint`` for the
-Spark-native "run until clean" composition.
+The reference CASCADES within a single run: ``delete_files`` also
+deletes the removed files' hashes (remove_duplicates.py:127-138) and
+``delete_submissions`` deletes the removed snapshots' files, keywords
+and those files' hashes (:217-250). ``cleanup`` mirrors that — each
+dedup step is followed by orphan removal against the kept parents, so
+one pass leaves no orphans, exactly like one cron run of the
+reference. ``cleanup_to_fixpoint`` remains as the audit form.
 
 Scale notes: every window partitions on a high-cardinality composite
 key; every anti-join joins child fact to parent fact on the surrogate
@@ -88,12 +90,12 @@ def cleanup(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
 
     files = out.get("submission_snapshot_files")
     hashes = out.get("submission_snapshot_file_hashes")
+    snaps = out.get("submission_snapshots")
+
     if hashes is not None and files is not None:
         hashes = remove_orphans(hashes, files, "file_id", "file_id")
         hashes = dedup_keep_one(hashes, ["file_id", "algo_id"], "hash_id", keep="highest")
-        out["submission_snapshot_file_hashes"] = hashes
 
-    snaps = out.get("submission_snapshots")
     if files is not None and snaps is not None:
         files = remove_orphans(
             files, snaps, "submission_snapshot_id", "submission_snapshot_id"
@@ -104,18 +106,43 @@ def cleanup(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
             "file_id",
             keep="highest",
         )
-        out["submission_snapshot_files"] = files
+        if hashes is not None:
+            # Cascade of the file dedup: the reference deletes the losing
+            # files' hashes in the same run (remove_duplicates.py:127-138).
+            hashes = remove_orphans(hashes, files, "file_id", "file_id")
 
     keywords = out.get("submission_snapshot_keywords")
     if keywords is not None and snaps is not None:
-        out["submission_snapshot_keywords"] = remove_orphans(
+        keywords = remove_orphans(
             keywords, snaps, "submission_snapshot_id", "submission_snapshot_id"
         )
 
     if snaps is not None:
-        out["submission_snapshots"] = dedup_keep_one(
+        snaps = dedup_keep_one(
             snaps, SUBMISSION_DEDUP_KEYS, "submission_snapshot_id", keep="lowest"
         )
+        # Cascade of the snapshot dedup: the reference deletes the losing
+        # snapshots' files, keywords, and those files' hashes in the same
+        # run (remove_duplicates.py:217-250).
+        if files is not None:
+            files = remove_orphans(
+                files, snaps, "submission_snapshot_id", "submission_snapshot_id"
+            )
+            if hashes is not None:
+                hashes = remove_orphans(hashes, files, "file_id", "file_id")
+        if keywords is not None:
+            keywords = remove_orphans(
+                keywords, snaps, "submission_snapshot_id", "submission_snapshot_id"
+            )
+
+    for name, df in (
+        ("submission_snapshots", snaps),
+        ("submission_snapshot_files", files),
+        ("submission_snapshot_keywords", keywords),
+        ("submission_snapshot_file_hashes", hashes),
+    ):
+        if df is not None:
+            out[name] = df
     return out
 
 

@@ -447,60 +447,40 @@ def search_hash(tables: Tables, algo_id: int, hash_value: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def push_ingest(
-    tables: Tables,
-    payloads: DataFrame,
-    contributor_id: int,
-    format: str = "faexport_submission",
-) -> dict[str, DataFrame]:
-    """POST /api/ingest/<format> (web.py:156-169, format registry
-    web.py:20-35): payload rows (``payload`` string column) → snapshots
-    appended to the store. Formats mirror the reference's converter:
-    ``submission``/``user`` (snapshot-shaped passthrough,
-    ingest_formats/base.py:33-48) and ``faexport_submission`` (FAExport
-    API shape). Returns the updated store tables; ids are minted, never
-    round-tripped (SURVEY §7.3)."""
-    from faexport_db_spark.ingest import simple
-    from faexport_db_spark.ingest.base import explode_to_store
-    from faexport_db_spark.ingest.faexport_api import (
-        parse_submission_payloads,
-        submission_snapshots,
+def _store_offset(tables: Tables, name: str, col: str) -> int:
+    existing = tables.get(name)
+    if existing is None:
+        return 0
+    return (existing.agg(F.max(col)).first()[0] or 0) + 1
+
+
+def _append_user_snapshots(out: Tables, tables: Tables, rows: DataFrame) -> None:
+    """Mint dense user_snapshot_ids past the store's max and union in
+    (the Spark analog of RETURNING-id back-propagation)."""
+    from faexport_db_spark.ingest.base import with_dense_ids
+
+    offset = _store_offset(tables, "user_snapshots", "user_snapshot_id")
+    with_ids = with_dense_ids(rows, "user_snapshot_id")
+    with_ids = with_ids.select(
+        (F.col("user_snapshot_id") + offset).alias("user_snapshot_id"),
+        *[c for c in rows.columns],
+    )
+    existing = out.get("user_snapshots")
+    out["user_snapshots"] = (
+        with_ids if existing is None else existing.unionByName(with_ids)
     )
 
-    if format == "user":
-        rows = simple.user_snapshots(payloads, contributor_id)
-        existing = tables.get("user_snapshots")
-        offset = 0
-        if existing is not None:
-            offset = (existing.agg(F.max("user_snapshot_id")).first()[0] or 0) + 1
-        with_ids = rows.select(
-            (F.monotonically_increasing_id() + offset).alias("user_snapshot_id"), "*"
-        )
-        out = dict(tables)
-        out["user_snapshots"] = (
-            with_ids if existing is None else existing.unionByName(with_ids)
-        )
-        return out
-    if format == "submission":
-        nested = simple.submission_snapshots(payloads, contributor_id)
-    elif format == "faexport_submission":
-        nested = submission_snapshots(parse_submission_payloads(payloads), contributor_id)
-    else:
-        raise ValueError(f"unknown ingest format {format!r}")
+
+def _append_submission_tree(out: Tables, tables: Tables, nested: DataFrame) -> None:
+    """Explode a nested snapshot frame into the 4 store tables, shifting
+    each table's freshly minted dense ids past the existing store's max
+    so parent/child links never cross-match rows already in the store
+    (models/submission.py:353-360)."""
+    from faexport_db_spark.ingest.base import explode_to_store
+
     new = explode_to_store(nested)
-
-    # Freshly minted ids restart at 0 per batch; shift them past the
-    # existing store's max so parent/child links never cross-match rows
-    # already in the store (the Spark analog of RETURNING-id
-    # back-propagation, models/submission.py:353-360).
-    def _offset(name: str, col: str) -> int:
-        existing = tables.get(name)
-        if existing is None:
-            return 0
-        return (existing.agg(F.max(col)).first()[0] or 0) + 1
-
-    snap_off = _offset("submission_snapshots", "submission_snapshot_id")
-    file_off = _offset("submission_snapshot_files", "file_id")
+    snap_off = _store_offset(tables, "submission_snapshots", "submission_snapshot_id")
+    file_off = _store_offset(tables, "submission_snapshot_files", "file_id")
     shifted = {
         "submission_snapshots": new["submission_snapshots"].withColumn(
             "submission_snapshot_id", F.col("submission_snapshot_id") + snap_off
@@ -509,7 +489,8 @@ def push_ingest(
         .withColumn("submission_snapshot_id", F.col("submission_snapshot_id") + snap_off)
         .withColumn(
             "keyword_id",
-            F.col("keyword_id") + _offset("submission_snapshot_keywords", "keyword_id"),
+            F.col("keyword_id")
+            + _store_offset(tables, "submission_snapshot_keywords", "keyword_id"),
         ),
         "submission_snapshot_files": new["submission_snapshot_files"]
         .withColumn("submission_snapshot_id", F.col("submission_snapshot_id") + snap_off)
@@ -518,11 +499,61 @@ def push_ingest(
         .withColumn("file_id", F.col("file_id") + file_off)
         .withColumn(
             "hash_id",
-            F.col("hash_id") + _offset("submission_snapshot_file_hashes", "hash_id"),
+            F.col("hash_id")
+            + _store_offset(tables, "submission_snapshot_file_hashes", "hash_id"),
         ),
     }
-    out = dict(tables)
     for name, df in shifted.items():
-        existing = tables.get(name)
+        existing = out.get(name)
         out[name] = df if existing is None else existing.unionByName(df)
+
+
+def push_ingest(
+    tables: Tables,
+    payloads: DataFrame,
+    contributor_id: int,
+    format: str = "faexport_submission",
+) -> dict[str, DataFrame]:
+    """POST /api/ingest/<format> (web.py:156-169, format registry
+    web.py:20-35): payload rows (``payload`` string column) → snapshots
+    appended to the store. All four reference formats are mirrored:
+    ``submission``/``user`` (snapshot-shaped passthrough,
+    ingest_formats/base.py:33-48), ``faexport_submission`` (FAExport API
+    shape, which ALSO saves the uploader user snapshot,
+    ingest_formats/faexport.py:57-67), and ``faexport_user`` (full user
+    snapshot + watcher stubs + up to two featured-submission snapshots,
+    faexport.py:74-152). Returns the updated store tables; ids are
+    minted dense, never round-tripped (SURVEY §7.3)."""
+    from faexport_db_spark.ingest import simple
+    from faexport_db_spark.ingest.faexport_api import (
+        parse_submission_payloads,
+        parse_user_payloads,
+        submission_snapshots,
+        submission_uploader_users,
+        user_featured_submissions,
+        user_snapshots,
+    )
+
+    out = dict(tables)
+    if format == "user":
+        _append_user_snapshots(out, tables, simple.user_snapshots(payloads, contributor_id))
+        return out
+    if format == "faexport_user":
+        parsed = parse_user_payloads(payloads)
+        _append_user_snapshots(out, tables, user_snapshots(parsed, contributor_id))
+        _append_submission_tree(
+            out, tables, user_featured_submissions(parsed, contributor_id)
+        )
+        return out
+    if format == "submission":
+        nested = simple.submission_snapshots(payloads, contributor_id)
+    elif format == "faexport_submission":
+        parsed = parse_submission_payloads(payloads)
+        nested = submission_snapshots(parsed, contributor_id)
+        _append_user_snapshots(
+            out, tables, submission_uploader_users(parsed, contributor_id)
+        )
+    else:
+        raise ValueError(f"unknown ingest format {format!r}")
+    _append_submission_tree(out, tables, nested)
     return out

@@ -32,7 +32,11 @@ from faexport_db_spark.ingest.faexport_api import (
 # Batch-local minted ids get the micro-batch id in the high bits so ids
 # are unique ACROSS batches without reading the store's current max
 # (the reference round-trips RETURNING ids instead,
-# models/submission.py:353-360). 2^40 leaves a trillion ids per batch.
+# models/submission.py:353-360). explode_to_store mints DENSE 0..n-1
+# ids (ingest/base.py::with_dense_ids), so any batch of < 2^40 rows
+# (a trillion) cannot collide with the next batch's stride — unlike raw
+# monotonically_increasing_id, whose partition-indexed sparse ids
+# overflow the stride as soon as a batch has >= 128 partitions.
 _BATCH_ID_STRIDE = 1 << 40
 
 

@@ -26,6 +26,7 @@ overwrite entirely.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,7 +59,14 @@ def refresh_touched_users(
         # ("Cannot overwrite a path that is also being read from");
         # Delta/Iceberg MERGE would make this a metadata-only concern.
         out = keep.unionByName(recomputed).localCheckpoint(eager=True)
-    except Exception:  # first batch: no view yet
+    except AnalysisException as exc:
+        # ONLY the missing-view case means "first batch". Any other
+        # failure (transient IO, corrupt footer, permissions) must
+        # propagate so the micro-batch retries — swallowing it here
+        # would rewrite the touched partitions with just the recomputed
+        # entities and silently drop every untouched entity in them.
+        if exc.getCondition() != "PATH_NOT_FOUND":
+            raise
         out = recomputed
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key string, first_value string, batch_rows bigint"
 STATE_SCHEMA = "seen boolean"
+_IDLE_TIMEOUT_MS = 24 * 3600 * 1000
 
 
 def _first_seen_fn(
@@ -40,9 +41,15 @@ def _first_seen_fn(
         state.remove()
         return
     if state.exists:
-        return  # key already emitted in an earlier batch
+        # Key already emitted in an earlier batch. Re-arm the idle
+        # timeout (it is absolute, not sliding, unless reset here) so a
+        # key that stays active is never evicted and re-emitted — the
+        # suppression is exactly-once for as long as the key keeps
+        # appearing within the idle window.
+        state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
+        return
     state.update((True,))
-    state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle keys after a day
+    state.setTimeoutDuration(_IDLE_TIMEOUT_MS)  # evict idle keys after a day
     yield pd.DataFrame(
         {"key": [key[0]], "first_value": [first], "batch_rows": [rows]}
     )

@@ -252,3 +252,61 @@ def test_explode_to_store_roundtrip(spark, e621_csv):
     hash_parents = {r["file_id"] for r in store["submission_snapshot_file_hashes"].collect()}
     assert hash_parents <= file_ids
     assert store["submission_snapshots"].filter("keywords_recorded").count() == 3
+
+
+def test_with_dense_ids_dense_at_high_partition_counts(spark):
+    """Ids stay bounded by the row count no matter the partition count —
+    the property the streaming batch-id stride relies on. Raw
+    monotonically_increasing_id at 200 partitions would mint ids
+    >= 199*2^33 > 2^40 and collide with the next batch's stride."""
+    from faexport_db_spark.ingest.base import with_dense_ids
+
+    n = 1000
+    df = spark.range(n).repartition(200)
+    out = with_dense_ids(df, "sid")
+    ids = sorted(r["sid"] for r in out.select("sid").collect())
+    assert ids == list(range(n))
+
+
+def test_faexport_user_full_extra_and_featured(spark):
+    """The faexport_user format's full extra_data field set plus the
+    featured/profile-id submission stubs (faexport.py:88-152)."""
+    payload = json.dumps(
+        {
+            "profile": "https://www.furaffinity.net/user/someone/", "name": "Someone",
+            "account_type": "Member", "avatar": "https://d/a.jpg", "user_title": "t",
+            "registered_at": "2010-05-01T00:00:00Z",
+            "guest_access": True, "current_mood": "happy",
+            "artist_profile": "<p>hi</p>", "pageviews": 100, "submissions": 12,
+            "comments_received": 5, "comments_given": 7, "journals": 2, "favorites": 33,
+            "featured_submission": {"id": "777", "title": "Feat", "thumbnail": "https://d/feat.jpg"},
+            "profile_id": {"id": "888", "title": "PID", "thumbnail": "https://d/pid.jpg"},
+            "artist_information": {"Species": "wolf"},
+            "contact_information": [{"title": "Twitter", "name": "someone", "link": "https://t/x"}],
+            "watchers": {"count": 1, "recent": [{"profile_name": "w1", "name": "W1"}]},
+            "watching": {"count": 0, "recent": []},
+        }
+    )
+    up = faexport_api.parse_user_payloads(
+        spark.createDataFrame([(payload,)], "payload string")
+    )
+    users = faexport_api.user_snapshots(up, 1, "2023-02-01 00:00:00")
+    main = [r for r in users.collect() if r["site_user_id"] == "someone"][0]
+    extra = json.loads(main["extra_data"])
+    assert extra["profile_html"] == "<p>hi</p>"
+    assert extra["view_count"] == 100
+    assert extra["comments_received_count"] == 5
+    assert extra["featured_submission_id"] == "777"
+    assert extra["profile_id_submission_id"] == "888"
+    assert extra["artist_information"] == {"Species": "wolf"}
+    assert extra["contact_information"] == [
+        {"title": "Twitter", "name": "someone", "link": "https://t/x"}
+    ]
+
+    feats = faexport_api.user_featured_submissions(up, 1, "2023-02-01 00:00:00")
+    rows = {r["site_submission_id"]: r for r in feats.collect()}
+    assert set(rows) == {"777", "888"}
+    assert rows["777"]["uploader_site_user_id"] == "someone"
+    assert rows["777"]["title"] == "Feat"
+    assert rows["777"]["keywords"] is None  # keywords NOT recorded
+    assert json.loads(rows["777"]["files"][0]["extra_data"])["thumbnail_url"] == "https://d/feat.jpg"

@@ -1,5 +1,6 @@
 """Maintenance-job tests: W1-W4 dedup direction, J4 orphan removal,
-reference step-order fidelity, and fixpoint convergence/idempotence."""
+same-run cascade fidelity (remove_duplicates.py:127-138, 217-250), and
+fixpoint convergence/idempotence."""
 
 from fixtures_faexport import dirty_tables
 
@@ -11,7 +12,7 @@ def _ids(df, col):
     return sorted(r[col] for r in df.select(col).collect())
 
 
-def test_single_pass_matches_reference_order(spark):
+def test_single_pass_cascades_like_reference(spark):
     out = cleanup(dirty_tables(spark))
     # W3: duplicate submission snapshot keeps LOWEST id
     assert _ids(out["submission_snapshots"], "submission_snapshot_id") == [1, 2]
@@ -21,20 +22,19 @@ def test_single_pass_matches_reference_order(spark):
     assert _ids(out["submission_snapshot_keywords"], "keyword_id") == [10]
     # W2+J4: duplicate file keeps HIGHEST id, orphan file removed
     assert _ids(out["submission_snapshot_files"], "file_id") == [101]
-    # W1: duplicate hash keeps HIGHEST id. Hash 1002's parent file (102)
-    # was removed in THIS pass but after the hash orphan scan — the
-    # reference's step order leaves it for the next run.
-    assert _ids(out["submission_snapshot_file_hashes"], "hash_id") == [1001, 1002]
-    # hash 1000 survived? no — deduped away by W1 (keep 1001). The one
-    # attached to the removed duplicate file 100 lingers as an orphan:
-    # that's exactly the reference behavior (single pass ≠ clean).
-
-
-def test_fixpoint_fully_clean(spark):
-    out = cleanup_to_fixpoint(dirty_tables(spark))
-    # second pass collects the hash orphaned by the first pass's file ops
+    # Cascade within the same run, like the reference: W1 keeps hash
+    # 1001 over 1000, but its parent file 100 then loses the W2 dedup —
+    # delete_files (remove_duplicates.py:127-138) deletes that file's
+    # hashes in the same run, as does the orphan file 102's hash 1002.
     assert _ids(out["submission_snapshot_file_hashes"], "hash_id") == []
-    # and a third pass changes nothing (idempotence at fixpoint)
-    again = cleanup(out)
+
+
+def test_single_pass_is_fixpoint(spark):
+    once = cleanup(dirty_tables(spark))
+    fixed = cleanup_to_fixpoint(dirty_tables(spark))
+    for name, df in fixed.items():
+        assert _ids(df, df.columns[0]) == _ids(once[name], once[name].columns[0]), name
+    # and another pass changes nothing (idempotence)
+    again = cleanup(once)
     for name, df in again.items():
-        assert df.count() == out[name].count(), name
+        assert df.count() == once[name].count(), name

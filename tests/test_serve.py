@@ -288,3 +288,51 @@ def test_push_ingest_unknown_format_rejected(spark, store):
             store, spark.createDataFrame([("{}",)], "payload string"),
             contributor_id=1, format="nope",
         )
+
+
+def test_push_ingest_faexport_submission_saves_uploader_user(spark, store):
+    """The faexport_submission format also persists the uploader's user
+    snapshot (ingest_formats/faexport.py:57-67)."""
+    payload = json.dumps(
+        {
+            "link": "https://www.furaffinity.net/view/5001/",
+            "profile_name": "artist9", "name": "Artist Nine",
+            "title": "t", "download": "https://d/x.png", "resolution": "8x6",
+            "keywords": [],
+        }
+    )
+    payloads = spark.createDataFrame([(payload,)], "payload string")
+    out = serve.push_ingest(store, payloads, contributor_id=1)
+    new_user = out["user_snapshots"].filter(F.col("site_user_id") == "artist9")
+    [row] = new_user.collect()
+    assert row["display_name"] == "Artist Nine"
+    old_max = store["user_snapshots"].agg(F.max("user_snapshot_id")).first()[0]
+    assert row["user_snapshot_id"] > old_max
+
+
+def test_push_ingest_faexport_user_format(spark, store):
+    """POST /api/ingest/faexport_user: full user snapshot + watcher
+    stubs + featured-submission stub (faexport.py:70-152)."""
+    payload = json.dumps(
+        {
+            "profile": "https://www.furaffinity.net/user/pusher/", "name": "Pusher",
+            "account_type": "Member", "avatar": "https://d/a.jpg", "user_title": "t",
+            "registered_at": "2015-01-01T00:00:00Z",
+            "featured_submission": {"id": "9009", "title": "Feat", "thumbnail": "https://d/f.jpg"},
+            "profile_id": None,
+            "watchers": {"count": 1, "recent": [{"profile_name": "pw1", "name": "PW1"}]},
+            "watching": {"count": 0, "recent": []},
+        }
+    )
+    payloads = spark.createDataFrame([(payload,)], "payload string")
+    out = serve.push_ingest(store, payloads, contributor_id=1, format="faexport_user")
+
+    users = {r["site_user_id"] for r in out["user_snapshots"].collect()}
+    assert {"pusher", "pw1"} <= users
+    feat = out["submission_snapshots"].filter(F.col("site_submission_id") == "9009")
+    [frow] = feat.collect()
+    assert frow["uploader_site_user_id"] == "pusher"
+    assert frow["keywords_recorded"] is False
+    # featured stub's minted ids don't collide with the existing store
+    old_max = store["submission_snapshots"].agg(F.max("submission_snapshot_id")).first()[0]
+    assert frow["submission_snapshot_id"] > old_max

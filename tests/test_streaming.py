@@ -194,3 +194,32 @@ def test_first_seen_stateful_across_batches(spark, tmp_path):
     got2 = drain("seen2")
     assert set(got2) == {"u3"}  # u1 suppressed by persisted state
     assert got2["u3"]["first_value"] == "first-u3"
+
+
+def test_first_seen_rearms_timeout_for_active_keys():
+    """An existing key's idle timeout is re-armed on every arrival —
+    a key that stays active is never evicted and re-emitted."""
+    import pandas as pd
+
+    from faexport_db_spark.streaming.stateful import _first_seen_fn
+
+    class FakeState:
+        exists = True
+        hasTimedOut = False
+
+        def __init__(self):
+            self.timeout_calls = 0
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_calls += 1
+
+        def update(self, v):
+            self.exists = True
+
+        def remove(self):
+            self.exists = False
+
+    st = FakeState()
+    out = list(_first_seen_fn(("k",), iter([pd.DataFrame({"value": ["v"]})]), st))
+    assert out == []  # suppressed, already emitted
+    assert st.timeout_calls == 1  # but timeout slid forward
