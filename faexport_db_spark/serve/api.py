@@ -327,14 +327,33 @@ def list_submission_ids(tables: Tables, website_id: str) -> DataFrame:
     )
 
 
-def list_submissions(tables: Tables, website_id: str, limit: int | None = None) -> dict:
+# Listings default to a bounded page: an unbounded collect of every
+# distinct id is a driver OOM at scale (the reference's own TODO at
+# web.py:103 asks for pagination). limit=None is an explicit opt-in
+# and streams partition-by-partition instead of one full collect.
+DEFAULT_LIST_LIMIT = 10_000
+
+
+def _sorted_ids(ids: DataFrame, col: str, limit: int | None) -> list:
+    ordered = ids.orderBy(col)
+    if limit is not None:
+        # Distributed top-k (TakeOrderedAndProject): only `limit` rows
+        # ever reach the driver.
+        return [r[col] for r in ordered.limit(limit).collect()]
+    return [r[col] for r in ordered.toLocalIterator()]
+
+
+def list_submissions(
+    tables: Tables, website_id: str, limit: int | None = DEFAULT_LIST_LIMIT
+) -> dict:
     """GET /api/view/submissions/<site>.json (web.py:97-109). The
     reference TODOs pagination (web.py:103); ``limit`` provides it."""
-    ids = list_submission_ids(tables, website_id)
-    collected = (ids.limit(limit) if limit else ids).collect()
+    collected = _sorted_ids(
+        list_submission_ids(tables, website_id), "site_submission_id", limit
+    )
     return {
         "submission_count": len(collected),
-        "submission_ids": sorted(r["site_submission_id"] for r in collected),
+        "submission_ids": collected,
     }
 
 
@@ -348,13 +367,14 @@ def list_user_ids(tables: Tables, website_id: str) -> DataFrame:
     )
 
 
-def list_users(tables: Tables, website_id: str, limit: int | None = None) -> dict:
+def list_users(
+    tables: Tables, website_id: str, limit: int | None = DEFAULT_LIST_LIMIT
+) -> dict:
     """GET /api/view/users/<site>.json (web.py:138-153)."""
-    ids = list_user_ids(tables, website_id)
-    collected = (ids.limit(limit) if limit else ids).collect()
+    collected = _sorted_ids(list_user_ids(tables, website_id), "site_user_id", limit)
     return {
         "user_count": len(collected),
-        "user_ids": sorted(r["site_user_id"] for r in collected),
+        "user_ids": collected,
     }
 
 

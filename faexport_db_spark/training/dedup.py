@@ -217,33 +217,44 @@ def _verify_jaccard(
 SIMHASH_BITS = 60  # stay clear of the int64 sign bit
 
 
-def _bit_vote(bit: int):
-    """Binary merge lambda for ``aggregate``: count tokens whose hash
-    has ``bit`` set (closure, not default arg — see ``_reseed_hash``)."""
-    return lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1))
-
-
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc SimHash signature, computed without any shuffle.
 
-    One xxhash64 per distinct token, then one ``aggregate`` bit-count
-    per signature bit over the per-doc hash array. Bit j of the
-    signature is set iff a strict majority of token hashes have bit j
-    set (ties → 0), identical to the classic ±1-vote formulation. Pure
-    narrow projection — no explode, no groupBy."""
+    One xxhash64 per distinct token, then a SINGLE ``aggregate`` pass
+    over the per-doc hash array that zip-adds each hash's 60-bit
+    indicator vector into a 60-slot count array — O(n·60) work in one
+    traversal instead of 60 traversals, and a linear expression tree.
+    Bit j of the signature is set iff a strict majority of token hashes
+    have bit j set (ties → 0), identical to the classic ±1-vote
+    formulation. Pure narrow projection — no explode, no groupBy."""
     hs = F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t))
     hashed = fan_out(docs).select(F.col(id_col), hs.alias("hs"))
     n = F.size("hs")
-    sig = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        cnt = F.aggregate("hs", F.lit(0).cast("long"), _bit_vote(j))
-        sig = sig.bitwiseOR(
-            F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
+    # One single-bit mask per signature position, as a literal array —
+    # (h & mask) != 0 is the bit-j indicator without a variable shift.
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: (h.bitwiseAND(m) != 0).cast("long")),
+            lambda a, b: a + b,
+        ),
+    )
+    # Powers of two are disjoint bits, so summing the per-bit majority
+    # terms is exactly the bitwise OR of the majority bits.
+    sig = F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 

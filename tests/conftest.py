@@ -1,8 +1,12 @@
+import os
+
 import pytest
 
 from faexport_db_spark.session import get_spark
 
-SF_SMALL = "/root/testdata/sf0.001"
+# Override to run the differential gate at the driver's SF:
+#   SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest tests/test_oracle_differential.py
+SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_MED = "/root/testdata/sf0.01"
 
 

@@ -112,6 +112,27 @@ def test_listings(store):
     assert serve.list_submissions(store, "fa", limit=1)["submission_count"] == 1
 
 
+def test_default_listing_is_bounded(store):
+    # The default path must plan a global limit (distributed top-k) so
+    # only DEFAULT_LIST_LIMIT rows can ever reach the driver.
+    ids = serve.list_submission_ids(store, "fa").orderBy("site_submission_id")
+    plan = ids.limit(serve.api.DEFAULT_LIST_LIMIT)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_unbounded_listing_streams_not_collects(store, monkeypatch):
+    # limit=None is the explicit full-listing opt-in: it must stream via
+    # toLocalIterator, never one full .collect() on the driver.
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("unbounded listing called .collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = serve.list_submissions(store, "fa", limit=None)
+    assert out["submission_ids"] == ["101", "102"]
+
+
 def test_list_websites_counts(store):
     rows = {r["website_id"]: r for r in serve.list_websites(store).collect()}
     assert rows["fa"]["num_submission_snapshots"] == 5
