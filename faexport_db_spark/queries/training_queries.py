@@ -129,6 +129,69 @@ def t_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_pairs(_mutated_corpus(_docs(spark, sf_dir)), max_hamming=3)
 
 
+_TRIGRAM_SHINGLES_SQL = """
+          list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> CASE WHEN i + 2 <= len(toks) THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      WHEN i + 1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+                      ELSE toks[i] END))
+"""
+
+
+@register(
+    "t_minhash_lsh_checked",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    tm AS (SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(text, '^\\S+', 'zzz')), '\\s+') AS toks
+           FROM documents),
+    sh  AS (SELECT doc_id, {_TRIGRAM_SHINGLES_SQL} AS s FROM t),
+    shm AS (SELECT doc_id, {_TRIGRAM_SHINGLES_SQL} AS s FROM tm),
+    j AS (
+      SELECT a.doc_id AS id_a, a.doc_id + 1000000 AS id_b,
+             round(len(list_intersect(a.s, m.s)) * 1.0
+                   / (len(a.s) + len(m.s) - len(list_intersect(a.s, m.s))), 6) AS jaccard
+      FROM sh a JOIN shm m USING (doc_id)
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
+def t_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of the MinHash-LSH pipeline: the
+    verified pairs restricted to the planted (doc, mutated-doc) axis
+    must EQUAL, value-for-value, the exact trigram-shingle Jaccard the
+    oracle computes per doc — pinning signatures, banding, bucket
+    expansion and the verify math end-to-end. All hashing is fixed-seed
+    xxhash64, so the projection is deterministic; recall on the planted
+    stratum is empirically 100% at sf0.001/0.01/0.1."""
+    out = minhash_dedup_pairs(_mutated_corpus(_docs(spark, sf_dir)), threshold=0.6)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
+@register(
+    "t_simhash_checked",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    """,
+)
+def t_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of the SimHash pipeline: plant a
+    word-REVERSED copy of every doc. SimHash is order-invariant over
+    the distinct-token set, so each (doc, reversed-doc) pair has
+    Hamming distance exactly 0, and the pigeonhole banding GUARANTEES
+    distance-0 pairs share every chunk — every planted pair must be
+    emitted with hamming = 0. Pins signature order-invariance,
+    chunking, bucket expansion and the bit_count(xor) verify."""
+    docs = _docs(spark, sf_dir)
+    reversed_copy = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.trim("text"), r"\s+"))).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(reversed_copy)
+    out = simhash_dedup_pairs(corpus, max_hamming=3)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
 _COSINE_ORACLE = """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -341,6 +404,79 @@ def t_embed_cosine_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (unit tests assert it recovers the planted pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs_lsh(_planted_embeddings(emb), threshold=0.95)
+
+
+# Cosine between a vector and its float-scaled 2× copy, as stored by
+# _PLANTED_EMB_SQL: scaling by a power of two is an EXACT fp operation,
+# so dot/norm algebra cancels exactly and the rounded cosine is 1.0 —
+# but the oracle computes it honestly from the data.
+_PLANTED_COSINE_SQL = """
+      round(
+        list_aggregate(list_transform(list_zip(embedding,
+            list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))),
+          s -> s[1]::DOUBLE * s[2]::DOUBLE), 'sum')
+        / (sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+           * sqrt(list_aggregate(list_transform(
+               list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)),
+               x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+      6)
+"""
+
+
+@register(
+    "t_embed_lsh_checked",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+             {_PLANTED_COSINE_SQL} AS cosine
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+)
+def t_embed_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of the embedding-LSH dedup: a scaled
+    copy keeps every hyperplane sign (dot(p, 2x) = 2·dot(p, x)), so
+    each planted pair lands in the SAME bucket and MUST survive the
+    Hamming-0 expansion and exact-cosine verify at cosine 1.0. Pins
+    coding, bucket-pair expansion and the single-scan verify."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs_lsh(_planted_embeddings(emb), threshold=0.95)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
+_PLANTED_TOP1_ORACLE = f"""
+    SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+           {_PLANTED_COSINE_SQL} AS cosine, CAST(1 AS BIGINT) AS rank
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+@register("t_ann_lsh_checked", oracle=_PLANTED_TOP1_ORACLE)
+def t_ann_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of bucketed-LSH ANN: with scaled
+    copies planted, each query's top-1 must be its own copy at cosine
+    1.0 (identical bucket code ⇒ guaranteed candidate; nothing else in
+    the corpus rounds to cosine 1.0). Pins probing, the bucket join and
+    the scoring window end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_bucketed_topk(_planted_embeddings(emb), queries, k=1)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("t_ann_ivf_checked", oracle=_PLANTED_TOP1_ORACLE)
+def t_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of IVF ANN: cosine is scale-
+    invariant (×2 is exact in fp), so a planted copy is assigned to
+    exactly the cell the query probes first — top-1 must be the copy at
+    cosine 1.0. Pins the quantizer, cell assignment and nprobe search."""
+    from faexport_db_spark.training.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(_planted_embeddings(emb), queries, k=1, n_centroids=8, nprobe=2, iters=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @register("t_ann_ivf")  # k-means cells + nprobe search → rows-only
