@@ -19,6 +19,7 @@ the same entity key (co-partitioned with the main merge shuffle).
 from __future__ import annotations
 
 import json
+import re
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -35,10 +36,27 @@ def _merge_dicts(base: dict | None, overlay: dict | None) -> dict | None:
     return {**base, **overlay}
 
 
+# With ensure_ascii=False the only \uXXXX escapes json.dumps emits are
+# control characters; Jackson (Spark's to_json) renders those with
+# UPPERCASE hex. Uppercase ours too so the golden fold is byte-identical
+# — but only when the backslash run before 'u' is odd (a real escape,
+# not literal backslashes followed by 'u').
+_U_ESCAPE = re.compile(r"(\\+)u([0-9a-f]{4})")
+
+
+def _jackson_case(m: re.Match) -> str:
+    if len(m.group(1)) % 2 == 1:
+        return m.group(1) + "u" + m.group(2).upper()
+    return m.group(0)
+
+
 def _canonical_json(data: dict | None) -> str | None:
+    # Raw UTF-8 (ensure_ascii=False) so the Python golden fold renders
+    # byte-identically to Spark's to_json, which never \u-escapes.
     if data is None:
         return None
-    return json.dumps(data, separators=(",", ":"), sort_keys=True)
+    out = json.dumps(data, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
+    return _U_ESCAPE.sub(_jackson_case, out)
 
 
 def _fold_json_history(history, start_empty: bool) -> str | None:
@@ -58,13 +76,53 @@ def _fold_json_history(history, start_empty: bool) -> str | None:
 
 @F.pandas_udf(StringType())
 def merge_extra_data_history(histories: pd.Series) -> pd.Series:
-    """M5. Input: array<string> of JSON docs already ordered oldest →
-    newest. Output: canonical (sorted-key) JSON of the layered merge.
+    """M5, Python golden fold. Input: array<string> of JSON docs already
+    ordered oldest → newest. Output: canonical (sorted-key) JSON of the
+    layered merge.
 
     The reference's fold starts from ``{}`` (models/submission.py:73),
     so an entity with no extra_data anywhere merges to ``{}``.
+
+    ``merge_extra_data_history_expr`` is the production path (pure
+    expressions, no Python eval); this UDF remains as the independent
+    cross-check the property tests compare it against.
     """
     return histories.apply(lambda h: _fold_json_history(h, start_empty=True))
+
+
+def merge_extra_data_history_expr(history: Column) -> Column:
+    """M5 as a pure Catalyst expression — no Python in the plan.
+
+    Walk the ordered history NEWEST-first and keep the first occurrence
+    of each key (≡ oldest→newest overlay-wins, reference db.py:10-17),
+    so ``map_concat`` never sees a duplicate key and no dedup-policy
+    config is needed. Values parse to ``variant`` (typed: numbers stay
+    numbers, nested objects stay objects), and Variant's to_json stores
+    object fields key-sorted at EVERY level — the recursive
+    canonicalization ``json.dumps(sort_keys=True)`` does in the golden
+    fold. Top-level order comes from rebuilding the map from key-sorted
+    entries. Non-object / malformed docs parse to NULL and are skipped,
+    like the golden fold's isinstance(dict) guard.
+
+    Known presentation seam vs the Python fold (property-tested equal
+    otherwise): float values render per Jackson (``1.0`` → ``1``,
+    ``1e+30`` → ``1.0E30``) — numerically identical JSON.
+    """
+    maps = F.transform(history, lambda d: F.from_json(d, "map<string,variant>"))
+    merged = F.aggregate(
+        F.reverse(maps),
+        F.expr("cast(map() as map<string,variant>)"),
+        lambda acc, m: F.when(m.isNull(), acc).otherwise(
+            F.map_concat(acc, F.map_filter(m, lambda k, v: ~F.map_contains_key(acc, k)))
+        ),
+    )
+    entries = F.array_sort(
+        F.map_entries(merged),
+        lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+        .when(a["key"] > b["key"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.to_json(F.map_from_entries(entries))
 
 
 MERGED_FILES_SCHEMA = (

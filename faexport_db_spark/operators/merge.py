@@ -5,13 +5,13 @@ of its immutable snapshots newest-first in Python, one entity at a time
 (reference: faexport_db/models/submission.py:27-104, models/user.py:8-48).
 Here the same semantics are a **single-pass groupBy aggregation**: one
 shuffle on the entity key, all merge rules as JVM aggregate expressions
-(`max_by` over a deterministic order key), with exactly two Python
-(Arrow-batched) folds for the ops Spark expressions can't represent:
-
-- M5 layered JSON merge of ``extra_data`` (shallow, newest key wins —
-  reference: faexport_db/db.py:10-17, models/submission.py:71-77);
-- M7 clash-reset file merge (reference: models/submission.py:89-104,
-  models/file.py:50-72) — see ``folds.py``.
+(`max_by` over a deterministic order key). The M5 layered JSON merge of
+``extra_data`` (shallow, newest key wins — reference: faexport_db/
+db.py:10-17, models/submission.py:71-77) is ALSO pure expressions
+(variant-typed first-wins map fold, ``folds.py``), so the scalar merge
+plan has zero Python eval operators; the only Arrow-batched Python fold
+left is M7's clash-reset file merge (reference: models/
+submission.py:89-104, models/file.py:50-72) — see ``folds.py``.
 
 Scale notes: the entity key (website_id, site_entity_id) is
 high-cardinality and well distributed (SURVEY §4 skew note), so the
@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from faexport_db_spark.operators.folds import merge_extra_data_history, merged_files
+from faexport_db_spark.operators.folds import merge_extra_data_history_expr, merged_files
 
 
 def snapshot_order(ts_col: str = "scan_datetime", id_col: str | None = None) -> Column:
@@ -75,13 +75,16 @@ def _merged_extra_data(order: Column) -> Column:
 
     Reference: models/submission.py:71-77, db.py:10-17 (shallow
     ``{**base, **overlay}``). We collect the JSON history in scan order
-    (sort_array on (order, extra_data) structs) and fold it in one
-    Arrow-batched pandas UDF per entity. Output is canonical JSON
-    (sorted keys) — key order is non-semantic in the reference (dict).
+    (sort_array on (order, extra_data) structs) and fold it with pure
+    Catalyst expressions (``merge_extra_data_history_expr`` — variant
+    parse + first-wins map merge over the reversed history), so the
+    whole scalar merge plan has ZERO Python eval operators. Output is
+    canonical JSON (recursively sorted keys) — key order is
+    non-semantic in the reference (dict).
     """
     ordered = F.sort_array(F.collect_list(F.struct(order.alias("o"), F.col("extra_data").alias("d"))))
     history = F.transform(ordered, lambda s: s["d"])
-    return merge_extra_data_history(history)
+    return merge_extra_data_history_expr(history)
 
 
 # ---------------------------------------------------------------------------

@@ -57,13 +57,13 @@ def test_hash_search_chain_pushes_predicate_below_joins(spark, sf_small):
 
 def test_merged_users_is_single_shuffle(spark, sf_small):
     """The scalar merge family (M1-M5) is ONE aggregation pass: exactly
-    one shuffle on the entity key, and only the M5 JSON fold touches
-    Python."""
+    one shuffle on the entity key, and — with the expression-form M5
+    fold — zero Python eval operators anywhere in the plan."""
     from tests.fixtures_faexport import user_snapshots as mk
 
     merged = merged_users(mk(spark))
     assert shuffle_count(merged) == 1
-    assert_plan(merged, max_python_evals=1)
+    assert_plan(merged, max_python_evals=0)
 
 
 def test_merged_entity_flagship_plan(spark, sf_small):

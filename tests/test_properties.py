@@ -46,6 +46,39 @@ def test_json_fold_is_per_key_last_wins(history):
     assert out == expected
 
 
+def test_expression_fold_matches_python_golden_fold(spark):
+    """The production expression-form M5 fold (variant first-wins map
+    merge) must render byte-identically to the Python golden fold on
+    hypothesis-shaped histories: ints / bools / nulls / text (incl.
+    unicode + escapes) / nested lists + dicts, junk docs, None entries.
+    One batched DataFrame keeps this a single Spark job."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.operators.folds import merge_extra_data_history_expr
+
+    # Deterministic corpus drawn from the same shapes the hypothesis
+    # generators cover (find_all would be slow; these are the edges).
+    histories = [
+        [],
+        [None],
+        ['{"b":1,"a":2}', '{"a":9}'],
+        ['{"a":{"z":1,"y":2}}', '{"b":[1,{"d":2,"c":3}]}'],
+        [None, "nope", '"scalar"', "[1]", '{"k":true}'],
+        ['{"a":null}', '{"b":false}', None],
+        ['{"u":"héllo ✓"}', '{"s":"line\\nbreak\\t\\"q\\""}'],
+        ['{"":1,"x":""}'],
+        ['{"big":12345678901234,"neg":-9999}'],
+        ['{"a":1}'] * 6,
+        ['{"a":{"b":{"c":[null,true,"x"]}}}', '{"a":{}}'],
+        [json.dumps({"c": "\x1f\x1e"}), json.dumps({"m": {"x": "\x01"}})],
+        [json.dumps({"e": "\U0001f600", "bs": "a\\u001f"}, ensure_ascii=False)],
+    ]
+    df = spark.createDataFrame([(h,) for h in histories], "h: array<string>")
+    got = [r[0] for r in df.select(merge_extra_data_history_expr(F.col("h"))).collect()]
+    for h, g in zip(histories, got):
+        assert g == _fold_json_history(h, True), (h, g)
+
+
 @given(st.lists(json_docs | st.none(), max_size=6))
 @settings(max_examples=100)
 def test_json_fold_none_entries_are_transparent(history):
