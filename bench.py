@@ -65,17 +65,56 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    prev_round, prev = _previous_round_queries()
+    if prev:
+        deltas = {
+            name: round(t / prev[name] - 1.0, 3)
+            for name, t in timings.items()
+            if prev.get(name)
+        }
+        payload["vs_round"] = prev_round
+        payload["delta_pct"] = deltas
+        regressions = {n: d for n, d in deltas.items() if d > 0.20}
+        if regressions:
+            payload["regressions"] = regressions
+            print(
+                f"WARNING: >20% slower than round {prev_round}: {regressions}",
+                file=sys.stderr,
+            )
+    print(json.dumps(payload))
+
+
+def _previous_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Per-query times from the newest BENCH_r{N}.json the driver left
+    in the repo root — the cross-round regression baseline."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        queries = (doc.get("parsed") or doc).get("queries")
+        if not isinstance(queries, dict):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, queries)
+    return (best[0], best[1]) if best else (None, {})
 
 
 if __name__ == "__main__":

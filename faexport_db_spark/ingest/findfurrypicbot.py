@@ -4,17 +4,21 @@ scripts/ingest/findfurrypicbot/main.py).
 ``posts(id, a_hash, p_hash, d_hash, w_hash)`` — one snapshot per row,
 one file carrying the four perceptual hashes.
 
-S4 note: no SQLite JDBC jar ships in this environment, so
-``read_sqlite`` loads via the stdlib driver on the Spark driver and
-parallelizes with createDataFrame — appropriate for the dim-table
-scale this source has in the reference (and the pattern at real scale
-is a one-time convert-to-Parquet, SURVEY §2.1 S4). A JDBC path is used
-automatically if the driver class is present.
+S4 note: a SQLite file is inherently a single-host artifact — even at
+scale the read itself is one process (the reference's too,
+main.py:64-69). The scale-correct pattern is therefore ONE streaming
+convert-to-Parquet pass (bounded driver memory: chunked cursor →
+incremental row groups), after which every downstream op is a
+distributed parquet scan with pruning/pushdown. ``read_sqlite`` does
+exactly that; a JDBC path is tried first and used automatically when a
+sqlite-jdbc driver class is on the classpath.
 """
 
 from __future__ import annotations
 
+import os
 import sqlite3
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,8 +31,50 @@ WHASH_ALGO_ID = 6
 SQLITE_SCHEMA = "id bigint, a_hash binary, p_hash binary, d_hash binary, w_hash binary"
 
 
+def sqlite_to_parquet(
+    db_path: str,
+    out_dir: str,
+    query: str = "SELECT id, a_hash, p_hash, d_hash, w_hash FROM posts",
+    batch_rows: int = 50_000,
+) -> str:
+    """One-time streaming SQLite → Parquet conversion (the S4 scale
+    path). The cursor fetches ``batch_rows`` at a time and each chunk
+    becomes a parquet row group — driver memory stays bounded by one
+    chunk regardless of table size, and the result is a splittable file
+    Spark scans partition-parallel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "data.parquet")
+    con = sqlite3.connect(db_path)
+    writer = None
+    try:
+        cur = con.execute(query)
+        names = [d[0] for d in cur.description]
+        while True:
+            rows = cur.fetchmany(batch_rows)
+            if not rows:
+                break
+            batch = pa.table(
+                {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, batch.schema)
+            writer.write_table(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+        con.close()
+    if writer is None:  # empty table: write an empty file so reads work
+        pq.write_table(pa.table({n: [] for n in names}), out_path)
+    return out_path
+
+
 def read_sqlite(spark: SparkSession, db_path: str) -> DataFrame:
-    """S4 — SQLite table scan (main.py:64-69)."""
+    """S4 — SQLite table scan (main.py:64-69): JDBC when a driver is on
+    the classpath, else the streaming convert-to-parquet path (never a
+    full driver materialization)."""
     try:
         return (
             spark.read.format("jdbc")
@@ -38,17 +84,8 @@ def read_sqlite(spark: SparkSession, db_path: str) -> DataFrame:
             .load()
         )
     except Exception:
-        con = sqlite3.connect(db_path)
-        try:
-            rows = con.execute(
-                "SELECT id, a_hash, p_hash, d_hash, w_hash FROM posts"
-            ).fetchall()
-        finally:
-            con.close()
-        return spark.createDataFrame(
-            [(r[0], bytes(r[1]), bytes(r[2]), bytes(r[3]), bytes(r[4])) for r in rows],
-            SQLITE_SCHEMA,
-        )
+        out_dir = tempfile.mkdtemp(prefix="sqlite_s4_")
+        return spark.read.parquet(sqlite_to_parquet(db_path, out_dir))
 
 
 def to_snapshots(

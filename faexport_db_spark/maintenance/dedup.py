@@ -116,6 +116,18 @@ def cleanup(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         keywords = remove_orphans(
             keywords, snaps, "submission_snapshot_id", "submission_snapshot_id"
         )
+        # The reference never needs a keyword dedup: duplicate snapshots
+        # always carry fresh serial ids there, so the snapshot-dedup
+        # cascade removes the losing snapshot's keywords. Our streaming
+        # redelivery mints the SAME ids deterministically, leaving
+        # full-row keyword duplicates the cascade can't see — collapse
+        # them (a no-op on reference-shaped data).
+        keywords = dedup_keep_one(
+            keywords,
+            ["submission_snapshot_id", "keyword", "ordinal"],
+            "keyword_id",
+            keep="lowest",
+        )
 
     if snaps is not None:
         snaps = dedup_keep_one(

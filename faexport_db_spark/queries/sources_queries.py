@@ -75,13 +75,17 @@ def s3_json_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT r_regionkey, r_name FROM region",
 )
 def s4_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 — SQLite table scan (findfurrypicbot/main.py:64-69). No JDBC
-    sqlite driver ships here, so this exercises the stdlib-driver
-    fallback documented in ingest/findfurrypicbot.py (dim-table scale;
-    the 100 TB answer is one-time conversion to parquet)."""
+    """S4 — SQLite table scan (findfurrypicbot/main.py:64-69) via the
+    streaming convert-to-parquet path (ingest/findfurrypicbot.py):
+    chunked cursor → incremental parquet row groups → distributed scan.
+    The scan Spark executes is a plain parquet read — no driver-side
+    createDataFrame of the table."""
     import sqlite3
 
-    db_path = os.path.join(_tmp("s4"), "fixture.sqlite")
+    from faexport_db_spark.ingest.findfurrypicbot import sqlite_to_parquet
+
+    work = _tmp("s4")
+    db_path = os.path.join(work, "fixture.sqlite")
     rows = [(r["r_regionkey"], r["r_name"]) for r in load_table(spark, sf_dir, "region").collect()]
     con = sqlite3.connect(db_path)
     con.execute("CREATE TABLE region (r_regionkey INTEGER, r_name TEXT)")
@@ -89,12 +93,14 @@ def s4_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     con.commit()
     con.close()
 
-    con = sqlite3.connect(db_path)
-    try:
-        data = con.execute("SELECT r_regionkey, r_name FROM region").fetchall()
-    finally:
-        con.close()
-    return spark.createDataFrame(data, "r_regionkey int, r_name string")
+    path = sqlite_to_parquet(
+        db_path, os.path.join(work, "pq"),
+        query="SELECT r_regionkey, r_name FROM region", batch_rows=2,
+    )
+    return (
+        spark.read.parquet(path)
+        .select(F.col("r_regionkey").cast("int"), F.col("r_name"))
+    )
 
 
 @register(

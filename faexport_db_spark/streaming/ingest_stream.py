@@ -69,12 +69,18 @@ def start_submission_ingest(
     checkpoint: str,
     trigger: dict | None = None,
     scan_time=None,
+    on_batch_complete=None,
 ):
     """Run the streaming ingest; returns the StreamingQuery.
 
     ``trigger`` defaults to the reference's 60-second flush cadence;
     pass ``{"availableNow": True}`` to drain the backlog and stop
     (used by tests and batch replays).
+
+    ``on_batch_complete(batch_id)`` fires after a batch's appends but
+    BEFORE the checkpoint commits — the window where a crash causes
+    re-delivery. Tests inject a failure here to prove the at-least-once
+    + dedup-backstop contract end-to-end.
     """
     stream = payload_stream(spark, dropzone)
 
@@ -97,6 +103,8 @@ def start_submission_ingest(
                 .partitionBy("website_id" if "website_id" in df.columns else [])
                 .parquet(f"{store_dir.rstrip('/')}/{name}")
             )
+        if on_batch_complete is not None:
+            on_batch_complete(batch_id)
 
     writer = stream.writeStream.foreachBatch(_write_batch).option(
         "checkpointLocation", checkpoint

@@ -83,3 +83,57 @@ def test_fan_out_widens_narrow_input_only(spark, sf_small):
     target = spark.sparkContext.defaultParallelism
     assert widened.rdd.getNumPartitions() == target
     assert fan_out(widened).rdd.getNumPartitions() == target  # idempotent
+
+
+def test_persisted_store_prunes_partitions_and_joins_without_shuffle(
+    spark, tmp_path
+):
+    """The persisted snapshot store E2E (datamodel/store.py): a per-site
+    read must PRUNE to the one website_id directory (the F1 compound-key
+    shape never lists the other sites), and the J5 child-attach join of
+    two co-bucketed store tables must plan ZERO exchanges — the layout,
+    not the query, delivers the partitioning."""
+    from faexport_db_spark.datamodel.store import (
+        read_site,
+        write_child_store,
+        write_snapshot_store,
+    )
+    from tests.fixtures_faexport import files as mk_files
+    from tests.fixtures_faexport import submission_snapshots as mk_snaps
+
+    snaps = mk_snaps(spark)
+    write_snapshot_store(snaps, "store_snaps", str(tmp_path / "snaps"), n_buckets=4)
+    write_child_store(mk_files(spark), "store_files", str(tmp_path / "files"), n_buckets=4)
+    try:
+        # --- partition pruning: only the fa directory is read ---------
+        site = read_site(spark, "store_snaps", "fa")
+        plan = site._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "website_id" in plan, plan
+        in_files = site.inputFiles()
+        assert in_files and all("website_id=fa" in f for f in in_files), in_files
+        assert site.count() == snaps.filter(F.col("website_id") == "fa").count()
+
+        # --- co-bucketed child attach: zero exchanges -----------------
+        left = spark.table("store_snaps").select(
+            "submission_snapshot_id", "website_id", "site_submission_id"
+        )
+        right = spark.table("store_files").select(
+            "submission_snapshot_id", "file_id", "file_url"
+        )
+        joined = left.join(right, "submission_snapshot_id").hint("merge")
+        assert shuffle_count(joined) == 0, "co-bucketed store join must not shuffle"
+        expected = (
+            mk_snaps(spark)
+            .select("submission_snapshot_id", "website_id", "site_submission_id")
+            .join(
+                mk_files(spark).select(
+                    "submission_snapshot_id", "file_id", "file_url"
+                ),
+                "submission_snapshot_id",
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS store_snaps")
+        spark.sql("DROP TABLE IF EXISTS store_files")

@@ -223,3 +223,69 @@ def test_first_seen_rearms_timeout_for_active_keys():
     out = list(_first_seen_fn(("k",), iter([pd.DataFrame({"value": ["v"]})]), st))
     assert out == []  # suppressed, already emitted
     assert st.timeout_calls == 1  # but timeout slid forward
+
+
+def test_failed_batch_redelivery_then_dedup_is_exactly_once(spark, tmp_path):
+    """SURVEY §2.10 delivery contract under an injected crash: the batch
+    fails AFTER its parquet appends but BEFORE the checkpoint commits,
+    so the restart re-delivers it (at-least-once, duplicates on disk) —
+    and one maintenance cleanup() pass restores exactly the
+    single-delivery store. This is the reference's re-run +
+    remove_duplicates story with a provably bounded duplicate window."""
+    from faexport_db_spark.maintenance.dedup import cleanup
+
+    dropzone = tmp_path / "dz"
+    dropzone.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    (dropzone / "b1.jsonl").write_text(_payload(1, "one") + "\n" + _payload(2, "two"))
+
+    boom = {"armed": True}
+
+    def crash_after_append(batch_id):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = start_submission_ingest(
+        spark, str(dropzone), store, contributor_id=1, checkpoint=ckpt,
+        trigger={"availableNow": True}, scan_time=SCAN_T,
+        on_batch_complete=crash_after_append,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+
+    # restart from the checkpoint: the uncommitted batch re-runs
+    q = start_submission_ingest(
+        spark, str(dropzone), store, contributor_id=1, checkpoint=ckpt,
+        trigger={"availableNow": True}, scan_time=SCAN_T,
+    )
+    q.awaitTermination(120)
+
+    snaps = spark.read.parquet(f"{store}/submission_snapshots")
+    assert snaps.count() == 4  # duplicates ARE on disk: at-least-once
+
+    # reference run: same payloads, no crash, fresh store + checkpoint
+    clean_store = str(tmp_path / "store_clean")
+    q = start_submission_ingest(
+        spark, str(dropzone), clean_store, contributor_id=1,
+        checkpoint=str(tmp_path / "ckpt_clean"),
+        trigger={"availableNow": True}, scan_time=SCAN_T,
+    )
+    q.awaitTermination(120)
+
+    names = (
+        "submission_snapshots",
+        "submission_snapshot_keywords",
+        "submission_snapshot_files",
+        "submission_snapshot_file_hashes",
+    )
+    clean = cleanup({n: spark.read.parquet(f"{store}/{n}") for n in names})
+    want = {n: spark.read.parquet(f"{clean_store}/{n}") for n in names}
+    for n in names:
+        # ingest_datetime is a wall-clock stamp (reference stamps it at
+        # ingest too) — everything else must match row-for-row.
+        cols = [c for c in clean[n].columns if c != "ingest_datetime"]
+        got_rows = sorted(map(tuple, clean[n].select(*cols).collect()))
+        want_rows = sorted(map(tuple, want[n].select(*cols).collect()))
+        assert got_rows == want_rows, f"{n}: crash+redeliver+cleanup != single delivery"
