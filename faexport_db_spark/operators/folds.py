@@ -116,8 +116,17 @@ def merge_extra_data_history_expr(history: Column) -> Column:
             F.map_concat(acc, F.map_filter(m, lambda k, v: ~F.map_contains_key(acc, k)))
         ),
     )
+    return _canonical_map_json(merged)
+
+
+def _canonical_map_json(m: Column) -> Column:
+    """Render a string-keyed map as canonical JSON: top-level keys
+    sorted by rebuilding the map from sorted entries (binary string
+    compare ≡ code-point order ≡ ``json.dumps(sort_keys=True)`` for
+    UTF-8), nested levels sorted by Variant's own key-sorted storage.
+    NULL map → NULL."""
     entries = F.array_sort(
-        F.map_entries(merged),
+        F.map_entries(m),
         lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
         .when(a["key"] > b["key"], F.lit(1))
         .otherwise(F.lit(0)),
@@ -278,19 +287,15 @@ def _fold_file_stream(batches) -> "pd.DataFrame":
         yield _fold_batch(leftover)
 
 
-def merged_files(
+def _keyed_files(
     submission_snapshots: DataFrame,
     files: DataFrame,
-    file_hashes: DataFrame | None = None,
+    file_hashes: DataFrame | None,
 ) -> DataFrame:
-    """M7 — current files per submission entity, clash-reset semantics.
-
-    Plan shape: hashes nest into files (shuffle on file_id), files pick
-    up entity keys from their snapshot (shuffle on snapshot_id), then
-    one ``applyInPandas`` fold per entity (shuffle on the entity key —
-    the same partitioning the scalar merge uses). All three keys are
-    high-cardinality; per-group row counts are tiny.
-    """
+    """Shared M7 prelude: hashes nest into files (shuffle on file_id),
+    files pick up entity keys from their snapshot (shuffle on
+    snapshot_id). All keys are high-cardinality; per-group row counts
+    are tiny."""
     if file_hashes is not None:
         hashes_nested = file_hashes.groupBy("file_id").agg(
             F.array_sort(
@@ -309,21 +314,167 @@ def merged_files(
             F.lit(None).cast("array<struct<algo_id:bigint,hash_b64:string>>"),
         )
 
-    keyed = files.join(
+    return files.join(
         submission_snapshots.select(
             "submission_snapshot_id", "website_id", "site_submission_id", "scan_datetime"
         ),
         "submission_snapshot_id",
         "inner",
     )
-    # One shuffle on the entity key, sort establishes fold order, then a
-    # streaming mapInPandas fold (see _fold_file_stream for why this
-    # beats a per-group applyInPandas).
-    arranged = keyed.repartition("website_id", "site_submission_id").sortWithinPartitions(
-        "website_id",
-        "site_submission_id",
-        "scan_datetime",
-        "submission_snapshot_id",
-        "file_id",
+
+
+# The clash-reset fold as a Catalyst expression. A clash "resets"
+# accumulated state, which rules out a commutative SQL aggregate — but
+# ``F.aggregate`` is a *sequential left fold* over an ordered array, so
+# resets are just the fold step choosing the element over the
+# accumulator. Accumulator: (url, size, extra map, hashes map, init).
+def _m7_acc_init() -> Column:
+    return F.expr(
+        """named_struct(
+          'url', cast(null as string), 'size', cast(null as bigint),
+          'extra', cast(null as map<string,variant>),
+          'hashes', cast(map() as map<bigint,string>), 'init', false)"""
     )
-    return arranged.mapInPandas(_fold_file_stream, MERGED_FILES_SCHEMA)
+
+
+def _hashes_map(hl: Column) -> Column:
+    """(algo_id → hash_b64) map from the sorted entry list; last entry
+    wins per algo_id like the Python dict build (map_from_entries
+    throws on duplicate keys under ANSI). NULL list → empty map."""
+    n = F.size(hl)
+    kept = F.filter(
+        hl,
+        lambda h, i: (i == n - 1)
+        | (F.try_element_at(hl, i + 2)["algo_id"] != h["algo_id"]),
+    )
+    return F.when(
+        hl.isNotNull(),
+        F.map_from_entries(
+            F.transform(
+                kept,
+                lambda h: F.struct(
+                    h["algo_id"].alias("key"), h["hash_b64"].alias("value")
+                ),
+            )
+        ),
+    ).otherwise(F.expr("cast(map() as map<bigint,string>)"))
+
+
+def _m7_step(acc: Column, e: Column) -> Column:
+    """One fold step — semantics of ``_fold_batch``'s inner loop
+    (reference models/file.py:50-72): conflicting non-null url / size /
+    shared-algo hash REPLACES the accumulated file wholesale; otherwise
+    extra_data merges overlay-wins, url/size stay immutable, and only
+    new-algo hashes are added."""
+    url_e, size_e = e["file_url"], e["file_size"]
+    extra_e = F.from_json(e["extra_data"], "map<string,variant>")
+    hashes_e = _hashes_map(e["hashes_list"])
+    clash = (
+        (url_e.isNotNull() & acc["url"].isNotNull() & (acc["url"] != url_e))
+        | (size_e.isNotNull() & acc["size"].isNotNull() & (acc["size"] != size_e))
+        | F.exists(
+            F.map_entries(hashes_e),
+            lambda kv: F.map_contains_key(acc["hashes"], kv["key"])
+            & (F.try_element_at(acc["hashes"], kv["key"]) != kv["value"]),
+        )
+    )
+    merged_extra = (
+        F.when(extra_e.isNull(), acc["extra"])
+        .when(acc["extra"].isNull(), extra_e)
+        .otherwise(
+            F.map_concat(
+                F.map_filter(acc["extra"], lambda k, v: ~F.map_contains_key(extra_e, k)),
+                extra_e,
+            )
+        )
+    )
+    merged_hashes = F.map_concat(
+        acc["hashes"],
+        F.map_filter(hashes_e, lambda k, v: ~F.map_contains_key(acc["hashes"], k)),
+    )
+    take_new = (~acc["init"]) | clash
+    return F.struct(
+        F.when(take_new, url_e).otherwise(acc["url"]).alias("url"),
+        F.when(take_new, size_e).otherwise(acc["size"]).alias("size"),
+        F.when(take_new, extra_e).otherwise(merged_extra).alias("extra"),
+        F.when(take_new, hashes_e).otherwise(merged_hashes).alias("hashes"),
+        F.lit(True).alias("init"),
+    )
+
+
+def _merged_files_expr(keyed: DataFrame) -> DataFrame:
+    """Expression-form M7: one shuffle (groupBy the (entity, file) key,
+    map-side partial collect), sort_array establishes fold order —
+    (scan_datetime, snapshot_id, file_id) leads the struct so struct
+    compare ≡ the Python path's sortWithinPartitions — then the
+    ``aggregate`` fold and canonical-JSON rendering, zero Python in the
+    plan. Folding per (entity, file) key equals folding the entity
+    stream because a file key's state only changes on its own rows."""
+    hist = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("scan_datetime"),
+                F.col("submission_snapshot_id"),
+                F.col("file_id"),
+                F.col("file_url"),
+                F.col("file_size"),
+                F.col("extra_data"),
+                F.col("hashes_list"),
+            )
+        )
+    )
+    folded = F.aggregate(F.col("hist"), _m7_acc_init(), _m7_step)
+    hashes_json = F.to_json(
+        F.transform(
+            F.array_sort(F.map_entries(folded["hashes"])),
+            lambda kv: F.struct(
+                kv["key"].alias("algo_id"), kv["value"].alias("hash_b64")
+            ),
+        )
+    )
+    return (
+        keyed.groupBy("website_id", "site_submission_id", "site_file_id")
+        .agg(hist.alias("hist"))
+        .select(
+            "website_id",
+            "site_submission_id",
+            "site_file_id",
+            folded["url"].alias("file_url"),
+            folded["size"].alias("file_size"),
+            _canonical_map_json(folded["extra"]).alias("extra_data"),
+            hashes_json.alias("hashes"),
+        )
+    )
+
+
+def merged_files(
+    submission_snapshots: DataFrame,
+    files: DataFrame,
+    file_hashes: DataFrame | None = None,
+    impl: str = "expr",
+) -> DataFrame:
+    """M7 — current files per submission entity, clash-reset semantics.
+
+    ``impl="expr"`` (production): pure Catalyst expressions — groupBy
+    the (entity, file) key + an ``aggregate`` left fold, no Python eval
+    in the plan. ``impl="python"``: the Arrow-batched mapInPandas fold,
+    kept as the independent golden cross-check the property tests
+    compare against (same float-presentation seam as M5:
+    ``1.0`` renders ``1`` via Jackson).
+    """
+    keyed = _keyed_files(submission_snapshots, files, file_hashes)
+    if impl == "python":
+        # One shuffle on the entity key, sort establishes fold order,
+        # then a streaming mapInPandas fold (see _fold_file_stream for
+        # why this beats a per-group applyInPandas).
+        arranged = keyed.repartition(
+            "website_id", "site_submission_id"
+        ).sortWithinPartitions(
+            "website_id",
+            "site_submission_id",
+            "scan_datetime",
+            "submission_snapshot_id",
+            "file_id",
+        )
+        return arranged.mapInPandas(_fold_file_stream, MERGED_FILES_SCHEMA)
+    return _merged_files_expr(keyed)

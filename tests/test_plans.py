@@ -112,3 +112,12 @@ def test_lsh_candidates_never_broadcast_the_corpus(spark, sf_small):
         assert strategies["BroadcastNestedLoopJoin"] == 0, (name, strategies)
         assert strategies["CartesianProduct"] == 0, (name, strategies)
         assert strategies["SortMergeJoin"] == 0, (name, strategies)
+
+
+def test_m7_expression_fold_has_no_python(spark, sf_small):
+    """The production M7 clash-reset fold is pure Catalyst: a single
+    aggregate left fold after the (entity, file)-key groupBy, with NO
+    Python eval operator in the plan (the mapInPandas kernel survives
+    only as the golden cross-check)."""
+    q = QUERIES["m7_file_clash_merge"](spark, sf_small)
+    assert_plan(q, max_python_evals=0)

@@ -246,3 +246,53 @@ def test_reingest_plus_dedup_equals_single_ingest(spark, rows):
     assert sorted(map(tuple, deduped_once.select(*key_cols).collect())) == sorted(
         map(tuple, deduped_twice.select(*key_cols).collect())
     )
+
+
+@given(file_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merged_files_expr_matches_python_fold(spark, rows):
+    """The production expression-form M7 fold (aggregate over a sorted
+    history) is byte-identical to the Python golden kernel on arbitrary
+    file histories — clash resets, hash unions, extra overlays, null
+    keys and duplicate-algo hash lists included."""
+    from faexport_db_spark.operators.folds import merged_files
+
+    base = datetime(2024, 1, 1)
+    snaps = spark.createDataFrame(
+        [(i, "fa", "s1", base + timedelta(days=i)) for i in range(len(rows))],
+        "submission_snapshot_id bigint, website_id string, "
+        "site_submission_id string, scan_datetime timestamp",
+    )
+    files = spark.createDataFrame(
+        [
+            (i, i, fid, url, size, extra)
+            for i, (fid, url, size, extra, _h) in enumerate(rows)
+        ],
+        "file_id bigint, submission_snapshot_id bigint, site_file_id string, "
+        "file_url string, file_size bigint, extra_data string",
+    )
+    hash_rows = [
+        (i, a, b)
+        for i, (_f, _u, _s, _e, hashes) in enumerate(rows)
+        for a, b in hashes
+    ]
+    hashes = spark.createDataFrame(
+        hash_rows or [(None, None, None)],
+        "file_id bigint, algo_id bigint, hash_b64 string",
+    ).filter("file_id is not null")
+    # merged_files expects raw hash bytes; feed b64 through unbase64
+    from pyspark.sql import functions as F
+
+    hashes = hashes.select(
+        "file_id", "algo_id", F.unbase64("hash_b64").alias("hash_value")
+    )
+
+    def rows_of(df):
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    got = rows_of(merged_files(snaps, files, hashes))
+    want = rows_of(merged_files(snaps, files, hashes, impl="python"))
+    assert got == want
