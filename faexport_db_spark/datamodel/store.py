@@ -91,6 +91,21 @@ def write_child_store(
     )
 
 
+# The reference seeds its settings table with a single version row
+# (schema/faexport_db.sql:116-124); nothing queries it at runtime, but
+# migrations key off it. Same contract here.
+SCHEMA_VERSION = "0.2.1"
+
+
+def seed_settings(spark: SparkSession) -> DataFrame:
+    """The reference's ``settings`` seed row as a DataFrame, typed with
+    the shared SETTINGS schema — persist alongside the dim tables when
+    materializing a store."""
+    from faexport_db_spark.datamodel.schemas import SETTINGS
+
+    return spark.createDataFrame([("version", SCHEMA_VERSION)], SETTINGS)
+
+
 def read_site(spark: SparkSession, table: str, website_id: str) -> DataFrame:
     """Per-site slice of a store table. The equality predicate on the
     partition column turns into a PartitionFilter — only the one

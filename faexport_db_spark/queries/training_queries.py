@@ -490,3 +490,24 @@ def t_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2, iters=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("t_ann_ivf_persisted", oracle=_PLANTED_TOP1_ORACLE)
+def t_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index IVF path end-to-end: build writes the
+    assigned corpus as cid-partitioned parquet (the 100 TB layout —
+    probing prunes to ~nprobe/n_centroids of the data), probe reads it
+    back through the partition filter. Planted scaled copies land in
+    the probed cell (cosine assignment is scale-invariant), so each
+    query's top-1 is its copy at cosine 1.0 — the same driver-checked
+    projection as the inline variant, now through the on-disk index."""
+    import tempfile
+
+    from faexport_db_spark.training.similarity import ivf_build, ivf_topk_persisted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = tempfile.mkdtemp(prefix="faexport_spark_ivf_") + "/index"
+    ivf_build(_planted_embeddings(emb), path, n_centroids=8, iters=2)
+    out = ivf_topk_persisted(spark, path, queries, k=1, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

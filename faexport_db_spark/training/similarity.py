@@ -307,30 +307,10 @@ def ivf_centroids(
     return centroids
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 3,
-    n_centroids: int = 16,
-    nprobe: int = 2,
-    iters: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _probed_queries(
+    queries: DataFrame, centroids: list[list[float]], nprobe: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """IVF approximate top-k: corpus partitioned into centroid cells
-    (one linear assignment pass), queries probe their ``nprobe``
-    nearest cells — an equi-join on cell id, exact cosine inside.
-
-    At 100 TB the assigned corpus is written once partitioned by
-    ``cid`` (partition pruning turns a probe into a ~1/n_centroids
-    scan); here the assignment stays inline.
-    """
-    centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
-    cells = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
-    )
+    """Each query row exploded to its ``nprobe`` nearest cell ids."""
     probe_scored = F.array(
         *[
             F.struct(
@@ -343,9 +323,13 @@ def ivf_topk(
     probes = F.transform(
         F.slice(F.array_sort(probe_scored), 1, nprobe), lambda s: s["cid"]
     )
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("cid", F.explode(probes))
+
+
+def _probe_cells(cells: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Equi-join probed queries to their cells, exact cosine, top-k."""
     scored = (
         cells.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -357,3 +341,87 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells
+    (one linear assignment pass), queries probe their ``nprobe``
+    nearest cells — an equi-join on cell id, exact cosine inside.
+
+    At 100 TB the assigned corpus is written once partitioned by
+    ``cid`` — ``ivf_build`` / ``ivf_topk_persisted`` — so partition
+    pruning turns a probe into a ~nprobe/n_centroids scan; here the
+    assignment stays inline.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cells = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    return _probe_cells(cells, q, k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Build and persist the IVF index: the assigned corpus written
+    ONCE as ``cid``-partitioned parquet — the 100 TB layout, where a
+    probe's cell filter becomes partition pruning and only
+    ~nprobe/n_centroids of the corpus is ever listed or scanned — plus
+    the (tiny) centroid table as an underscore-prefixed JSON sidecar
+    Spark's scanner ignores."""
+    import json
+    import os
+
+    centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    assigned = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index. The probed cell ids (≤ n_centroids
+    values — bounded regardless of corpus size) become an ``isin``
+    partition filter, so the scan prunes to the probed ``cid=``
+    directories before a byte of vector data is read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    probed_cids = [r["cid"] for r in q.select("cid").distinct().collect()]
+    cells = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
+    return _probe_cells(cells, q, k)

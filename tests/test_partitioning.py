@@ -137,3 +137,13 @@ def test_persisted_store_prunes_partitions_and_joins_without_shuffle(
     finally:
         spark.sql("DROP TABLE IF EXISTS store_snaps")
         spark.sql("DROP TABLE IF EXISTS store_files")
+
+
+def test_settings_seed_matches_reference_contract(spark):
+    """The settings version row (reference schema/faexport_db.sql:124)."""
+    from faexport_db_spark.datamodel.store import SCHEMA_VERSION, seed_settings
+
+    rows = seed_settings(spark).collect()
+    assert [(r["setting_id"], r["setting_value"]) for r in rows] == [
+        ("version", SCHEMA_VERSION)
+    ]

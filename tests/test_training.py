@@ -137,3 +137,35 @@ def test_ivf_topk_finds_planted_twins(spark, sf_small):
         # a scaled twin has cosine 1.0 and lands in the SAME cell as its
         # original (cosine assignment is scale-invariant) → always found
         assert ivf[qid] == exact[qid] == qid + 1000000
+
+
+def test_ivf_persisted_prunes_partitions_and_matches_inline(spark, sf_small, tmp_path):
+    """The persisted IVF layout (cid-partitioned parquet) IS the scale
+    story: probing must PRUNE the scan to the probed cid= directories
+    (never listing the rest of the corpus) and return exactly what the
+    inline assignment returns for the same centroids."""
+    from faexport_db_spark.training.similarity import (
+        ivf_build,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    centroids = ivf_build(emb, path, n_centroids=8, iters=2)
+
+    persisted = ivf_topk_persisted(spark, path, queries, k=3, nprobe=2)
+    inline = ivf_topk(emb, queries, k=3, nprobe=2, centroids=centroids)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # partition pruning: only the probed cid= directories are scanned
+    # (input_file_name reflects the files the executed scan actually
+    # read, post-pruning — inputFiles() is the pre-pruning relation)
+    pruned = spark.read.parquet(path).filter(F.col("cid").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all("cid=0" in f or "cid=1" in f for f in files), files
