@@ -38,6 +38,8 @@ HEADLINE = [
     "t_embed_cosine_dedup_lsh",
     "t_text_quality",
     "t_token_count",
+    "t_sequence_pack",
+    "t_corpus_prep",
 ]
 
 

@@ -46,6 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # tz-aware UTC throughout and the DuckDB oracle is tz-naive, so a
     # non-UTC session would shift every collected timestamp.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture timestamps are untagged parquet timestamp[us]; read them
+    # as session-TZ TIMESTAMP (UTC instants), not TIMESTAMP_NTZ, so
+    # event-time watermarks typecheck and DuckDB (naive µs) agrees on
+    # the collected wall-clock values.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = NANO_TS_COLUMNS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

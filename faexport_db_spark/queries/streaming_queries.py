@@ -74,3 +74,24 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
+
+
+@register(
+    "st_first_seen",
+    oracle="""
+    SELECT user_id, min(ts) AS first_ts, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def st_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the cross-batch first-seen stateful operator
+    (streaming/stateful.py: applyInPandasWithState emits each key once,
+    on first arrival, with an idle-timeout-evicted state row). In batch
+    the same contract is a plain min-per-key aggregation — which is the
+    oracle the streaming tests also reconcile against."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_events")
+    )

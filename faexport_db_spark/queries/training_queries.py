@@ -28,6 +28,12 @@ from faexport_db_spark.training.similarity import (
     cosine_near_dup_pairs_lsh,
     lsh_bucketed_topk,
 )
+from faexport_db_spark.training.pipeline import (
+    corpus_prep,
+    sequence_pack,
+    sketch_bounds,
+    stratified_sample,
+)
 from faexport_db_spark.training.text import (
     doc_fingerprint,
     lang_id,
@@ -490,6 +496,120 @@ def t_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2, iters=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "t_sequence_pack",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           CAST(strt // 2048 AS BIGINT) AS pack_id,
+           CAST(strt % 2048 AS BIGINT) AS pack_pos
+    FROM c
+    """,
+)
+def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (concat-and-chunk layout) via a
+    distributed prefix sum — per-chunk cumsums + an O(n_chunks) offset
+    map, never the single-partition global window the oracle's
+    ``OVER (ORDER BY ...)`` implies."""
+    return sequence_pack(_docs(spark, sf_dir), budget=2048)
+
+
+@register(
+    "t_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || ':v1'), 1, 8)) AS BIGINT)
+               AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_key FROM keyed
+    WHERE sample_key < CASE lang
+        WHEN 'en' THEN 2147483648
+        WHEN 'de' THEN 4294967296
+        WHEN 'zh' THEN 1073741824
+        ELSE 429496729 END
+    """,
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling on an md5-derived 32-bit
+    integer key (en 50%, de 100%, zh 25%, rest 10%) — exact integer
+    thresholds, reproducible across engines and re-partitionings."""
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "de": 1.0, "zh": 0.25},
+        default_rate=0.1,
+    )
+
+
+@register(
+    "t_sketch_bounds",
+    oracle="""
+    SELECT CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+           TRUE AS cd_ok, TRUE AS p50_ok
+    FROM documents
+    """,
+)
+def t_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract: HLL++ distinct count within 3·rsd of
+    exact, GK approx-median ranking inside the exact 40th–70th
+    percentile band. The oracle asserts the booleans (and pins the
+    exact count); a sketch regression flips a column and fails the
+    hash."""
+    return sketch_bounds(_docs(spark, sf_dir))
+
+
+@register(
+    "t_corpus_prep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_computed
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(least(len(toks) / 400.0, 1.0) * 0.4
+                   + round(len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','to','in','is','it','for','on'))) * 1.0 / len(toks), 6) * 0.4
+                   + (1.0 - round((n_chars_computed - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                          * 1.0 / n_chars_computed, 6)) * 0.2, 6) AS quality_score
+      FROM t
+    ),
+    kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    reps AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(quality_score) AS min_quality,
+           max(quality_score) AS max_quality
+    FROM reps WHERE rn = 1 GROUP BY lang
+    """,
+)
+def t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite prep pipeline — quality filter (score ≥ 0.5) →
+    exact dedup → per-language corpus stats — in one pass: features
+    computed inline (no self-join), dedup window keyed on the content
+    hash, only survivors shuffle into the stats agg."""
+    return corpus_prep(_docs(spark, sf_dir), min_quality=0.5)
 
 
 @register("t_ann_ivf_persisted", oracle=_PLANTED_TOP1_ORACLE)

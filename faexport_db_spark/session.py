@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Untagged parquet timestamps (timestamp[us], no tz) read as
+        # session-TZ TIMESTAMP, not TIMESTAMP_NTZ: the engine is
+        # UTC-instant throughout and event-time watermarks require
+        # TIMESTAMP type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,201 @@
+"""Corpus-assembly operators for training-data pipelines: sequence
+packing, stratified sampling, sketch-accuracy bounds, and the composite
+filter→dedup→stats prep pipeline.
+
+Scale design notes:
+- ``sequence_pack`` needs a GLOBAL running token offset in doc order —
+  the one pattern a naive window (``Window.orderBy(id)`` with no
+  partitionBy) turns into a single-partition bottleneck. Implemented
+  as the classic distributed prefix sum instead: explicit range chunks
+  (quantile boundaries collected once, so both passes agree), a
+  per-chunk window cumsum running chunk-parallel, and a chunk-count-
+  sized offset table that travels as a literal map. Nothing ever
+  single-partitions; the only driver round-trip is O(n_chunks).
+- ``stratified_sample`` is pure integer arithmetic on an md5-derived
+  key — deterministic across runs/engines (no floats, no rand()), so
+  a resampled pipeline stage reproduces byte-for-byte.
+- ``sketch_bounds`` pins the approximate aggregates (HyperLogLog++
+  distinct count, GK percentile) against exact values computed in the
+  same job — the contract check you run before trusting sketches on
+  the 100 TB corpus where exact computation is the thing being avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from faexport_db_spark.training.text import BPE_ISH_PATTERN, quality_features
+
+
+def _bpe_count(text_col: str) -> Column:
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "bigint"
+    )
+
+
+def _chunk_pid(id_col: str, bounds: list[float]) -> Column:
+    """Range-chunk id from explicit boundaries: pid = #bounds < id.
+    A pure expression (recomputable identically in every pass), unlike
+    ``spark_partition_id()`` which depends on physical planning."""
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(id_col) > F.lit(b)).cast("int")
+    return pid
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences ("packs").
+
+    Docs are laid head-to-tail in ``id_col`` order; a doc belongs to the
+    pack where its first token lands (``pack_id = start_offset div
+    budget``) and ``pack_pos`` is its offset within that pack — the
+    standard concat-and-chunk pretraining layout, deterministic given
+    the corpus.
+
+    Distributed prefix sum: quantile chunk boundaries (collected ONCE,
+    reused by both passes), per-chunk window cumsum, then per-chunk
+    offsets — n_chunks rows — collected and re-broadcast as a literal
+    map. The naive alternative, a global ``Window.orderBy(id)``, plans
+    an Exchange SinglePartition and funnels the whole corpus through
+    one task; this never does (asserted in tests/test_plans.py).
+    """
+    sized = docs.select(F.col(id_col), _bpe_count(text_col).alias("n_tokens"))
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = sorted(set(sized.approxQuantile(id_col, probs, 0.001)))
+    chunked = sized.withColumn("__pid", _chunk_pid(id_col, bounds))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = chunked.withColumn("__cum", F.sum("n_tokens").over(w))
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    start = (
+        F.element_at(offset_map, F.col("__pid")).cast("bigint")
+        + F.col("__cum")
+        - F.col("n_tokens")
+    )
+    return local.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        start.alias("__start"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"__start div {budget}").alias("pack_id"),
+        (F.col("__start") % budget).alias("pack_pos"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance languages
+    or sources before training). A doc is kept iff its md5-derived
+    32-bit key falls under the stratum's threshold — exact integer
+    comparison, no floats and no ``rand()``, so the sample is
+    reproducible across runs, engines and re-partitionings, and
+    changing ``salt`` draws an independent sample.
+
+    Output: (id, stratum, sample_key) for kept docs.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    thresholds = {s: int(r * (1 << 32)) for s, r in rates.items()}
+    thr = F.lit(int(default_rate * (1 << 32)))
+    for s in sorted(thresholds):
+        thr = F.when(F.col(stratum_col) == s, F.lit(thresholds[s])).otherwise(thr)
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), key.alias("sample_key"))
+        .filter(F.col("sample_key") < thr)
+    )
+
+
+def sketch_bounds(
+    docs: DataFrame, text_col: str = "text", size_col: str = "n_chars"
+) -> DataFrame:
+    """Accuracy contract for the approximate aggregates: HyperLogLog++
+    ``approx_count_distinct`` (rsd 5%) must land within 3·rsd of the
+    exact distinct count, and the GK ``percentile_approx`` median must
+    rank between the 40th and 70th exact percentiles. Output is one
+    row: (exact_distinct, cd_ok, p50_ok) — the booleans are what the
+    driver oracle checks, the exact count pins the data itself.
+    """
+    base = docs.select(F.col(text_col).alias("t"), F.col(size_col).alias("s"))
+    stats = base.agg(
+        F.count_distinct("t").alias("exact_distinct"),
+        F.approx_count_distinct("t", 0.05).alias("acd"),
+        F.percentile_approx("s", 0.5, 10000).alias("p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = base.crossJoin(F.broadcast(stats)).agg(
+        F.first("exact_distinct").alias("exact_distinct"),
+        F.first("acd").alias("acd"),
+        F.first("n").alias("n"),
+        F.sum((F.col("s") <= F.col("p50")).cast("bigint")).alias("cnt_le"),
+    )
+    cd_ok = (
+        F.abs(F.col("acd") - F.col("exact_distinct"))
+        <= F.lit(0.15) * F.col("exact_distinct")
+    )
+    frac = F.col("cnt_le").cast("double") / F.col("n")
+    p50_ok = (frac >= 0.40) & (frac <= 0.70)
+    return ranked.select(
+        F.col("exact_distinct"), cd_ok.alias("cd_ok"), p50_ok.alias("p50_ok")
+    )
+
+
+def corpus_prep(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """The composite pre-training prep pipeline: quality filter →
+    exact dedup (lowest-id representative per content hash) → per-
+    stratum corpus stats. One pass computes the quality features
+    inline (no self-join back to the source), the dedup is the usual
+    hash-keyed window, and the stats shuffle only the survivors.
+
+    Output: (stratum, n_docs, sum_tokens, min_quality, max_quality)
+    — min/max are order-independent (exactly reproducible), unlike a
+    float mean.
+    """
+    feats = quality_features(docs, text_col=text_col, id_col=id_col, keep=(stratum_col, text_col))
+    kept = feats.filter(F.col("quality_score") >= min_quality)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
+    reps = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return reps.groupBy(F.col(stratum_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )

@@ -137,6 +137,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 250_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
     cosine ≥ threshold) — the correctness baseline for embedding dedup.
@@ -144,8 +145,18 @@ def cosine_near_dup_pairs(
     All-pairs with one side broadcast: right for corpora that fit a
     broadcast (dim tables, per-partition blocks); at 100 TB use
     ``cosine_near_dup_pairs_lsh`` — same verify expression, candidates
-    from bucket joins instead of the quadratic product.
+    from bucket joins instead of the quadratic product. ``max_rows``
+    guards against accidentally pointing the O(n²) baseline at a
+    corpus it can never finish (pass ``None`` to bypass, knowingly).
     """
+    if max_rows is not None:
+        n = corpus.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs is the O(n²) exact baseline; corpus has "
+                f"{n} rows (> max_rows={max_rows}). Use cosine_near_dup_pairs_lsh "
+                f"at this scale, or pass max_rows=None to force the quadratic scan."
+            )
     a = fan_out(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

@@ -58,12 +58,17 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def quality_features(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quality-signal features + a composite score: char length, token
     count, mean token length, stopword ratio, non-alnum ratio. The
     score is a fixed linear blend — the operator contract (per-doc
-    bounded score usable as a filter threshold) is what matters."""
+    bounded score usable as a filter threshold) is what matters.
+    ``keep`` carries extra source columns through (so a downstream
+    filter/groupBy never needs a self-join back to the corpus)."""
     toks = tokens_expr(text_col)
     n_chars = F.length(text_col)
     n_toks = F.size(toks)
@@ -87,6 +92,7 @@ def quality_features(
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.cast("bigint").alias("n_chars_computed"),
         n_toks.cast("bigint").alias("n_tokens"),
         mean_tok.alias("mean_token_len"),

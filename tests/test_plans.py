@@ -121,3 +121,26 @@ def test_m7_expression_fold_has_no_python(spark, sf_small):
     only as the golden cross-check)."""
     q = QUERIES["m7_file_clash_merge"](spark, sf_small)
     assert_plan(q, max_python_evals=0)
+
+
+def test_sequence_pack_never_single_partitions(spark, sf_small):
+    """The global-offset computation must be a distributed prefix sum:
+    a naive ``Window.orderBy(doc_id)`` plans Exchange SinglePartition
+    and funnels the corpus through one task — forbidden here."""
+    from faexport_db_spark.plans.audit import _physical_plan
+    from faexport_db_spark.training.pipeline import sequence_pack
+
+    docs = load_table(spark, sf_small, "documents")
+    df = sequence_pack(docs, budget=2048)
+    assert "SinglePartition" not in _physical_plan(df)
+    assert_plan(df, max_python_evals=0)
+
+
+def test_stratified_sample_is_pure_map(spark, sf_small):
+    """Sampling is a filter over per-row arithmetic — zero shuffles,
+    predicate-free scan aside, nothing but a narrow projection."""
+    from faexport_db_spark.training.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    df = stratified_sample(docs, rates={"en": 0.5}, default_rate=0.1)
+    assert_plan(df, max_shuffles=0, max_python_evals=0)

@@ -169,3 +169,53 @@ def test_ivf_persisted_prunes_partitions_and_matches_inline(spark, sf_small, tmp
     assert "PartitionFilters" in plan and "cid" in plan, plan
     files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
     assert files and all("cid=0" in f or "cid=1" in f for f in files), files
+
+
+def test_sequence_pack_matches_naive_global_window(spark, sf_small):
+    """The distributed prefix sum must equal the single-window
+    formulation row-for-row (same start offsets ⇒ same pack layout)."""
+    from pyspark.sql.window import Window
+
+    from faexport_db_spark.training.pipeline import _bpe_count, sequence_pack
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {r["doc_id"]: (r["pack_id"], r["pack_pos"], r["n_tokens"])
+           for r in sequence_pack(docs, budget=512).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        docs.select("doc_id", _bpe_count("text").alias("n_tokens"))
+        .withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select("doc_id", "n_tokens",
+                F.expr("start div 512").alias("pack_id"),
+                (F.col("start") % 512).alias("pack_pos"))
+    )
+    want = {r["doc_id"]: (r["pack_id"], r["pack_pos"], r["n_tokens"]) for r in naive.collect()}
+    assert got == want
+    # every doc starts inside its pack's budget window
+    assert all(0 <= pos < 512 for (_pid, pos, _n) in got.values())
+
+
+def test_stratified_sample_deterministic_and_salted(spark, sf_small):
+    from faexport_db_spark.training.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.25}
+    a = {r["doc_id"] for r in stratified_sample(docs, rates, 0.1).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, rates, 0.1).collect()}
+    assert a == b  # reruns reproduce exactly (no rand(), no partition dependence)
+    c = {r["doc_id"] for r in stratified_sample(docs, rates, 0.1, salt="v2").collect()}
+    assert a != c  # a new salt draws an independent sample
+    # de is kept at 100%: every de doc must survive
+    n_de = docs.filter(F.col("lang") == "de").count()
+    kept_de = stratified_sample(docs, rates, 0.1).filter(F.col("lang") == "de").count()
+    assert kept_de == n_de
+
+
+def test_exact_cosine_baseline_guard(spark, sf_small):
+    """The O(n²) baseline refuses corpora past max_rows, and names the
+    scale path in the error."""
+    from faexport_db_spark.training.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_small, "embeddings")
+    with pytest.raises(ValueError, match="cosine_near_dup_pairs_lsh"):
+        cosine_near_dup_pairs(emb, max_rows=1)
