@@ -332,7 +332,7 @@ def _m7_acc_init() -> Column:
     return F.expr(
         """named_struct(
           'url', cast(null as string), 'size', cast(null as bigint),
-          'extra', cast(null as map<string,variant>),
+          'extra', cast(null as map<string,string>),
           'hashes', cast(map() as map<bigint,string>), 'init', false)"""
     )
 
@@ -365,10 +365,16 @@ def _m7_step(acc: Column, e: Column) -> Column:
     (reference models/file.py:50-72): conflicting non-null url / size /
     shared-algo hash REPLACES the accumulated file wholesale; otherwise
     extra_data merges overlay-wins, url/size stay immutable, and only
-    new-algo hashes are added."""
+    new-algo hashes are added.
+
+    ``extra_map`` / ``hmap`` arrive PRE-PARSED (projected map-side
+    before the collect): higher-order lambdas evaluate interpreted and
+    without common-subexpression elimination, so a ``from_json`` here
+    would re-parse the JSON at every one of its ~3 occurrences per
+    step — measured ~40% of the whole query."""
     url_e, size_e = e["file_url"], e["file_size"]
-    extra_e = F.from_json(e["extra_data"], "map<string,variant>")
-    hashes_e = _hashes_map(e["hashes_list"])
+    extra_e = e["extra_map"]
+    hashes_e = e["hmap"]
     clash = (
         (url_e.isNotNull() & acc["url"].isNotNull() & (acc["url"] != url_e))
         | (size_e.isNotNull() & acc["size"].isNotNull() & (acc["size"] != size_e))
@@ -404,13 +410,21 @@ def _m7_step(acc: Column, e: Column) -> Column:
 
 def _merged_files_expr(keyed: DataFrame) -> DataFrame:
     """Expression-form M7: one shuffle (groupBy the (entity, file) key,
-    map-side partial collect), sort_array establishes fold order —
-    (scan_datetime, snapshot_id, file_id) leads the struct so struct
-    compare ≡ the Python path's sortWithinPartitions — then the
-    ``aggregate`` fold and canonical-JSON rendering, zero Python in the
-    plan. Folding per (entity, file) key equals folding the entity
-    stream because a file key's state only changes on its own rows."""
-    hist = F.array_sort(
+    map-side partial collect), a comparator ``array_sort`` establishes
+    fold order on the (scan_datetime, snapshot_id, file_id) key prefix,
+    then the ``aggregate`` fold and canonical-JSON rendering, zero
+    Python in the plan. Folding per (entity, file) key equals folding
+    the entity stream because a file key's state only changes on its
+    own rows. JSON/hash-list parsing happens ONCE per row in the
+    pre-collect projection, not inside the interpreted fold lambda."""
+    # Collect raw (orderable) structs so array_sort runs the native
+    # struct comparison — the (scan_datetime, snapshot_id, file_id)
+    # prefix decides every comparison (snapshot ids are unique), same
+    # order the Python path's sortWithinPartitions establishes. Parsing
+    # happens in ONE transform pass after the sort, so the JSON/hash
+    # list is parsed exactly once per row — never inside the fold step,
+    # where the interpreted lambda would re-parse per occurrence.
+    sorted_raw = F.array_sort(
         F.collect_list(
             F.struct(
                 F.col("scan_datetime"),
@@ -422,6 +436,22 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
                 F.col("hashes_list"),
             )
         )
+    )
+    hist = F.transform(
+        sorted_raw,
+        lambda e: F.struct(
+            e["file_url"].alias("file_url"),
+            e["file_size"].alias("file_size"),
+            # Values render to canonical JSON strings HERE (variant's
+            # to_json is key-sorted at every nesting level), so the
+            # fold steps work on cheap string maps; only the few
+            # surviving rows re-parse for the final rendering.
+            F.transform_values(
+                F.from_json(e["extra_data"], "map<string,variant>"),
+                lambda _k, v: F.to_json(v),
+            ).alias("extra_map"),
+            _hashes_map(e["hashes_list"]).alias("hmap"),
+        ),
     )
     folded = F.aggregate(F.col("hist"), _m7_acc_init(), _m7_step)
     hashes_json = F.to_json(
@@ -441,7 +471,9 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
             "site_file_id",
             folded["url"].alias("file_url"),
             folded["size"].alias("file_size"),
-            _canonical_map_json(folded["extra"]).alias("extra_data"),
+            _canonical_map_json(
+                F.transform_values(folded["extra"], lambda _k, v: F.parse_json(v))
+            ).alias("extra_data"),
             hashes_json.alias("hashes"),
         )
     )
@@ -451,16 +483,22 @@ def merged_files(
     submission_snapshots: DataFrame,
     files: DataFrame,
     file_hashes: DataFrame | None = None,
-    impl: str = "expr",
+    impl: str = "python",
 ) -> DataFrame:
     """M7 — current files per submission entity, clash-reset semantics.
 
-    ``impl="expr"`` (production): pure Catalyst expressions — groupBy
-    the (entity, file) key + an ``aggregate`` left fold, no Python eval
-    in the plan. ``impl="python"``: the Arrow-batched mapInPandas fold,
-    kept as the independent golden cross-check the property tests
-    compare against (same float-presentation seam as M5:
-    ``1.0`` renders ``1`` via Jackson).
+    ``impl="python"`` (default): the Arrow-batched streaming mapInPandas
+    fold. ``impl="expr"``: pure Catalyst expressions — groupBy the
+    (entity, file) key + an ``aggregate`` left fold, no Python eval in
+    the plan (property-tested equal; same float-presentation seam as
+    M5: ``1.0`` renders ``1`` via Jackson).
+
+    Measured head-to-head at sf0.1 (100k events → 7.5k files,
+    best-of-3 noop writes): python ≈ 1.2 s, expr ≈ 1.4 s — even with
+    parse-once-per-row and string-map fold state, the interpreted
+    higher-order ``aggregate`` lambda trails the compiled columnar
+    fold, so the measured-faster path is the default and the
+    expression form is the opt-in for Python-worker-free clusters.
     """
     keyed = _keyed_files(submission_snapshots, files, file_hashes)
     if impl == "python":

@@ -257,16 +257,12 @@ def m6_newest_recorded_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m7_file_clash_merge")  # stateful ordered fold — no SQL oracle (rows-only)
-def m7_file_clash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 clash-reset file merge, driven on events recast as file rows:
-    entity=user, site_file_id=event_type, url/size derived from value —
-    url changes across the stream force clash resets.
-
-    Reference semantics: models/file.py:50-72, models/submission.py:89-104;
-    golden unit tests pin the exact fold. Not SQL-expressible (a clash
-    discards accumulated hash state), so the driver records rows-only.
-    """
+def m7_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The (snapshots, files, hashes) trio driving M7: events recast as
+    file rows — entity=user, site_file_id=event_type, url/size derived
+    from value so url changes across the stream force clash resets."""
     ev = _events(spark, sf_dir)
     snaps = ev.select(
         F.lit("events").alias("website_id"),
@@ -287,7 +283,18 @@ def m7_file_clash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint").alias("algo_id"),
         F.unhex(F.md5(F.col("event_type"))).alias("hash_value"),
     )
-    return merged_files(snaps, files, hashes)
+    return snaps, files, hashes
+
+
+@register("m7_file_clash_merge")  # stateful ordered fold — no SQL oracle (rows-only)
+def m7_file_clash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 clash-reset file merge over the ``m7_parts`` recast.
+
+    Reference semantics: models/file.py:50-72, models/submission.py:89-104;
+    golden unit tests pin the exact fold. Not SQL-expressible (a clash
+    discards accumulated hash state), so the driver records rows-only.
+    """
+    return merged_files(*m7_parts(spark, sf_dir))
 
 
 @register(

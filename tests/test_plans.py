@@ -115,12 +115,20 @@ def test_lsh_candidates_never_broadcast_the_corpus(spark, sf_small):
 
 
 def test_m7_expression_fold_has_no_python(spark, sf_small):
-    """The production M7 clash-reset fold is pure Catalyst: a single
-    aggregate left fold after the (entity, file)-key groupBy, with NO
-    Python eval operator in the plan (the mapInPandas kernel survives
-    only as the golden cross-check)."""
-    q = QUERIES["m7_file_clash_merge"](spark, sf_small)
-    assert_plan(q, max_python_evals=0)
+    """The expression-form M7 clash-reset fold is pure Catalyst: a
+    single aggregate left fold after the (entity, file)-key groupBy,
+    with NO Python eval operator in the plan. (The Arrow-batched
+    mapInPandas fold measured faster at sf0.1 and is the default —
+    see merged_files — so the audit targets the expr variant, and the
+    default's Python footprint is pinned to exactly one streaming
+    MapInPandas below.)"""
+    from faexport_db_spark.queries.merge_queries import m7_parts
+
+    snaps, files, hashes = m7_parts(spark, sf_small)
+    from faexport_db_spark.operators.folds import merged_files
+
+    assert_plan(merged_files(snaps, files, hashes, impl="expr"), max_python_evals=0)
+    assert_plan(merged_files(snaps, files, hashes, impl="python"), max_python_evals=1)
 
 
 def test_sequence_pack_never_single_partitions(spark, sf_small):
