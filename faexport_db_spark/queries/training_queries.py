@@ -16,6 +16,7 @@ from faexport_db_spark.datamodel.testdata import load_table
 from faexport_db_spark.operators.partitioning import fan_out
 from faexport_db_spark.queries.registry import register
 from faexport_db_spark.training.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
     simhash_dedup_pairs,
@@ -120,6 +121,56 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "t_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] ELSE t[i] END
+             ))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ),
+    u AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM u
+      UNION
+      SELECT r.src, u2.dst FROM reach r JOIN u u2 ON r.dst = u2.src
+      WHERE u2.dst <> r.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+    FROM reach GROUP BY src
+    """,
+)
+def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS: connected components over the
+    exact bigram-Jaccard pair graph, each clustered doc labeled with
+    its cluster's min id (the representative a dedup keeps). Spark runs
+    iterative min-label propagation (O(diameter) joins, checkpointed
+    lineage); the oracle replays it as a recursive-CTE transitive
+    closure over the identical edge set."""
+    pairs = t_ngram_jaccard_pairs(spark, sf_dir)
+    return dedup_clusters(pairs)
 
 
 @register("t_minhash_lsh_dedup")  # xxhash64 signatures aren't DuckDB-reproducible
@@ -526,6 +577,40 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, never the single-partition global window the oracle's
     ``OVER (ORDER BY ...)`` implies."""
     return sequence_pack(_docs(spark, sf_dir), budget=2048)
+
+
+@register(
+    "t_pack_manifest",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM sized
+    )
+    SELECT CAST(strt // 2048 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def t_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-level manifest over the sequence packing: docs and token
+    mass per pack (a doc counts toward the pack where it starts, so
+    boundary packs can carry straddle overflow) — the loader-side
+    index a packed dataset ships with."""
+    packed = sequence_pack(_docs(spark, sf_dir), budget=2048)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
 
 
 @register(

@@ -303,3 +303,62 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every clustered
+    doc labeled with its cluster's minimum id (the canonical
+    representative a dedup keeps). Output: (doc_id, cluster_rep) for
+    every doc that appears in a pair.
+
+    Iterative min-label propagation — the standard Spark CC shape:
+    each round joins labels across edges and takes the elementwise min,
+    converging in O(diameter) rounds (near-dup clusters are shallow;
+    chains longer than ~20 hops mean the threshold is wrong). Each
+    round is one equi-join + one groupBy on uniform keys; lineage is
+    truncated with localCheckpoint so the plan doesn't grow per round.
+    At massive-graph scale swap the loop body for the large-star/
+    small-star rewrite (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same fixpoint, fewer skew hazards.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))

@@ -219,3 +219,15 @@ def test_exact_cosine_baseline_guard(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     with pytest.raises(ValueError, match="cosine_near_dup_pairs_lsh"):
         cosine_near_dup_pairs(emb, max_rows=1)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A 4-hop chain collapses to one cluster labeled by its min id;
+    a disjoint pair keeps its own representative."""
+    from faexport_db_spark.training.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
