@@ -194,9 +194,7 @@ _TRIGRAM_SHINGLES_SQL = """
 """
 
 
-@register(
-    "t_minhash_lsh_checked",
-    oracle=f"""
+_PLANTED_JACCARD_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
     tm AS (SELECT doc_id,
                   string_split_regex(trim(regexp_replace(text, '^\\S+', 'zzz')), '\\s+') AS toks
@@ -210,8 +208,10 @@ _TRIGRAM_SHINGLES_SQL = """
       FROM sh a JOIN shm m USING (doc_id)
     )
     SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
-    """,
-)
+"""
+
+
+@register("t_minhash_lsh_checked", oracle=_PLANTED_JACCARD_ORACLE)
 def t_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable projection of the MinHash-LSH pipeline: the
     verified pairs restricted to the planted (doc, mutated-doc) axis
@@ -221,6 +221,32 @@ def t_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64, so the projection is deterministic; recall on the planted
     stratum is empirically 100% at sf0.001/0.01/0.1."""
     out = minhash_dedup_pairs(_mutated_corpus(_docs(spark, sf_dir)), threshold=0.6)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
+@register("t_minhash_incremental_checked", oracle=_PLANTED_JACCARD_ORACLE)
+def t_minhash_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of the INCREMENTAL MinHash path:
+    the corpus's band index is built (persisted, signed once), then a
+    mutated batch probes it — the recovered (corpus doc, mutated doc)
+    pairs must equal the same exact-Jaccard axis the self-join
+    formulation is checked against. Pins the index layout, the probe
+    equi-join and the cross-corpus verify end-to-end."""
+    import tempfile
+
+    from faexport_db_spark.training.dedup import (
+        minhash_build_index,
+        minhash_dedup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="faexport_spark_mh_") + "/index"
+    minhash_build_index(docs, idx)
+    batch = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    out = minhash_dedup_against_index(batch, docs, idx, threshold=0.6)
     return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
 
 

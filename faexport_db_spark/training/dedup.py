@@ -362,3 +362,85 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def minhash_build_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus's MinHash band index: one (band_idx,
+    band_hash, id) row per band per doc, written as parquet partitioned
+    by ``band_idx`` and sorted by ``band_hash`` within files.
+
+    This is the incremental-dedup layout for a corpus that does NOT get
+    re-signed per batch: signatures are computed once (map-side, no
+    shuffle) and probed forever after. A probe broadcasts the (small)
+    batch's band rows and streams the index through ONE scan with no
+    index-side shuffle; the band_idx partitioning keeps per-band files
+    independently listable/parallelizable (and lets a targeted rebuild
+    rewrite one band). Uniform hash keys mean min/max row-group
+    pruning can't help here — the economics come from never re-signing
+    the corpus, not from skipping index bytes."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    (
+        banded.repartition("band_idx")
+        .sortWithinPartitions("band_hash")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+
+
+def minhash_dedup_against_index(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an indexed corpus — the
+    incremental path: only the batch is signed (map-side); candidates
+    come from an equi-join of batch band rows against the persisted
+    index (linear in batch size, corpus never re-signed); exact-Jaccard
+    verification scans corpus text only for candidate ids via the
+    usual broadcast semi-join. Output: (id_a, id_b, jaccard) with
+    id_a = corpus doc, id_b = new doc.
+
+    Self-duplicates WITHIN the batch are deliberately out of scope —
+    run ``minhash_dedup_pairs`` on the batch alone for that half.
+    """
+    spark = new_docs.sparkSession
+    index = spark.read.parquet(index_path)
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_perm, shingle_n)
+    new_banded = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    cand = (
+        index.join(
+            F.broadcast(new_banded), ["band_idx", "band_hash"]
+        )
+        .filter(F.col(id_col) != F.col("new_id"))
+        .select(F.col(id_col).alias("id_a"), F.col("new_id").alias("id_b"))
+    )
+    both = corpus.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    return _verify_jaccard(both, cand, text_col, id_col, shingle_n, threshold)

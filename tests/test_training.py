@@ -231,3 +231,37 @@ def test_dedup_clusters_transitive_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_minhash_incremental_index_probe(spark, sf_small, tmp_path):
+    """Build the band index over the corpus once; probing it with a
+    mutated batch finds every planted (corpus, batch) pair the batch
+    self-join formulation finds — without re-signing the corpus. The
+    probe plan never shuffles the index side (batch broadcasts)."""
+    from faexport_db_spark.plans.audit import join_strategies
+    from faexport_db_spark.training.dedup import (
+        minhash_build_index,
+        minhash_dedup_against_index,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh_index")
+    minhash_build_index(docs, idx)
+    batch = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    out = minhash_dedup_against_index(batch, docs, idx)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # the planted axis from the self-join formulation, restricted to
+    # (corpus, batch) pairs — must be recovered exactly
+    full = minhash_dedup_pairs(docs.unionByName(batch), threshold=0.6)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.filter(
+            (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+        ).collect()
+    }
+    assert want and got == want
+    strategies = join_strategies(out)
+    assert strategies["SortMergeJoin"] == 0 and strategies["BroadcastHashJoin"] >= 1
