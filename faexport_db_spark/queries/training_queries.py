@@ -528,6 +528,43 @@ def t_embed_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
 
 
+@register(
+    "t_embed_incremental_checked",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+             {_PLANTED_COSINE_SQL} AS cosine
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+)
+def t_embed_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of the INCREMENTAL embedding-dedup
+    path: the corpus's LSH code table is persisted once, then a batch
+    of scaled copies probes it. A scaled copy keeps every hyperplane
+    sign, so each planted (corpus, batch) pair shares the exact bucket
+    the probe hits first and must survive at cosine 1.0 — pinning the
+    persisted code layout, the probe join and the cross-corpus verify."""
+    import tempfile
+
+    from faexport_db_spark.training.similarity import (
+        embed_dedup_against_index,
+        embed_lsh_build_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = tempfile.mkdtemp(prefix="faexport_spark_elsh_") + "/index"
+    embed_lsh_build_index(emb, idx)
+    two = F.lit(2.0).cast("float")
+    batch = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * two).cast("float")).alias("embedding"),
+    )
+    out = embed_dedup_against_index(batch, emb, idx, threshold=0.95)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
 _PLANTED_TOP1_ORACLE = f"""
     SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
            {_PLANTED_COSINE_SQL} AS cosine, CAST(1 AS BIGINT) AS rank

@@ -436,3 +436,70 @@ def ivf_topk_persisted(
     probed_cids = [r["cid"] for r in q.select("cid").distinct().collect()]
     cells = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
     return _probe_cells(cells, q, k)
+
+
+def embed_lsh_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus's hyperplane-LSH code table: (bucket, vid)
+    parquet — coded once, probed by every future batch. The hyperplanes
+    derive from the fixed seed, so batch and index codes always agree
+    without storing the planes."""
+    coded = fan_out(corpus).select(
+        F.col(id_col).alias("vid"),
+        _code_expr(F.col(vec_col), _hyperplanes(dim, nbits, seed)).alias("bucket"),
+    )
+    coded.write.mode("overwrite").parquet(path)
+
+
+def embed_dedup_against_index(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs between a NEW batch and an indexed
+    corpus — the incremental analog of ``cosine_near_dup_pairs_lsh``:
+    only the batch is coded; candidates come from joining the batch's
+    probe codes (own bucket + every Hamming-1 neighbor, so recall
+    matches the self-join formulation's Hamming-≤1 expansion) against
+    the persisted code table — one index scan, no corpus re-coding, no
+    index-side shuffle (batch probes broadcast). Exact cosine verifies
+    in a single scan over candidate vectors. Output: (id_a, id_b,
+    cosine) with id_a = corpus vector, id_b = new vector."""
+    spark = new_vecs.sparkSession
+    planes = _hyperplanes(dim, nbits, seed)
+    index = spark.read.parquet(index_path)
+    bit_masks = F.array(*[F.lit(1 << i) for i in range(nbits)])
+    probe_codes = F.array_union(
+        F.array(F.col("q_bucket")),
+        F.transform(bit_masks, lambda m: F.col("q_bucket").bitwiseXOR(m)),
+    )
+    probes = (
+        new_vecs.select(
+            F.col(id_col).alias("new_id"),
+            _code_expr(F.col(vec_col), planes).alias("q_bucket"),
+        )
+        .withColumn("bucket", F.explode(probe_codes))
+        .select("new_id", "bucket")
+    )
+    cand = (
+        index.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vid") != F.col("new_id"))
+        .select(F.col("vid").alias("id_a"), F.col("new_id").alias("id_b"))
+    )
+    both = corpus.select(id_col, vec_col).unionByName(new_vecs.select(id_col, vec_col))
+    return _pair_cosines(both, cand, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
+    )

@@ -265,3 +265,36 @@ def test_minhash_incremental_index_probe(spark, sf_small, tmp_path):
     assert want and got == want
     strategies = join_strategies(out)
     assert strategies["SortMergeJoin"] == 0 and strategies["BroadcastHashJoin"] >= 1
+
+
+def test_embed_incremental_index_probe(spark, sf_small, tmp_path):
+    """The persisted-code-table probe recovers exactly the (corpus,
+    batch) pairs the self-join LSH formulation finds, without re-coding
+    the corpus; the index side never sort-merge-joins."""
+    from faexport_db_spark.plans.audit import join_strategies
+    from faexport_db_spark.training.similarity import (
+        cosine_near_dup_pairs_lsh,
+        embed_dedup_against_index,
+        embed_lsh_build_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "elsh_index")
+    embed_lsh_build_index(emb, idx)
+    two = F.lit(2.0).cast("float")
+    batch = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * two).cast("float")).alias("embedding"),
+    )
+    out = embed_dedup_against_index(batch, emb, idx, threshold=0.95)
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in out.collect()}
+    full = cosine_near_dup_pairs_lsh(emb.unionByName(batch), threshold=0.95)
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in full.filter(
+            (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+        ).collect()
+    }
+    assert want and got == want
+    strategies = join_strategies(out)
+    assert strategies["SortMergeJoin"] == 0 and strategies["BroadcastHashJoin"] >= 1
