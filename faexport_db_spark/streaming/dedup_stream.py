@@ -1,0 +1,132 @@
+"""Streaming near-duplicate filtering against a growing corpus index.
+
+The production shape for continuous corpus assembly: documents arrive
+as a stream; each micro-batch is MinHash-signed (only the batch —
+map-side, no shuffle), probed against the persisted band index for
+near-duplicates of everything accepted so far, and the survivors are
+appended to BOTH the document store and the index — so batch N+1
+automatically dedups against batch N without any corpus re-signing.
+
+foreachBatch is the right tool (not a stateful operator): the dedup
+state is the index itself — durable parquet, shared with batch jobs,
+unbounded in size but never held in executor memory. Watermark-bounded
+operator state could not hold a corpus-lifetime seen-set; the index
+can, because probing it is one broadcast-join scan per batch
+(training/dedup.py::minhash_dedup_against_index).
+
+Within-batch self-duplicates are handled by the self-join formulation
+on the (small) batch alone — the two halves the incremental API splits
+are both applied here.
+
+Delivery: at-least-once appends under the stream checkpoint, same
+contract as ingest_stream.py; a re-delivered batch's docs are exact
+re-appends that the maintenance dedup collapses, and re-appended band
+rows are harmless duplicate candidates (the verify stage's per-pair
+groupBy collapses them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from faexport_db_spark.training.dedup import (
+    _band_hashes,
+    minhash_dedup_pairs,
+    minhash_dedup_against_index,
+    minhash_signatures,
+)
+
+
+def _band_rows(
+    docs: DataFrame, text_col: str, id_col: str, num_perm: int, bands: int, shingle_n: int
+) -> DataFrame:
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """One micro-batch step: return the batch rows that are NOT
+    near-duplicates of the indexed corpus or of an earlier row in the
+    same batch (lowest id wins within a batch), and append the
+    survivors to the store and their band rows to the index.
+
+    First batch (no index yet) skips the probe — everything new is
+    self-deduped only.
+    """
+    spark = batch.sparkSession
+    batch = batch.select(id_col, text_col)
+
+    dup_ids = None
+    try:
+        corpus = spark.read.parquet(store_path)
+        cross = minhash_dedup_against_index(
+            batch, corpus, index_path, text_col, id_col,
+            num_perm, bands, shingle_n, threshold,
+        )
+        dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
+    except AnalysisException as exc:
+        # ONLY the missing-store/index case means "first batch"; any
+        # other read failure must propagate so the micro-batch retries
+        # (same rule as merged_view_stream.py — a swallowed transient
+        # error here would let duplicates through silently).
+        if exc.getCondition() != "PATH_NOT_FOUND":
+            raise
+    self_pairs = minhash_dedup_pairs(
+        batch, text_col, id_col, num_perm, bands, shingle_n, threshold
+    )
+    self_dups = self_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dup_ids = self_dups if dup_ids is None else dup_ids.unionByName(self_dups).distinct()
+
+    survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    # Materialize ONCE before the two appends (probe + anti-join would
+    # otherwise recompute per sink write).
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("append").parquet(store_path)
+    (
+        _band_rows(survivors, text_col, id_col, num_perm, bands, shingle_n)
+        .write.mode("append")
+        .partitionBy("band_idx")
+        .parquet(index_path)
+    )
+    return survivors
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``dedup_batch_against_store`` into a streaming query via
+    foreachBatch. ``source`` is any streaming DataFrame with
+    (doc_id, text) columns."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        dedup_batch_against_store(batch_df, store_path, index_path, **dedup_kwargs)
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

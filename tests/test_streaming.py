@@ -289,3 +289,44 @@ def test_failed_batch_redelivery_then_dedup_is_exactly_once(spark, tmp_path):
         got_rows = sorted(map(tuple, clean[n].select(*cols).collect()))
         want_rows = sorted(map(tuple, want[n].select(*cols).collect()))
         assert got_rows == want_rows, f"{n}: crash+redeliver+cleanup != single delivery"
+
+
+def test_streaming_dedup_filters_within_and_across_batches(spark, sf_small, tmp_path):
+    """foreachBatch dedup against the growing band index: batch 1 drops
+    its internal near-dup; batch 2's near-dup of a batch-1 doc is
+    caught by the INDEX probe (no corpus re-signing), while its fresh
+    doc survives. The store ends with exactly the three originals."""
+    from faexport_db_spark.streaming.dedup_stream import start_streaming_dedup
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").limit(3).collect()
+    a, b, c = (r["text"] for r in rows)
+    mut = lambda t: "zzz " + t.split(" ", 1)[1]  # noqa: E731 — first word swapped
+
+    src = tmp_path / "incoming"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    batches = [
+        [(1, a), (2, b), (3, mut(a))],   # 3 is a near-dup of 1 → dropped
+        [(11, mut(a)), (12, c)],         # 11 dups batch-1's doc 1 via the index
+    ]
+    schema = "doc_id bigint, text string"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert kept == [1, 2, 12]
+    # the index holds band rows for exactly the surviving docs
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(index).select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 2, 12}
