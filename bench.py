@@ -110,7 +110,10 @@ def _previous_round_queries() -> tuple[int | None, dict[str, float]]:
                 doc = json.load(f)
         except (OSError, ValueError):
             continue
-        queries = (doc.get("parsed") or doc).get("queries")
+        if not isinstance(doc, dict):  # malformed baseline: skip, don't crash
+            continue
+        parsed = doc.get("parsed")
+        queries = (parsed if isinstance(parsed, dict) else doc).get("queries")
         if not isinstance(queries, dict):
             continue
         rnd = int(m.group(1))

@@ -42,11 +42,17 @@ def with_dense_ids(df: DataFrame, name: str) -> DataFrame:
     number. This is ``zipWithIndex``'s algorithm kept in DataFrame land
     (no Python RDD round-trip), so it scales to any partition count.
 
-    The input is persisted before the counting job so both passes see
-    identical partitioning; the returned frame still carries that
-    persisted lineage.
+    The input is pinned with an eager ``localCheckpoint`` before the
+    counting job so both passes see identical ``_mid`` values. A
+    ``persist()`` would work too, but CacheManager entries are never
+    auto-released — in a long-running foreachBatch loop (4 calls per
+    ingested batch) that leaks storage memory indefinitely, while
+    checkpoint blocks are freed by the ContextCleaner once the frame
+    goes out of scope.
     """
-    marked = df.withColumn("_mid", F.monotonically_increasing_id()).persist()
+    marked = df.withColumn("_mid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     pid = F.shiftright(F.col("_mid"), _MID_ROW_BITS)
     counts = marked.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_cnt")).collect()
     acc = 0

@@ -31,17 +31,38 @@ WHASH_ALGO_ID = 6
 SQLITE_SCHEMA = "id bigint, a_hash binary, p_hash binary, d_hash binary, w_hash binary"
 
 
+def _default_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("id", pa.int64()),
+            ("a_hash", pa.binary()),
+            ("p_hash", pa.binary()),
+            ("d_hash", pa.binary()),
+            ("w_hash", pa.binary()),
+        ]
+    )
+
+
 def sqlite_to_parquet(
     db_path: str,
     out_dir: str,
     query: str = "SELECT id, a_hash, p_hash, d_hash, w_hash FROM posts",
     batch_rows: int = 50_000,
+    arrow_schema=None,
 ) -> str:
     """One-time streaming SQLite → Parquet conversion (the S4 scale
     path). The cursor fetches ``batch_rows`` at a time and each chunk
     becomes a parquet row group — driver memory stays bounded by one
     chunk regardless of table size, and the result is a splittable file
-    Spark scans partition-parallel."""
+    Spark scans partition-parallel.
+
+    The Arrow schema is EXPLICIT, never inferred per chunk: a chunk
+    whose column is all-NULL would otherwise pin (or clash with) a
+    ``null``-typed writer schema, crashing the conversion mid-table —
+    and an empty table would write NullType columns Spark can't use.
+    Custom ``query`` column sets must pass ``arrow_schema``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -52,22 +73,28 @@ def sqlite_to_parquet(
     try:
         cur = con.execute(query)
         names = [d[0] for d in cur.description]
+        if arrow_schema is None:
+            default = _default_arrow_schema()
+            if names != default.names:
+                raise ValueError(
+                    f"query columns {names} don't match the default schema "
+                    f"{default.names}; pass arrow_schema= explicitly"
+                )
+            arrow_schema = default
+        writer = pq.ParquetWriter(out_path, arrow_schema)
         while True:
             rows = cur.fetchmany(batch_rows)
             if not rows:
                 break
             batch = pa.table(
-                {n: [r[i] for r in rows] for i, n in enumerate(names)}
+                {n: [r[i] for r in rows] for i, n in enumerate(names)},
+                schema=arrow_schema,
             )
-            if writer is None:
-                writer = pq.ParquetWriter(out_path, batch.schema)
             writer.write_table(batch)
     finally:
         if writer is not None:
             writer.close()
         con.close()
-    if writer is None:  # empty table: write an empty file so reads work
-        pq.write_table(pa.table({n: [] for n in names}), out_path)
     return out_path
 
 

@@ -380,8 +380,11 @@ def _m7_step(acc: Column, e: Column) -> Column:
         | (size_e.isNotNull() & acc["size"].isNotNull() & (acc["size"] != size_e))
         | F.exists(
             F.map_entries(hashes_e),
+            # eqNullSafe: a stored "abc" vs incoming NULL b64 IS a
+            # conflict (the Python fold's `!=` says so), but a plain
+            # SQL `!=` would yield NULL and silently skip the reset.
             lambda kv: F.map_contains_key(acc["hashes"], kv["key"])
-            & (F.try_element_at(acc["hashes"], kv["key"]) != kv["value"]),
+            & ~F.try_element_at(acc["hashes"], kv["key"]).eqNullSafe(kv["value"]),
         )
     )
     merged_extra = (
@@ -460,7 +463,10 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
             lambda kv: F.struct(
                 kv["key"].alias("algo_id"), kv["value"].alias("hash_b64")
             ),
-        )
+        ),
+        # A NULL hash_b64 must render as "hash_b64":null like the
+        # Python fold's json.dumps, not be dropped from the struct.
+        {"ignoreNullFields": "false"},
     )
     return (
         keyed.groupBy("website_id", "site_submission_id", "site_file_id")

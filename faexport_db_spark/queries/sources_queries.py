@@ -93,9 +93,12 @@ def s4_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     con.commit()
     con.close()
 
+    import pyarrow as pa
+
     path = sqlite_to_parquet(
         db_path, os.path.join(work, "pq"),
         query="SELECT r_regionkey, r_name FROM region", batch_rows=2,
+        arrow_schema=pa.schema([("r_regionkey", pa.int64()), ("r_name", pa.string())]),
     )
     return (
         spark.read.parquet(path)

@@ -334,26 +334,34 @@ def list_submission_ids(tables: Tables, website_id: str) -> DataFrame:
 DEFAULT_LIST_LIMIT = 10_000
 
 
-def _sorted_ids(ids: DataFrame, col: str, limit: int | None) -> list:
+def _sorted_ids(ids: DataFrame, col: str, limit: int | None) -> tuple[list, bool]:
+    """Returns (ids, truncated). Fetches limit+1 rows so truncation is
+    DETECTED, never silent — a capped page must be distinguishable from
+    a site that really has `limit` ids."""
     ordered = ids.orderBy(col)
     if limit is not None:
-        # Distributed top-k (TakeOrderedAndProject): only `limit` rows
+        # Distributed top-k (TakeOrderedAndProject): only limit+1 rows
         # ever reach the driver.
-        return [r[col] for r in ordered.limit(limit).collect()]
-    return [r[col] for r in ordered.toLocalIterator()]
+        probe = [r[col] for r in ordered.limit(limit + 1).collect()]
+        return probe[:limit], len(probe) > limit
+    return [r[col] for r in ordered.toLocalIterator()], False
 
 
 def list_submissions(
     tables: Tables, website_id: str, limit: int | None = DEFAULT_LIST_LIMIT
 ) -> dict:
     """GET /api/view/submissions/<site>.json (web.py:97-109). The
-    reference TODOs pagination (web.py:103); ``limit`` provides it."""
-    collected = _sorted_ids(
+    reference TODOs pagination (web.py:103); ``limit`` provides it.
+    ``truncated`` flags a capped page, and ``submission_count`` is
+    always the count of ids RETURNED (page size), never an estimate of
+    the site total."""
+    collected, truncated = _sorted_ids(
         list_submission_ids(tables, website_id), "site_submission_id", limit
     )
     return {
         "submission_count": len(collected),
         "submission_ids": collected,
+        "truncated": truncated,
     }
 
 
@@ -371,10 +379,13 @@ def list_users(
     tables: Tables, website_id: str, limit: int | None = DEFAULT_LIST_LIMIT
 ) -> dict:
     """GET /api/view/users/<site>.json (web.py:138-153)."""
-    collected = _sorted_ids(list_user_ids(tables, website_id), "site_user_id", limit)
+    collected, truncated = _sorted_ids(
+        list_user_ids(tables, website_id), "site_user_id", limit
+    )
     return {
         "user_count": len(collected),
         "user_ids": collected,
+        "truncated": truncated,
     }
 
 

@@ -32,23 +32,10 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from faexport_db_spark.training.dedup import (
-    _band_hashes,
+    minhash_band_rows,
     minhash_dedup_pairs,
     minhash_dedup_against_index,
-    minhash_signatures,
 )
-
-
-def _band_rows(
-    docs: DataFrame, text_col: str, id_col: str, num_perm: int, bands: int, shingle_n: int
-) -> DataFrame:
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
-    return sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
-            "band_idx", "band_hash"
-        ),
-    )
 
 
 def dedup_batch_against_store(
@@ -73,23 +60,34 @@ def dedup_batch_against_store(
     spark = batch.sparkSession
     batch = batch.select(id_col, text_col)
 
+    # Sign the batch ONCE — the probe, the self-dedup and the index
+    # append all consume this one frame (signing is the hot loop;
+    # pinned eagerly so the three consumers don't recompute it).
+    banded = minhash_band_rows(
+        batch, text_col, id_col, num_perm, bands, shingle_n
+    ).localCheckpoint(eager=True)
+
     dup_ids = None
     try:
         corpus = spark.read.parquet(store_path)
         cross = minhash_dedup_against_index(
             batch, corpus, index_path, text_col, id_col,
-            num_perm, bands, shingle_n, threshold,
+            num_perm, bands, shingle_n, threshold, banded=banded,
         )
         dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
     except AnalysisException as exc:
-        # ONLY the missing-store/index case means "first batch"; any
-        # other read failure must propagate so the micro-batch retries
-        # (same rule as merged_view_stream.py — a swallowed transient
-        # error here would let duplicates through silently).
-        if exc.getCondition() != "PATH_NOT_FOUND":
+        # ONLY the no-committed-data cases mean "first batch": a
+        # missing path, or a directory a crashed first write left with
+        # zero parquet footers (UNABLE_TO_INFER_SCHEMA) — without the
+        # latter, a batch-1 crash would wedge the stream in a permanent
+        # retry loop. Any other read failure must propagate so the
+        # micro-batch retries (a swallowed transient error here would
+        # let duplicates through silently).
+        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
     self_pairs = minhash_dedup_pairs(
-        batch, text_col, id_col, num_perm, bands, shingle_n, threshold
+        batch, text_col, id_col, num_perm, bands, shingle_n, threshold,
+        banded=banded,
     )
     self_dups = self_pairs.select(F.col("id_b").alias(id_col)).distinct()
     dup_ids = self_dups if dup_ids is None else dup_ids.unionByName(self_dups).distinct()
@@ -100,7 +98,7 @@ def dedup_batch_against_store(
     survivors = survivors.localCheckpoint(eager=True)
     survivors.write.mode("append").parquet(store_path)
     (
-        _band_rows(survivors, text_col, id_col, num_perm, bands, shingle_n)
+        banded.join(F.broadcast(survivors.select(id_col)), id_col, "left_semi")
         .write.mode("append")
         .partitionBy("band_idx")
         .parquet(index_path)

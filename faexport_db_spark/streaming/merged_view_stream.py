@@ -60,12 +60,16 @@ def refresh_touched_users(
         # Delta/Iceberg MERGE would make this a metadata-only concern.
         out = keep.unionByName(recomputed).localCheckpoint(eager=True)
     except AnalysisException as exc:
-        # ONLY the missing-view case means "first batch". Any other
-        # failure (transient IO, corrupt footer, permissions) must
-        # propagate so the micro-batch retries — swallowing it here
-        # would rewrite the touched partitions with just the recomputed
-        # entities and silently drop every untouched entity in them.
-        if exc.getCondition() != "PATH_NOT_FOUND":
+        # ONLY the no-committed-data cases mean "first batch": missing
+        # view, or a directory a crashed first write left with zero
+        # parquet footers (UNABLE_TO_INFER_SCHEMA) — without the latter
+        # a batch-1 crash wedges the stream in a permanent retry loop.
+        # Any other failure (transient IO, corrupt footer, permissions)
+        # must propagate so the micro-batch retries — swallowing it
+        # here would rewrite the touched partitions with just the
+        # recomputed entities and silently drop every untouched entity
+        # in them.
+        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         out = recomputed
 

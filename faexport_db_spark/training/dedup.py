@@ -149,6 +149,29 @@ def _bucket_pairs(
     )
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the shared currency of the LSH
+    paths: the self-join dedup buckets them, the persisted index stores
+    them, the incremental probe joins on them. Signing is the hot loop
+    of the whole pipeline, so callers composing several steps over one
+    batch (e.g. the streaming dedup) compute this ONCE and pass it to
+    each step instead of re-signing per step."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,17 +181,17 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     max_bucket: int | None = 10_000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified with exact
     shingle Jaccard ≥ threshold.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded.
+    ``banded`` short-circuits signing with precomputed
+    ``minhash_band_rows`` output.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias("band_idx", "band_hash"),
-    )
+    if banded is None:
+        banded = minhash_band_rows(docs, text_col, id_col, num_perm, bands, shingle_n)
     # Cross-band duplicate candidates are NOT distinct'ed here: the
     # verify stage's per-pair groupBy collapses them, saving a shuffle.
     candidates = _bucket_pairs(
@@ -305,6 +328,23 @@ def simhash_dedup_pairs(
     )
 
 
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: each node takes the min of its
+    own label and its neighbors' labels (one equi-join + one min
+    groupBy on uniform keys)."""
+    nbr_min = (
+        edges.join(labels, edges["dst"] == labels["node"])
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+        F.col("node"),
+        F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        ).alias("label"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -336,21 +376,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
     )
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -361,6 +387,17 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Unconverged labels are WRONG labels (a tail node still holds
+        # an intermediate id, so one cluster gets several
+        # "representatives") — failing loudly beats silently returning
+        # them. Diameter > max_iters usually means the pair threshold
+        # chains unrelated docs.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters}; "
+            f"the pair graph has a longer chain than expected — raise "
+            f"max_iters or tighten the near-dup threshold."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
@@ -386,13 +423,7 @@ def minhash_build_index(
     rewrite one band). Uniform hash keys mean min/max row-group
     pruning can't help here — the economics come from never re-signing
     the corpus, not from skipping index bytes."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    banded = minhash_band_rows(docs, text_col, id_col, num_perm, bands, shingle_n)
     (
         banded.repartition("band_idx")
         .sortWithinPartitions("band_hash")
@@ -412,6 +443,8 @@ def minhash_dedup_against_index(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an indexed corpus — the
     incremental path: only the batch is signed (map-side); candidates
@@ -421,25 +454,42 @@ def minhash_dedup_against_index(
     usual broadcast semi-join. Output: (id_a, id_b, jaccard) with
     id_a = corpus doc, id_b = new doc.
 
+    ``max_bucket`` mirrors the self-join formulation's stop-bucket
+    guard: a degenerate index bucket shared by millions of
+    near-identical docs would emit |bucket| candidates PER probing doc
+    — the quadratic term LSH exists to avoid. Oversized buckets are
+    detected with one aggregation over the probed slice and skipped
+    (costing one extra index scan only when the guard is on).
+
     Self-duplicates WITHIN the batch are deliberately out of scope —
     run ``minhash_dedup_pairs`` on the batch alone for that half.
+    ``banded`` short-circuits signing with precomputed
+    ``minhash_band_rows`` output for the batch.
     """
     spark = new_docs.sparkSession
     index = spark.read.parquet(index_path)
-    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_perm, shingle_n)
-    new_banded = new_sigs.select(
-        F.col(id_col).alias("new_id"),
-        F.posexplode(F.array(*_band_hashes(num_perm, bands))).alias(
-            "band_idx", "band_hash"
-        ),
+    if banded is None:
+        banded = minhash_band_rows(new_docs, text_col, id_col, num_perm, bands, shingle_n)
+    new_banded = banded.withColumnRenamed(id_col, "new_id")
+    matched = index.join(F.broadcast(new_banded), ["band_idx", "band_hash"]).filter(
+        F.col(id_col) != F.col("new_id")
     )
-    cand = (
-        index.join(
-            F.broadcast(new_banded), ["band_idx", "band_hash"]
+    if max_bucket is not None:
+        oversized = (
+            index.join(
+                F.broadcast(new_banded.select("band_idx", "band_hash").distinct()),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
+            .groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("band_idx", "band_hash")
         )
-        .filter(F.col(id_col) != F.col("new_id"))
-        .select(F.col(id_col).alias("id_a"), F.col("new_id").alias("id_b"))
-    )
+        matched = matched.join(
+            F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti"
+        )
+    cand = matched.select(F.col(id_col).alias("id_a"), F.col("new_id").alias("id_b"))
     both = corpus.select(id_col, text_col).unionByName(
         new_docs.select(id_col, text_col)
     )

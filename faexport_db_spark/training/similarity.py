@@ -468,6 +468,7 @@ def embed_dedup_against_index(
     nbits: int = 8,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs between a NEW batch and an indexed
     corpus — the incremental analog of ``cosine_near_dup_pairs_lsh``:
@@ -476,8 +477,10 @@ def embed_dedup_against_index(
     matches the self-join formulation's Hamming-≤1 expansion) against
     the persisted code table — one index scan, no corpus re-coding, no
     index-side shuffle (batch probes broadcast). Exact cosine verifies
-    in a single scan over candidate vectors. Output: (id_a, id_b,
-    cosine) with id_a = corpus vector, id_b = new vector."""
+    in a single scan over candidate vectors. ``max_bucket`` skips
+    degenerate over-dense code buckets, mirroring the self-join
+    formulation's stop-bucket guard. Output: (id_a, id_b, cosine) with
+    id_a = corpus vector, id_b = new vector."""
     spark = new_vecs.sparkSession
     planes = _hyperplanes(dim, nbits, seed)
     index = spark.read.parquet(index_path)
@@ -494,11 +497,19 @@ def embed_dedup_against_index(
         .withColumn("bucket", F.explode(probe_codes))
         .select("new_id", "bucket")
     )
-    cand = (
-        index.join(F.broadcast(probes), "bucket")
-        .filter(F.col("vid") != F.col("new_id"))
-        .select(F.col("vid").alias("id_a"), F.col("new_id").alias("id_b"))
+    matched = index.join(F.broadcast(probes), "bucket").filter(
+        F.col("vid") != F.col("new_id")
     )
+    if max_bucket is not None:
+        oversized = (
+            index.join(F.broadcast(probes.select("bucket").distinct()), "bucket", "left_semi")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("bucket")
+        )
+        matched = matched.join(F.broadcast(oversized), "bucket", "left_anti")
+    cand = matched.select(F.col("vid").alias("id_a"), F.col("new_id").alias("id_b"))
     both = corpus.select(id_col, vec_col).unionByName(new_vecs.select(id_col, vec_col))
     return _pair_cosines(both, cand, id_col, vec_col).filter(
         F.col("cosine") >= threshold

@@ -152,3 +152,26 @@ def test_stratified_sample_is_pure_map(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     df = stratified_sample(docs, rates={"en": 0.5}, default_rate=0.1)
     assert_plan(df, max_shuffles=0, max_python_evals=0)
+
+
+def test_corpus_prep_and_clusters_stay_jvm_side(spark, sf_small):
+    """The composite prep pipeline and the clustering rounds are pure
+    expression plans: no Python eval, no cartesian/nested-loop joins."""
+    from faexport_db_spark.training.pipeline import corpus_prep
+
+    docs = load_table(spark, sf_small, "documents")
+    assert_plan(
+        corpus_prep(docs),
+        max_python_evals=0,
+        forbid_join=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    from faexport_db_spark.training.dedup import _propagate_round
+
+    pairs = QUERIES["t_ngram_jaccard_pairs"](spark, sf_small)
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst")
+    labels = edges.selectExpr("src AS node", "src AS label")
+    assert_plan(
+        _propagate_round(edges, labels),
+        max_python_evals=0,
+        forbid_join=("CartesianProduct",),
+    )

@@ -96,8 +96,9 @@ file_rows = st.lists(
         st.sampled_from(["u1", "u2", None]),  # file_url
         st.sampled_from([1, 2, None]),  # file_size
         st.sampled_from([None, '{"k":1}', '{"k":2}']),  # extra_data
-        st.lists(  # hashes (algo_id, b64)
-            st.tuples(st.sampled_from([1, 2]), st.sampled_from(["aa==", "bb=="])),
+        st.lists(  # hashes (algo_id, b64) — None b64 exercises the
+            # null-safe clash compare and null-preserving rendering
+            st.tuples(st.sampled_from([1, 2]), st.sampled_from(["aa==", "bb==", None])),
             max_size=2,
             unique_by=lambda h: h[0],
         ),

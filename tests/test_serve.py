@@ -107,9 +107,12 @@ def test_listings(store):
     assert serve.list_submissions(store, "fa") == {
         "submission_count": 2,
         "submission_ids": ["101", "102"],
+        "truncated": False,
     }
     assert serve.list_users(store, "fa")["user_ids"] == ["u1"]
-    assert serve.list_submissions(store, "fa", limit=1)["submission_count"] == 1
+    capped = serve.list_submissions(store, "fa", limit=1)
+    # a capped page says so — no silent truncation
+    assert capped["submission_count"] == 1 and capped["truncated"] is True
 
 
 def test_default_listing_is_bounded(store):

@@ -298,3 +298,17 @@ def test_embed_incremental_index_probe(spark, sf_small, tmp_path):
     assert want and got == want
     strategies = join_strategies(out)
     assert strategies["SortMergeJoin"] == 0 and strategies["BroadcastHashJoin"] >= 1
+
+
+def test_dedup_clusters_raises_when_unconverged(spark):
+    """Hitting the iteration cap with labels still moving must fail
+    loudly — unconverged labels are wrong labels."""
+    from faexport_db_spark.training.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=2)
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(chain).collect()}
+    assert set(got.values()) == {1}
