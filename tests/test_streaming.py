@@ -330,3 +330,20 @@ def test_streaming_dedup_filters_within_and_across_batches(spark, sf_small, tmp_
     # the index holds band rows for exactly the surviving docs
     idx_ids = {r["doc_id"] for r in spark.read.parquet(index).select("doc_id").distinct().collect()}
     assert idx_ids == {1, 2, 12}
+
+
+def test_streaming_dedup_recovers_from_footerless_store(spark, sf_small, tmp_path):
+    """A crashed first write leaves the store directory existing but
+    without committed parquet footers; the next delivery must treat it
+    as first-batch (not wedge in a retry loop) and proceed."""
+    from faexport_db_spark.streaming.dedup_stream import dedup_batch_against_store
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").limit(2)
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "_temporary").mkdir()  # simulated crash debris, zero footers
+    survivors = dedup_batch_against_store(
+        docs, str(store), str(tmp_path / "index")
+    )
+    assert survivors.count() == 2
+    assert spark.read.parquet(str(store)).count() == 2
