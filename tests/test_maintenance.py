@@ -38,3 +38,30 @@ def test_single_pass_is_fixpoint(spark):
     again = cleanup(once)
     for name, df in again.items():
         assert df.count() == once[name].count(), name
+
+
+def test_compaction_shrinks_streaming_appends(spark, sf_small, tmp_path):
+    """Ten tiny appends → compaction rewrites to few files with
+    identical content, preserving the hive partition layout."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.maintenance.compaction import compact_path, plan_compaction
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "store")
+    for i in range(10):
+        docs.filter(F.col("doc_id") % 10 == i).write.mode("append").partitionBy(
+            "lang"
+        ).parquet(path)
+    before = plan_compaction(spark, path)
+    assert before["worthwhile"] and before["n_files"] >= 10
+    want = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+
+    result = compact_path(spark, path, partition_by=["lang"])
+    assert result["files_after"] < before["n_files"]
+    got = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+    # hive layout preserved: lang= directories still exist
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(path))
