@@ -11,40 +11,117 @@ layout. (Table formats with built-in OPTIMIZE — Delta, Iceberg — make
 this a metadata operation; on plain parquet it is an explicit rewrite,
 same as the reference's cron-style maintenance jobs.)
 
-The rewrite goes through a temp directory + atomic-ish rename swap so a
-crash mid-compaction never leaves the live path half-written: readers
-see the old files until the swap, and a crashed run leaves only a
-``_compact_tmp`` directory to garbage-collect.
+Safety protocol (two-phase, file-level — the live path NEVER
+disappears, and concurrent appenders are never destroyed):
+
+1. Recovery: a leftover manifest from a crashed run is rolled back
+   (no commit marker → delete the partially-moved compacted files;
+   originals are intact) or forward (marker present → finish deleting
+   the replaced originals). A leftover ``_compact_old`` directory from
+   the retired directory-swap protocol is restored if the live path is
+   missing.
+2. Snapshot: list the live path's parquet files ONCE; only those exact
+   files are read and later deleted. Files appended by a concurrent
+   micro-batch writer after the snapshot are untouched — they simply
+   wait for the next compaction.
+3. Rewrite the snapshot files into ``_compact_tmp``.
+4. Write a manifest (files-to-delete + the unique filename prefix of
+   their replacements) into the live path, then move the compacted
+   files INTO the live path (phase A), create a commit marker, delete
+   the snapshot files (phase B), and clean up.
+
+Between phase A and B readers see both copies of the compacted rows.
+That is the deliberate trade: the snapshot data model is
+duplicate-tolerant (merge views take the newest snapshot, and W1–W4
+dedup exists precisely because re-ingest duplicates are expected),
+whereas a vanishing path is NOT tolerated — dedup_stream /
+merged_view_stream interpret a missing path as "first batch" and would
+silently skip their probe. Long scans overlapping phase B should set
+``spark.sql.files.ignoreMissingFiles`` (a listed-then-deleted file is
+otherwise a task failure — the standard hazard of plain-parquet
+rewrites, gone with Delta/Iceberg).
+
+All listing/rename/delete goes through the Hadoop FileSystem API, so
+``hdfs://``/``s3a://`` store paths behave the same as local ones.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
+import posixpath
+import uuid
 
 from pyspark.sql import SparkSession
 
+from faexport_db_spark.operators.hadoop_fs import HadoopFs as _Fs
+
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one HDFS-ish block per file
+MANIFEST_NAME = "_compact_manifest.json"
+COMMIT_NAME = "_compact_commit"
+
+
+def recover_compaction(spark: SparkSession, path: str) -> str:
+    """Heal any crashed compaction of ``path``. Returns what happened:
+    ``"clean"`` (nothing to do), ``"rolled_back"`` (phase A was
+    incomplete — partially-moved compacted files removed, originals
+    intact), ``"rolled_forward"`` (commit marker present — finished
+    deleting the replaced originals), or ``"restored_old"`` (legacy
+    directory-swap crash — ``_compact_old`` renamed back into place).
+    Always drops a stale ``_compact_tmp``. Safe to call any time;
+    ``compact_path`` calls it on entry."""
+    fs = _Fs(spark, path)
+    live = path.rstrip("/")
+    old = live + "_compact_old"
+    tmp = live + "_compact_tmp"
+    outcome = "clean"
+
+    # Legacy directory-swap crash: data stranded in _compact_old.
+    if not fs.exists(live) and fs.exists(old):
+        if not fs.rename(old, live):
+            raise RuntimeError(f"could not restore {old} -> {live}")
+        outcome = "restored_old"
+
+    manifest_path = posixpath.join(live, MANIFEST_NAME)
+    commit_path = posixpath.join(live, COMMIT_NAME)
+    if fs.exists(manifest_path):
+        manifest = json.loads(fs.read_text(manifest_path))
+        if fs.exists(commit_path):
+            # Phase A completed (marker is written only after every
+            # compacted file is in place): finish phase B.
+            for rel in manifest["delete"]:
+                fs.delete(posixpath.join(live, rel))
+            fs.delete(commit_path)
+            fs.delete(manifest_path)
+            outcome = "rolled_forward"
+        else:
+            # Phase A incomplete: originals are all still present;
+            # remove any compacted files that did get moved in.
+            prefix = manifest["prefix"]
+            for rel, _size in fs.list_parquet(live):
+                if posixpath.basename(rel).startswith(prefix):
+                    fs.delete(posixpath.join(live, rel))
+            fs.delete(manifest_path)
+            outcome = "rolled_back"
+
+    if fs.exists(tmp):
+        fs.delete(tmp, recursive=True)
+    return outcome
 
 
 def plan_compaction(
     spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
 ) -> dict:
     """Inspect a parquet path: file count, total bytes, and the file
-    count a compaction would produce. Pure metadata (no data read)."""
-    total = 0
-    n_files = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n_files += 1
-                total += os.path.getsize(os.path.join(root, f))
+    count a compaction would produce. Pure metadata (no data read);
+    works on any Hadoop-visible filesystem."""
+    files = _Fs(spark, path).list_parquet(path)
+    total = sum(size for _rel, size in files)
     target_files = max(1, -(-total // target_bytes))  # ceil
     return {
-        "n_files": n_files,
+        "n_files": len(files),
         "total_bytes": total,
         "target_files": target_files,
-        "worthwhile": n_files > 2 * target_files,
+        "worthwhile": len(files) > 2 * target_files,
     }
 
 
@@ -54,19 +131,37 @@ def compact_path(
     partition_by: list[str] | None = None,
     target_bytes: int = DEFAULT_TARGET_BYTES,
 ) -> dict:
-    """Rewrite ``path``'s parquet files into ~``target_bytes`` files,
-    keeping the hive partition columns in ``partition_by`` (pass the
-    same columns the writers used, e.g. ``["band_idx"]`` for the
+    """Rewrite ``path``'s current parquet files into ~``target_bytes``
+    files, keeping the hive partition columns in ``partition_by`` (pass
+    the same columns the writers used, e.g. ``["band_idx"]`` for the
     MinHash index, ``["website_id"]`` for store tables).
 
-    Unpartitioned paths shrink with ``coalesce`` (no shuffle at all);
-    partitioned layouts need one shuffle on the partition columns so
-    each output partition directory gets few, full files. Returns the
-    plan stats plus the file count actually written.
+    Concurrent appenders are safe: only the files present in the entry
+    snapshot are rewritten and deleted; anything appended later is left
+    alone. The live path never disappears (see module docstring for the
+    two-phase swap and its crash-recovery story). Returns the plan
+    stats plus the file count actually written.
     """
-    stats = plan_compaction(spark, path, target_bytes)
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "_compact_tmp"
+    live = path.rstrip("/")
+    recover_compaction(spark, live)
+    fs = _Fs(spark, live)
+
+    snapshot = fs.list_parquet(live)
+    stats = {
+        "n_files": len(snapshot),
+        "total_bytes": sum(s for _r, s in snapshot),
+        "target_files": max(1, -(-sum(s for _r, s in snapshot) // target_bytes)),
+    }
+    stats["worthwhile"] = stats["n_files"] > 2 * stats["target_files"]
+    if not snapshot:
+        return {**stats, "files_after": 0}
+
+    # Read EXACTLY the snapshot files (basePath keeps hive partition
+    # columns); a concurrent append between listing and job launch is
+    # neither read nor deleted.
+    reader = spark.read.option("basePath", live)
+    df = reader.parquet(*[posixpath.join(live, rel) for rel, _s in snapshot])
+    tmp = live + "_compact_tmp"
     if partition_by:
         writer = (
             df.repartition(stats["target_files"], *partition_by)
@@ -76,9 +171,35 @@ def compact_path(
     else:
         writer = df.coalesce(stats["target_files"]).write.mode("overwrite")
     writer.parquet(tmp)
-    old = path.rstrip("/") + "_compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
-    after = plan_compaction(spark, path, target_bytes)
-    return {**stats, "files_after": after["n_files"]}
+
+    run_prefix = f"compacted-{uuid.uuid4().hex[:12]}-"
+    moves = [
+        (
+            posixpath.join(tmp, rel),
+            posixpath.join(
+                live,
+                posixpath.dirname(rel),
+                run_prefix + posixpath.basename(rel),
+            ),
+        )
+        for rel, _s in fs.list_parquet(tmp)
+    ]
+
+    manifest = {"delete": [rel for rel, _s in snapshot], "prefix": run_prefix}
+    fs.write_text(posixpath.join(live, MANIFEST_NAME), json.dumps(manifest))
+    # Phase A: add the compacted files alongside the originals.
+    for src, dst in moves:
+        parent = posixpath.dirname(dst)
+        if parent != live:
+            fs.mkdirs(parent)
+        if not fs.rename(src, dst):
+            raise RuntimeError(f"rename failed: {src} -> {dst}")
+    # Commit: from here a crash rolls FORWARD (originals get deleted).
+    fs.write_text(posixpath.join(live, COMMIT_NAME), "")
+    # Phase B: drop the replaced originals.
+    for rel, _s in snapshot:
+        fs.delete(posixpath.join(live, rel))
+    fs.delete(posixpath.join(live, COMMIT_NAME))
+    fs.delete(posixpath.join(live, MANIFEST_NAME))
+    fs.delete(tmp, recursive=True)
+    return {**stats, "files_after": plan_compaction(spark, live, target_bytes)["n_files"]}

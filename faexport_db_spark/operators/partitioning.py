@@ -17,12 +17,62 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Round-robin repartition up to ``multiple × defaultParallelism``
-    — only when the input has fewer partitions than that (never a
-    coalesce, never a shuffle on already-wide inputs)."""
-    target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() >= target:
+    — only when the input would scan with fewer tasks than that (never
+    a coalesce, never a shuffle on already-wide inputs).
+
+    Intended for source scans (every call site wraps a freshly-loaded
+    table). The width probe estimates the scan's split count from file
+    metadata instead of ``df.rdd.getNumPartitions()``, which converts
+    the plan to an RDD and thereby plans the whole query a second time
+    on every call (VERDICT r02 item 5). Non-file-backed inputs (tiny
+    in-memory fixtures) fall back to the RDD probe.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * multiple
+    files = df.inputFiles()  # analysis-only; no physical planning
+    if files:
+        if len(files) >= target:
+            return df  # ≥1 task per file — already wide
+        if _estimated_scan_splits(spark, files) >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "134217728b",
+    "128m", "1g" …)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    for suffix, mult in sorted(units.items(), key=lambda kv: -len(kv[0])):
+        if raw.endswith(suffix):
+            return int(float(raw[: -len(suffix)]) * mult)
+    return int(float(raw))
+
+
+def _estimated_scan_splits(spark, files: list[str]) -> int:
+    """Spark's FilePartition sizing formula, driver-side: splits ≈
+    ceil((total_bytes + n_files × openCost) / maxSplitBytes) where
+    maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore)).
+    Matches what ``df.rdd.getNumPartitions()`` reports for a scan —
+    without building the RDD. File stats go through the Hadoop
+    FileSystem API so hdfs://-style paths work; only reached when
+    len(files) < target, so the per-file RPC count stays tiny."""
+    sc = spark.sparkContext
+    max_part = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+    padded = total + len(files) * open_cost
+    bytes_per_core = padded // max(1, sc.defaultParallelism)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return max(1, -(-padded // max_split))  # ceil
 
 
 def salted_agg(

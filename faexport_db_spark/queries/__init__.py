@@ -2,6 +2,17 @@
 
 Modules register one ``queries()`` entry (and DuckDB oracle where
 SQL-expressible) per SURVEY.md §2 operator ID.
+
+DRIVER WINDOW: the driver's correctness harness checks only the FIRST
+50 registrations in insertion order, so ``_DRIVER_WINDOW`` below — not
+module import order — decides which ops get a driver-verified row each
+round.  Rounds 1–2 burned the window on the same 50 keys (A/F/J/M/
+C1–C18); round 3 front-loads every op that has never had a driver row
+(W, O, U, S, K, C19–C22, v1, st_*, the oracle-checked t_* companions)
+plus three flagship sentinels.  Rotate this list each round so every
+registered op accumulates a driver-green row across rounds; everything
+keeps passing the full local differential (tests/test_oracle_differential.py)
+regardless of position.
 """
 
 from faexport_db_spark.queries import (  # noqa: F401
@@ -18,3 +29,100 @@ from faexport_db_spark.queries import (  # noqa: F401
     windows,
 )
 from faexport_db_spark.queries.registry import ORACLES, QUERIES  # noqa: F401
+
+# Round-3 window: 47 never-driver-checked ops + 3 sentinels = 50.
+_DRIVER_WINDOW = [
+    # W1–W4 row_number dedup (SURVEY §2.6)
+    "w1_dedup_keep_highest",
+    "w2_dedup_files",
+    "w3_dedup_keep_lowest",
+    "w4_dedup_user_snapshots",
+    # O1–O5 sorts/limits (§2.7)
+    "o1_sort_desc_recency",
+    "o2_composite_sort",
+    "o3_row_cap",
+    "o4_topk_by_count",
+    "o5_offset_resume",
+    # U1–U3 set ops (§2.8)
+    "u1_upsert_returning",
+    "u2_intersection",
+    "u3_union_frames",
+    # S1–S8 sources (§2.1)
+    "s1_csv_scan_positional",
+    "s2_csv_scan_header",
+    "s3_json_dir_scan",
+    "s4_sqlite_scan",
+    "s5_streaming_cursor_scan",
+    "s6_point_select",
+    "s7_http_push_parse",
+    "s8_preresolved_lookup_join",
+    # K1–K4 sinks (§2.1)
+    "k1_bulk_append_sink",
+    "k2_microbatch_sink",
+    "k3_jsonl_export",
+    "k4_delete_rewrite",
+    # C19–C22 scalars (§2.9)
+    "c19_json_parse",
+    "c20_posexplode_ordinals",
+    "c21_url_dissection",
+    "c22_duplicate_ordinal_check",
+    # validation report + streaming analogs (§2.10)
+    "v1_validation_report",
+    "st_event_window_counts",
+    "st_session_windows",
+    "st_first_seen",
+    # oracle-checked companions of the approximate training ops
+    "t_minhash_lsh_checked",
+    "t_minhash_incremental_checked",
+    "t_simhash_checked",
+    "t_dedup_clusters",
+    "t_ann_cosine_topk",
+    "t_ann_lsh_checked",
+    "t_ann_ivf_checked",
+    "t_ann_ivf_persisted",
+    "t_embed_lsh_checked",
+    "t_embed_incremental_checked",
+    # flagship sentinels (already green in r01+r02; regression canaries)
+    "merged_entity",
+    "m5_extra_data_merge",
+    "m7_clash_fold_checked",
+    # more never-checked training ops (rest rotate into round 4)
+    "t_exact_dedup",
+    "t_embed_cosine_dedup",
+    "t_lang_id",
+    "t_text_quality",
+    "t_token_count",
+]
+
+# Next-in-line after the window: the remaining never-driver-checked
+# oracle entries, so a wider window (or round-4 rotation) reaches them
+# first.  Everything else (r01/r02-green A/F/J/M/C1–C18 and the
+# rows-only approximate ops) follows in original registration order.
+_AFTER_WINDOW = [
+    "t_ngram_jaccard_pairs",
+    "t_doc_fingerprint",
+    "t_multimodal_features",
+    "t_sequence_pack",
+    "t_pack_manifest",
+    "t_stratified_sample",
+    "t_sketch_bounds",
+    "t_corpus_prep",
+]
+
+
+def _reorder() -> None:
+    explicit = _DRIVER_WINDOW + _AFTER_WINDOW
+    missing = [k for k in explicit if k not in QUERIES]
+    if missing:
+        raise RuntimeError(f"driver-window keys not registered: {missing}")
+    dupes = {k for k in explicit if explicit.count(k) > 1}
+    if dupes:
+        raise RuntimeError(f"driver-window keys duplicated: {sorted(dupes)}")
+    ordered = explicit + [k for k in QUERIES if k not in set(explicit)]
+    for d in (QUERIES, ORACLES):
+        snapshot = {k: d[k] for k in ordered if k in d}
+        d.clear()
+        d.update(snapshot)
+
+
+_reorder()

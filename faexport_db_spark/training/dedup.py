@@ -422,7 +422,13 @@ def minhash_build_index(
     independently listable/parallelizable (and lets a targeted rebuild
     rewrite one band). Uniform hash keys mean min/max row-group
     pruning can't help here — the economics come from never re-signing
-    the corpus, not from skipping index bytes."""
+    the corpus, not from skipping index bytes.
+
+    Signing parameters are persisted in an ``_index_meta.json`` sidecar
+    and validated by ``minhash_dedup_against_index`` — a probe signed
+    with different parameters would silently match nothing."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
     banded = minhash_band_rows(docs, text_col, id_col, num_perm, bands, shingle_n)
     (
         banded.repartition("band_idx")
@@ -430,6 +436,12 @@ def minhash_build_index(
         .write.mode("overwrite")
         .partitionBy("band_idx")
         .parquet(path)
+    )
+    write_index_meta(
+        docs.sparkSession,
+        path,
+        "minhash_bands",
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
     )
 
 
@@ -466,7 +478,15 @@ def minhash_dedup_against_index(
     ``banded`` short-circuits signing with precomputed
     ``minhash_band_rows`` output for the batch.
     """
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
     spark = new_docs.sparkSession
+    check_index_meta(
+        spark,
+        index_path,
+        "minhash_bands",
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+    )
     index = spark.read.parquet(index_path)
     if banded is None:
         banded = minhash_band_rows(new_docs, text_col, id_col, num_perm, bands, shingle_n)

@@ -1,0 +1,63 @@
+"""Signing-parameter sidecars for persisted dedup/ANN indexes.
+
+A persisted MinHash band index or hyperplane-LSH code table is only
+joinable by a probe signed with the SAME parameters (num_perm/bands/
+shingle_n, nbits/dim/seed). A mismatched probe doesn't fail — it joins
+on incompatible hashes and silently returns ~zero pairs, admitting
+every duplicate: the worst failure mode a dedup gate can have (ADVICE
+r02). So each builder writes an underscore-prefixed JSON sidecar
+(ignored by Spark's parquet scanner, like ``_SUCCESS``) recording its
+signing parameters, and each probe validates before joining, raising
+on mismatch. Indexes from before this sidecar existed validate as
+legacy (nothing to check against — rebuild to upgrade).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import SparkSession
+
+from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+INDEX_META_NAME = "_index_meta.json"
+
+
+def write_index_meta(
+    spark: SparkSession, path: str, kind: str, params: dict
+) -> None:
+    fs = HadoopFs(spark, path)
+    meta = {"kind": kind, "params": params}
+    fs.write_text(
+        posixpath.join(path.rstrip("/"), INDEX_META_NAME), json.dumps(meta)
+    )
+
+
+def check_index_meta(
+    spark: SparkSession, path: str, kind: str, params: dict
+) -> None:
+    """Raise ValueError if ``path``'s sidecar disagrees with the
+    probe's ``kind``/``params``. A missing sidecar (pre-sidecar index)
+    passes — there is nothing to validate against."""
+    fs = HadoopFs(spark, path)
+    meta_path = posixpath.join(path.rstrip("/"), INDEX_META_NAME)
+    if not fs.exists(meta_path):
+        return
+    meta = json.loads(fs.read_text(meta_path))
+    mismatches = {}
+    if meta.get("kind") != kind:
+        mismatches["kind"] = (meta.get("kind"), kind)
+    for key, want in params.items():
+        have = meta.get("params", {}).get(key)
+        if have != want:
+            mismatches[key] = (have, want)
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: index={a!r} probe={b!r}" for k, (a, b) in sorted(mismatches.items())
+        )
+        raise ValueError(
+            f"index at {path} was built with different signing parameters "
+            f"than this probe ({detail}); a mismatched probe would silently "
+            f"return ~zero pairs — rebuild the index or align the probe."
+        )

@@ -449,13 +449,24 @@ def embed_lsh_build_index(
 ) -> None:
     """Persist the corpus's hyperplane-LSH code table: (bucket, vid)
     parquet — coded once, probed by every future batch. The hyperplanes
-    derive from the fixed seed, so batch and index codes always agree
-    without storing the planes."""
+    derive from the fixed seed, so batch and index codes agree without
+    storing the planes; (nbits, dim, seed) are persisted in an
+    ``_index_meta.json`` sidecar and validated by
+    ``embed_dedup_against_index`` — a probe coded with different
+    parameters would silently match nothing."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
     coded = fan_out(corpus).select(
         F.col(id_col).alias("vid"),
         _code_expr(F.col(vec_col), _hyperplanes(dim, nbits, seed)).alias("bucket"),
     )
     coded.write.mode("overwrite").parquet(path)
+    write_index_meta(
+        corpus.sparkSession,
+        path,
+        "embed_lsh_codes",
+        {"nbits": nbits, "dim": dim, "seed": seed},
+    )
 
 
 def embed_dedup_against_index(
@@ -481,7 +492,12 @@ def embed_dedup_against_index(
     degenerate over-dense code buckets, mirroring the self-join
     formulation's stop-bucket guard. Output: (id_a, id_b, cosine) with
     id_a = corpus vector, id_b = new vector."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
     spark = new_vecs.sparkSession
+    check_index_meta(
+        spark, index_path, "embed_lsh_codes", {"nbits": nbits, "dim": dim, "seed": seed}
+    )
     planes = _hyperplanes(dim, nbits, seed)
     index = spark.read.parquet(index_path)
     bit_masks = F.array(*[F.lit(1 << i) for i in range(nbits)])

@@ -65,3 +65,150 @@ def test_compaction_shrinks_streaming_appends(spark, sf_small, tmp_path):
     # hive layout preserved: lang= directories still exist
     import os
     assert any(d.startswith("lang=") for d in os.listdir(path))
+    # no protocol litter left behind
+    assert not any(f.startswith("_compact") for f in os.listdir(path))
+    assert not os.path.exists(path + "_compact_tmp")
+
+
+def _mini_docs(spark, sf_small, lo, hi):
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.datamodel.testdata import load_table
+
+    return (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "lang", "text")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+
+
+def test_compaction_survives_concurrent_append(spark, sf_small, tmp_path, monkeypatch):
+    """A file appended by a streaming writer AFTER the entry snapshot
+    (ADVICE r02, high): it must survive the swap, its rows present
+    exactly once, and the live path must exist at every step."""
+    from faexport_db_spark.maintenance import compaction
+    from faexport_db_spark.maintenance.compaction import compact_path
+
+    path = str(tmp_path / "store")
+    for i in range(6):
+        _mini_docs(spark, sf_small, i * 10, i * 10 + 10).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(path)
+    late = _mini_docs(spark, sf_small, 100, 120)
+    want_late = {(r["doc_id"], r["lang"]) for r in late.collect()}
+    assert want_late
+    want_base = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+
+    real_write_text = compaction._Fs.write_text
+    appended = {}
+
+    def inject(self, p, text):
+        # First write_text call is the manifest — i.e. after the entry
+        # snapshot, before the swap: the concurrent-writer window.
+        if p.endswith(compaction.MANIFEST_NAME) and not appended:
+            late.write.mode("append").partitionBy("lang").parquet(path)
+            appended["done"] = True
+        return real_write_text(self, p, text)
+
+    monkeypatch.setattr(compaction._Fs, "write_text", inject)
+    compact_path(spark, path, partition_by=["lang"])
+    assert appended, "injection did not fire"
+    rows = [(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()]
+    assert set(rows) == want_base | want_late
+    assert len(rows) == len(set(rows)), "swap duplicated or dropped rows"
+
+
+def test_compaction_crash_rolls_back_before_commit(spark, sf_small, tmp_path):
+    """Manifest present, no commit marker (crash during phase A):
+    recovery removes the partial compacted files; originals intact."""
+    import json
+    import os
+    import shutil
+
+    from faexport_db_spark.maintenance.compaction import (
+        MANIFEST_NAME,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "store")
+    _mini_docs(spark, sf_small, 0, 50).write.partitionBy("lang").parquet(path)
+    want = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    originals = []
+    for root, _d, fnames in os.walk(path):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                originals.append(os.path.relpath(os.path.join(root, f), path))
+    # fake a partially-completed phase A: copy one original in under the
+    # compacted prefix, as if it were a half-moved replacement file
+    prefix = "compacted-deadbeef0000-"
+    src = os.path.join(path, originals[0])
+    shutil.copy(src, os.path.join(os.path.dirname(src), prefix + "part-0.parquet"))
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump({"delete": originals, "prefix": prefix}, fh)
+
+    assert recover_compaction(spark, path) == "rolled_back"
+    got = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+    assert not os.path.exists(os.path.join(path, MANIFEST_NAME))
+
+
+def test_compaction_crash_rolls_forward_after_commit(spark, sf_small, tmp_path):
+    """Manifest + commit marker (crash during phase B): recovery
+    finishes deleting the replaced originals; the compacted copies
+    carry the data — no loss, no duplicates."""
+    import json
+    import os
+    import shutil
+
+    from faexport_db_spark.maintenance.compaction import (
+        COMMIT_NAME,
+        MANIFEST_NAME,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "store")
+    _mini_docs(spark, sf_small, 0, 50).write.partitionBy("lang").parquet(path)
+    want = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    prefix = "compacted-deadbeef0000-"
+    originals = []
+    for root, _d, fnames in os.walk(path):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, f), path)
+                originals.append(rel)
+                # phase A completed: every original has its replacement
+                shutil.copy(
+                    os.path.join(path, rel),
+                    os.path.join(path, os.path.dirname(rel), prefix + f),
+                )
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump({"delete": originals, "prefix": prefix}, fh)
+    open(os.path.join(path, COMMIT_NAME), "w").close()
+
+    assert recover_compaction(spark, path) == "rolled_forward"
+    got = [(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()]
+    assert set(got) == want and len(got) == len(want)
+    remaining = [
+        f
+        for root, _d, fnames in os.walk(path)
+        for f in fnames
+        if f.endswith(".parquet")
+    ]
+    assert all(f.startswith(prefix) for f in remaining)
+
+
+def test_compaction_restores_legacy_directory_swap_crash(spark, sf_small, tmp_path):
+    """ADVICE r02 (medium): live path missing + _compact_old present
+    must be restored on entry, not left stranded."""
+    import shutil
+
+    from faexport_db_spark.maintenance.compaction import recover_compaction
+
+    path = str(tmp_path / "store")
+    _mini_docs(spark, sf_small, 0, 30).write.partitionBy("lang").parquet(path)
+    want = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    shutil.move(path, path + "_compact_old")
+
+    assert recover_compaction(spark, path) == "restored_old"
+    got = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    assert got == want

@@ -85,6 +85,33 @@ def test_fan_out_widens_narrow_input_only(spark, sf_small):
     assert fan_out(widened).rdd.getNumPartitions() == target  # idempotent
 
 
+def test_fan_out_estimates_width_without_rdd_conversion(spark, sf_small, monkeypatch):
+    """``df.rdd`` plans the query a second time per call (VERDICT r02
+    item 5); for file-backed input the width probe must come from file
+    metadata, never the RDD."""
+    from pyspark.sql import dataframe as df_mod
+
+    docs = load_table(spark, sf_small, "documents")
+
+    def _boom(self):
+        raise AssertionError("fan_out must not convert a file-backed plan to RDD")
+
+    with monkeypatch.context() as m:
+        m.setattr(df_mod.DataFrame, "rdd", property(_boom))
+        widened = fan_out(docs)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_leaves_wide_file_input_alone(spark, tmp_path):
+    """An input already scanning with >= defaultParallelism splits must
+    pass through untouched — no shuffle inserted at real scale."""
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "wide")
+    spark.range(10000).repartition(target * 2).write.parquet(path)
+    wide = spark.read.parquet(path)
+    assert fan_out(wide) is wide
+
+
 def test_persisted_store_prunes_partitions_and_joins_without_shuffle(
     spark, tmp_path
 ):

@@ -300,6 +300,33 @@ def test_embed_incremental_index_probe(spark, sf_small, tmp_path):
     assert strategies["SortMergeJoin"] == 0 and strategies["BroadcastHashJoin"] >= 1
 
 
+def test_index_probe_rejects_mismatched_signing_params(spark, sf_small, tmp_path):
+    """ADVICE r02: a probe signed with different parameters than the
+    index would silently return ~zero pairs — it must raise instead."""
+    import pytest
+
+    from faexport_db_spark.training.dedup import (
+        minhash_build_index,
+        minhash_dedup_against_index,
+    )
+    from faexport_db_spark.training.similarity import (
+        embed_dedup_against_index,
+        embed_lsh_build_index,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    mh_idx = str(tmp_path / "mh_index")
+    minhash_build_index(docs, mh_idx, num_perm=64, bands=16)
+    with pytest.raises(ValueError, match="signing parameters"):
+        minhash_dedup_against_index(docs, docs, mh_idx, num_perm=32, bands=8)
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    e_idx = str(tmp_path / "elsh_index")
+    embed_lsh_build_index(emb, e_idx, nbits=8, seed=42)
+    with pytest.raises(ValueError, match="signing parameters"):
+        embed_dedup_against_index(emb, emb, e_idx, nbits=8, seed=7)
+
+
 def test_dedup_clusters_raises_when_unconverged(spark):
     """Hitting the iteration cap with labels still moving must fail
     loudly — unconverged labels are wrong labels."""
