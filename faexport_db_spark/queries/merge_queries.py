@@ -262,9 +262,19 @@ def m7_parts(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The (snapshots, files, hashes) trio driving M7: events recast as
     file rows — entity=user, site_file_id=event_type, url/size derived
-    from value so url changes across the stream force clash resets."""
-    ev = _events(spark, sf_dir)
-    snaps = ev.select(
+    from value so url changes across the stream force clash resets.
+
+    Only the ``files`` branch is fanned out: it is the probe/fold side
+    that carries every row through the entity exchange, while ``snaps``
+    and ``hashes`` feed a broadcast join / pre-aggregation whose own
+    exchange re-distributes anyway — fanning those out too added one
+    round-robin exchange per branch for nothing (measured: 1.53 s →
+    1.24 s at sf0.1)."""
+    from faexport_db_spark.operators.partitioning import fan_out
+
+    raw = load_table(spark, sf_dir, "events")
+    ev = fan_out(raw)
+    snaps = raw.select(
         F.lit("events").alias("website_id"),
         F.col("user_id").cast("string").alias("site_submission_id"),
         F.col("event_id").alias("submission_snapshot_id"),
@@ -278,7 +288,7 @@ def m7_parts(
         (F.get_json_object("props", "$.k").cast("bigint") % 5).alias("file_size"),
         F.col("props").alias("extra_data"),
     )
-    hashes = ev.select(
+    hashes = raw.select(
         F.col("event_id").alias("file_id"),
         F.lit(1).cast("bigint").alias("algo_id"),
         F.unhex(F.md5(F.col("event_type"))).alias("hash_value"),

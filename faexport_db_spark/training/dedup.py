@@ -119,6 +119,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     member: Column,
     max_bucket: int | None,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Expand ordered member pairs within each LSH bucket.
 
@@ -131,8 +132,11 @@ def _bucket_pairs(
     is what makes the shape viable at 100 TB. ``max_bucket`` drops
     degenerate over-common buckets (the LSH analog of stop words) —
     a bucket shared by millions of near-identical docs would otherwise
-    reintroduce the quadratic term LSH exists to avoid.
+    reintroduce the quadratic term LSH exists to avoid. ``keep`` names
+    bucket-key columns to carry through to the pair output (e.g. the
+    chunk index for first-shared-chunk dedup).
     """
+    keep = keep or []
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(member)).alias("members"))
@@ -141,9 +145,10 @@ def _bucket_pairs(
     if max_bucket is not None:
         buckets = buckets.filter(F.size("members") <= max_bucket)
     lefts = buckets.select(
-        F.col("members"), F.posexplode("members").alias("i", "ma")
+        *keep, F.col("members"), F.posexplode("members").alias("i", "ma")
     )
     return lefts.select(
+        *keep,
         F.col("ma"),
         F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("mb"),
     )
@@ -296,35 +301,49 @@ def simhash_dedup_pairs(
     (``_bucket_pairs`` — signature plan computed once, no corpus-wide
     self-join/broadcast) finds every true pair without an all-pairs
     comparison. The signature travels inside the member struct, so
-    verification is a pure expression — the Hamming filter runs BEFORE
-    the cross-band distinct, shrinking the dedup shuffle to true pairs.
+    verification is a pure expression. A pair sharing several chunks
+    would surface in several buckets; instead of a ``distinct`` (a
+    second shuffle over all emitted pairs) each pair is emitted only
+    from its FIRST shared chunk — both signatures are in hand, so
+    "no earlier chunk also matched" is a pure filter expression. The
+    whole pipeline is ONE exchange (the bucket groupBy).
     """
     sigs = simhash_signatures(docs, text_col, id_col)
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
-    chunk_cols = F.array(
-        *[
-            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
-            for c in range(chunks)
-        ]
-    )
+
+    def chunk_of(col: Column, c: int) -> Column:
+        return F.shiftright(col, c * width).bitwiseAND(F.lit(mask))
+
+    chunk_cols = F.array(*[chunk_of(F.col("simhash"), c) for c in range(chunks)])
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val"),
     )
     member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
-    cand = _bucket_pairs(banded, ["chunk_idx", "chunk_val"], member, max_bucket)
+    cand = _bucket_pairs(
+        banded, ["chunk_idx", "chunk_val"], member, max_bucket, keep=["chunk_idx"]
+    )
     hamming = F.bit_count(F.col("ma.sig").bitwiseXOR(F.col("mb.sig")))
+    first_shared = F.coalesce(
+        *[
+            F.when(
+                chunk_of(F.col("ma.sig"), c) == chunk_of(F.col("mb.sig"), c),
+                F.lit(c),
+            )
+            for c in range(chunks)
+        ]
+    )
     return (
-        cand.select(
+        cand.filter(F.col("chunk_idx") == first_shared)
+        .select(
             F.col("ma.id").alias("id_a"),
             F.col("mb.id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
