@@ -202,8 +202,8 @@ def minhash_dedup_pairs(
     """
     if banded is None:
         banded = minhash_band_rows(docs, text_col, id_col, num_perm, bands, shingle_n)
-    # Cross-band duplicate candidates are NOT distinct'ed here: the
-    # verify stage's per-pair groupBy collapses them, saving a shuffle.
+    # Cross-band duplicate candidates are collapsed inside the verify
+    # stage (cheap id-pair distinct) before anything array-sized moves.
     candidates = _bucket_pairs(
         banded, ["band_idx", "band_hash"], F.col(id_col), max_bucket
     ).select(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
@@ -228,6 +228,13 @@ def _verify_jaccard(
     # distinct 64-bit shingle hashes equals Jaccard over the shingles
     # themselves (collisions are ~2^-64 per pair), for ~3.5x fewer
     # shuffle bytes and long-compare array_intersect.
+    # Candidate pairs arrive with cross-band duplicates (a true
+    # near-dup agrees on MANY bands — measured ~13x inflation on a
+    # dup-dense corpus). Collapse them BEFORE the member explode: the
+    # distinct shuffles only id pairs (16 bytes each), while every
+    # surviving duplicate would ship both shingle arrays through the
+    # per-pair groupBy — the dominant shuffle at scale.
+    pairs = pairs.distinct()
     member = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
     )

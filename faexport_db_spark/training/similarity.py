@@ -181,8 +181,12 @@ def _pair_cosines(
     duplicate candidates from multi-table collisions). Vectors are
     never shuffled corpus-wide and never hashed through a distinct.
     The post-join explode only fans out stored columns, so nothing
-    expensive re-evaluates per pair-membership row."""
-    member = pairs.select(
+    expensive re-evaluates per pair-membership row. Candidates arrive
+    with cross-table duplicates (a true near-dup collides in up to
+    n_tables tables); the distinct shuffles only id pairs, where each
+    surviving duplicate would ship both vectors through the per-pair
+    groupBy."""
+    member = pairs.distinct().select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
     )
     grouped = member.groupBy("mid").agg(
@@ -289,10 +293,8 @@ def cosine_near_dup_pairs_lsh(
 
     Candidates come from within-bucket pair expansion keyed by
     (table, code) — never a corpus-wide self-join. Cross-table
-    duplicate candidates are NOT distinct'ed: the verify stage's
-    per-pair groupBy collapses them (true near-dups collide in a few
-    tables, random collisions in one — the duplication factor is
-    small and a distinct would cost a full extra shuffle). Only id
+    duplicate candidates collapse inside the verify stage (cheap
+    id-pair distinct before anything vector-sized moves). Only id
     pairs leave the expansion; vectors rejoin in ``_pair_cosines``'s
     single corpus scan. Every shuffle is linear on uniform keys;
     ``max_bucket`` drops degenerate over-dense codes.
