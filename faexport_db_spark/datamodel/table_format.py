@@ -1,0 +1,146 @@
+"""Storage-strategy seam: the mutation surface a table format provides.
+
+The engine's store paths need exactly four mutations beyond plain
+reads: append a batch (K1/K2), delete by predicate (K4, reference
+scripts/cron/remove_duplicates.py:61-84), overwrite touched hive
+partitions (merged-view maintenance), and upsert-by-key within
+partitions (incremental merged view). On plain parquet each of these
+is a rewrite with specific care (lineage breaks, dynamic partition
+overwrite, first-batch races); on a transactional table format
+(Delta Lake, Iceberg) they are native commands (``MERGE INTO``,
+``DELETE WHERE``, ``replaceWhere``) with snapshot isolation and
+metadata-only planning.
+
+This module confines that difference to one interface so
+``maintenance/`` and ``streaming/`` never hard-code a format:
+``ParquetFormat`` is the zero-dependency default that reproduces the
+engine's existing behavior byte-for-byte; a ``DeltaFormat`` /
+``IcebergFormat`` slots in by implementing the same five methods with
+the native commands (each method's docstring names the command).
+
+The seam is deliberately path-based, not catalog-based — the
+reference's store is a directory tree, and CCR-style deployments pass
+explicit locations. A catalog-table format can treat ``path`` as a
+table identifier.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+class TableFormat(ABC):
+    """Mutation strategy for one store table at ``path``."""
+
+    @abstractmethod
+    def read(self, spark: SparkSession, path: str) -> DataFrame: ...
+
+    @abstractmethod
+    def append(
+        self, df: DataFrame, path: str, partition_cols: list[str] | None = None
+    ) -> None:
+        """K1/K2 bulk/micro-batch append."""
+
+    @abstractmethod
+    def delete_where(self, spark: SparkSession, path: str, predicate: Column) -> None:
+        """K4: delete matching rows. Delta/Iceberg: ``DELETE FROM t
+        WHERE p`` — metadata + touched-file rewrite under snapshot
+        isolation."""
+
+    @abstractmethod
+    def overwrite_partitions(
+        self, df: DataFrame, path: str, partition_cols: list[str]
+    ) -> None:
+        """Replace exactly the hive partitions present in ``df``.
+        Delta: ``replaceWhere`` / dynamic overwrite; Iceberg:
+        ``overwritePartitions()``."""
+
+    @abstractmethod
+    def upsert_keys(
+        self,
+        recomputed: DataFrame,
+        path: str,
+        key_cols: list[str],
+        partition_cols: list[str],
+    ) -> None:
+        """Replace rows matching ``key_cols`` in the touched
+        partitions with ``recomputed``, keeping every other row —
+        the incremental merged-view maintenance step. Delta/Iceberg:
+        one ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT`` — no read-union-rewrite, no lineage dance."""
+
+
+class ParquetFormat(TableFormat):
+    """Plain-parquet implementation — rewrites with the care the
+    engine's streaming/maintenance paths need (lineage breaks before
+    overwriting a path being read, dynamic partition overwrite so
+    untouched partitions survive, first-batch tolerance)."""
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    def append(
+        self, df: DataFrame, path: str, partition_cols: list[str] | None = None
+    ) -> None:
+        writer = df.write.mode("append")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+
+    def delete_where(self, spark: SparkSession, path: str, predicate: Column) -> None:
+        survivors = self.read(spark, path).filter(~predicate)
+        # Break lineage before overwriting the path we just read.
+        survivors.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    def overwrite_partitions(
+        self, df: DataFrame, path: str, partition_cols: list[str]
+    ) -> None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def upsert_keys(
+        self,
+        recomputed: DataFrame,
+        path: str,
+        key_cols: list[str],
+        partition_cols: list[str],
+    ) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        spark = recomputed.sparkSession
+        touched_keys = recomputed.select(*key_cols)
+        try:
+            existing = self.read(spark, path)
+            touched_parts = [
+                tuple(r) for r in recomputed.select(*partition_cols).distinct().collect()
+            ]
+            part_pred = F.lit(False)
+            for vals in touched_parts:
+                clause = F.lit(True)
+                for c, v in zip(partition_cols, vals):
+                    clause = clause & (F.col(c) == F.lit(v))
+                part_pred = part_pred | clause
+            keep = existing.filter(part_pred).join(
+                F.broadcast(touched_keys.distinct()), key_cols, "left_anti"
+            )
+            out = recomputed.unionByName(keep).localCheckpoint(eager=True)
+        except AnalysisException as exc:
+            # First-batch cases only: missing path, or a crashed first
+            # write's footerless directory. Anything else propagates —
+            # swallowing it would drop untouched rows of the touched
+            # partitions (see merged_view_stream for the full rationale).
+            if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            out = recomputed
+        self.overwrite_partitions(out, path, partition_cols)
+
+
+DEFAULT_FORMAT = ParquetFormat()

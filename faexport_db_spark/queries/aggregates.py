@@ -112,3 +112,35 @@ def a7_seen_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scripts/ingest/fa_indexer/main.py:85-93) is a dropDuplicates —
     distributed, no driver-side state."""
     return load_table(spark, sf_dir, "documents").select("lang", "source").dropDuplicates()
+
+
+@register(
+    "a1s_salted_skew_count",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a1s_salted_skew_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 variant through ``salted_agg`` — the two-phase skew-spreading
+    aggregation demonstrated on a genuinely skewed key:
+    ``o_orderstatus`` has 3 values with two of them holding ~49% of
+    rows each (the reference's analog is ``website_id``, where one
+    site dominates — SURVEY §4 skew note). Phase 1 groups by
+    (key, salt) so a hot key's reduce state spreads over 16 reducers;
+    phase 2 re-combines partials (count→sum, max→max). Results are
+    EXACTLY the plain GROUP BY — the oracle checks that, and
+    tests/test_partitioning.py pins the two-phase plan shape."""
+    from faexport_db_spark.operators.partitioning import salted_agg
+
+    return salted_agg(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        {"n": ("count", "sum", "*"), "max_price": ("max", "max", "o_totalprice")},
+    ).select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )

@@ -26,10 +26,10 @@ overwrite entirely.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT, TableFormat
 from faexport_db_spark.operators.merge import merged_users
 
 ENTITY_KEY = ["website_id", "site_user_id"]
@@ -40,41 +40,18 @@ def refresh_touched_users(
     snapshot_store_dir: str,
     merged_view_dir: str,
     touched_keys: DataFrame,
+    fmt: TableFormat = DEFAULT_FORMAT,
 ) -> None:
     """Re-merge the entities in ``touched_keys`` and upsert them into
-    the merged-view parquet via dynamic partition overwrite."""
-    store = spark.read.parquet(snapshot_store_dir)
+    the merged view through the storage seam: on parquet that is
+    keep-rows ∪ recomputed + dynamic partition overwrite with the
+    lineage-break and first-batch handling in
+    ``ParquetFormat.upsert_keys``; on Delta/Iceberg it becomes one
+    ``MERGE INTO``."""
+    store = fmt.read(spark, snapshot_store_dir)
     touched_snaps = store.join(F.broadcast(touched_keys.distinct()), ENTITY_KEY, "left_semi")
     recomputed = merged_users(touched_snaps)
-
-    touched_sites = [r[0] for r in touched_keys.select("website_id").distinct().collect()]
-    try:
-        existing = spark.read.parquet(merged_view_dir)
-        # Keep rows from touched partitions whose entity was NOT touched:
-        # the partition rewrite must carry them through.
-        keep = existing.filter(F.col("website_id").isin(touched_sites)).join(
-            F.broadcast(touched_keys.distinct()), ENTITY_KEY, "left_anti"
-        )
-        # Break lineage before overwriting the path we just read
-        # ("Cannot overwrite a path that is also being read from");
-        # Delta/Iceberg MERGE would make this a metadata-only concern.
-        out = keep.unionByName(recomputed).localCheckpoint(eager=True)
-    except AnalysisException as exc:
-        # ONLY the no-committed-data cases mean "first batch": missing
-        # view, or a directory a crashed first write left with zero
-        # parquet footers (UNABLE_TO_INFER_SCHEMA) — without the latter
-        # a batch-1 crash wedges the stream in a permanent retry loop.
-        # Any other failure (transient IO, corrupt footer, permissions)
-        # must propagate so the micro-batch retries — swallowing it
-        # here would rewrite the touched partitions with just the
-        # recomputed entities and silently drop every untouched entity
-        # in them.
-        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
-        out = recomputed
-
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy("website_id").parquet(merged_view_dir)
+    fmt.upsert_keys(recomputed, merged_view_dir, ENTITY_KEY, ["website_id"])
 
 
 def start_incremental_merged_users(
@@ -96,7 +73,7 @@ def start_incremental_merged_users(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        batch.write.mode("append").partitionBy("website_id").parquet(snapshot_store_dir)
+        DEFAULT_FORMAT.append(batch, snapshot_store_dir, ["website_id"])
         refresh_touched_users(
             batch.sparkSession,
             snapshot_store_dir,

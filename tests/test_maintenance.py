@@ -212,3 +212,69 @@ def test_compaction_restores_legacy_directory_swap_crash(spark, sf_small, tmp_pa
     assert recover_compaction(spark, path) == "restored_old"
     got = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()}
     assert got == want
+
+
+class TestTableFormatSeam:
+    """The storage-strategy seam (datamodel/table_format.py): the
+    parquet implementation must reproduce the engine's existing
+    mutation behavior so a transactional format can slot in later."""
+
+    def test_delete_where_rewrites_survivors(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        p = str(tmp_path / "t")
+        spark.range(100).withColumn("k", F.col("id") % 10).write.parquet(p)
+        DEFAULT_FORMAT.delete_where(spark, p, F.col("k") == 3)
+        left = DEFAULT_FORMAT.read(spark, p)
+        assert left.count() == 90
+        assert left.filter(F.col("k") == 3).count() == 0
+
+    def test_upsert_keys_replaces_only_touched_entities(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        p = str(tmp_path / "view")
+        base = spark.createDataFrame(
+            [("a", 1, "old"), ("a", 2, "old"), ("b", 3, "old")],
+            ["website_id", "site_user_id", "val"],
+        )
+        # First write goes through the first-batch path (no view yet).
+        DEFAULT_FORMAT.upsert_keys(
+            base, p, ["website_id", "site_user_id"], ["website_id"]
+        )
+        upd = spark.createDataFrame(
+            [("a", 1, "new")], ["website_id", "site_user_id", "val"]
+        )
+        DEFAULT_FORMAT.upsert_keys(
+            upd, p, ["website_id", "site_user_id"], ["website_id"]
+        )
+        rows = {
+            (r["website_id"], r["site_user_id"]): r["val"]
+            for r in DEFAULT_FORMAT.read(spark, p).collect()
+        }
+        # touched entity replaced; untouched entity in the SAME
+        # partition kept; untouched partition untouched
+        assert rows == {("a", 1): "new", ("a", 2): "old", ("b", 3): "old"}
+
+    def test_upsert_keys_propagates_non_first_batch_errors(self, spark, tmp_path):
+        import pytest
+        from pyspark.errors import AnalysisException
+
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        bad = spark.createDataFrame([("a", 1)], ["website_id", "site_user_id"])
+        # A schema mismatch on an EXISTING view is not a first-batch
+        # condition; it must raise, not silently drop the keep-side.
+        p = str(tmp_path / "view2")
+        bad2 = spark.createDataFrame(
+            [("a", 1, "x")], ["website_id", "site_user_id", "val"]
+        )
+        DEFAULT_FORMAT.upsert_keys(bad2, p, ["website_id", "site_user_id"], ["website_id"])
+        with pytest.raises(AnalysisException):
+            # missing 'val' column -> unionByName failure propagates
+            DEFAULT_FORMAT.upsert_keys(
+                bad, p, ["website_id", "site_user_id"], ["website_id"]
+            )

@@ -174,3 +174,21 @@ def test_settings_seed_matches_reference_contract(spark):
     assert [(r["setting_id"], r["setting_value"]) for r in rows] == [
         ("version", SCHEMA_VERSION)
     ]
+
+
+def test_registered_salted_query_has_two_phase_plan(spark, sf_small):
+    """The registered a1s_salted_skew_count really routes through the
+    salted two-phase shape: a salt-keyed exchange below a key-only
+    exchange (plus map-side partials) — not a plain single groupBy."""
+    import re
+
+    from faexport_db_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["a1s_salted_skew_count"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"hashpartitioning\([^)]*__salt", plan), plan
+    assert re.search(r"hashpartitioning\(o_orderstatus[^_]", plan), plan
