@@ -36,9 +36,11 @@ from faexport_db_spark.training.pipeline import (
     stratified_sample,
 )
 from faexport_db_spark.training.text import (
+    decontaminate,
     doc_fingerprint,
     lang_id,
     quality_features,
+    repetition_signals,
     token_counts,
 )
 
@@ -779,3 +781,62 @@ def t_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_build(_planted_embeddings(emb), path, n_centroids=8, iters=2)
     out = ivf_topk_persisted(spark, path, queries, k=1, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "t_repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+      round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 6)
+        AS dup_token_frac,
+      round(list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) / CAST(len(toks) AS DOUBLE), 6)
+        AS top_token_frac,
+      round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 6)
+        AS dup_trigram_frac
+    FROM g
+    """,
+)
+def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token
+    fraction, most-common-token fraction, duplicate-trigram fraction —
+    the boilerplate/template-spam detectors length features miss."""
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+@register(
+    "t_decontaminate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram overlap rule): every 50th doc
+    plays the eval set; any corpus doc sharing a word 5-gram with it —
+    including the eval docs themselves — is dropped. The Spark side
+    broadcasts the benchmark gram hashes so the corpus-sized explode
+    never shuffles; the oracle replays the rule with exact gram
+    strings."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, benchmark, n=5).select("doc_id")

@@ -142,3 +142,74 @@ def doc_fingerprint(
         F.array_join(sampled, ",").alias("fingerprint"),
         F.size(sampled).cast("bigint").alias("fp_size"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rules'
+    shape): duplicate-token fraction, most-common-token fraction, and
+    duplicate word-trigram fraction. High values flag boilerplate,
+    keyword stuffing and template spam that length/stopword features
+    miss. Pure column expressions, one narrow pass.
+
+    The top-token count is O(distinct x tokens) per doc — fine for
+    natural documents (both factors are bounded by doc length); for
+    pathological megadocs, bound upstream by a length filter."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top_count = F.array_max(
+        F.transform(uniq, lambda u: F.size(F.filter(toks, lambda t: t == u)))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round((n - F.size(uniq)).cast("double") / n, 6).alias("dup_token_frac"),
+        F.round(top_count.cast("double") / n, 6).alias("top_token_frac"),
+        F.round(
+            (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+            / F.size(grams),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any word
+    ``n``-gram with the benchmark set — the standard n-gram-overlap
+    rule for keeping eval data out of training corpora (13-gram is the
+    GPT-3/PaLM convention; pass smaller ``n`` for short documents).
+
+    Shape at 100 TB: benchmark n-gram hashes are SMALL (eval sets are
+    thousands of docs) — they broadcast; corpus gram rows meet them in
+    a map-side broadcast semi-join (the corpus-sized explode never
+    shuffles), and only the contaminated doc-id set (small) shuffles
+    for the distinct before the final broadcast anti-join back against
+    the corpus. Two corpus scans, nothing corpus-sized ever moves."""
+
+    def gram_hashes(df: DataFrame, col_id: str) -> DataFrame:
+        toks = tokens_expr(text_col)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+        return df.select(F.col(id_col).alias(col_id), F.explode(grams).alias("gh"))
+
+    bench_grams = gram_hashes(benchmark, "bench_id").select("gh").distinct()
+    contaminated = (
+        gram_hashes(corpus, id_col)
+        .join(F.broadcast(bench_grams), "gh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
