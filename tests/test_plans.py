@@ -175,3 +175,28 @@ def test_corpus_prep_and_clusters_stay_jvm_side(spark, sf_small):
         max_python_evals=0,
         forbid_join=("CartesianProduct",),
     )
+
+
+def test_embed_code_rows_is_one_arrow_eval_no_shuffle(spark, sf_small):
+    """Multi-table LSH coding is a single Arrow-batched matmul pass:
+    exactly one Python eval operator (the vectorized coder — see
+    similarity._code_rows for why an expression form loses here) and
+    zero hash-partition exchanges before the bucket groupBy."""
+    from faexport_db_spark.plans.audit import _physical_plan
+    from faexport_db_spark.training.similarity import _code_rows
+
+    emb = load_table(spark, sf_small, "embeddings")
+    coded = _code_rows(emb, "vec_id", "embedding", 12, 6, 64, 42)
+    plan = _physical_plan(coded)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_not_corpus(spark, sf_small):
+    """The corpus-sized gram explode must meet the benchmark grams in
+    a map-side broadcast join — never a sort-merge (which would
+    shuffle every corpus gram)."""
+    strategies = join_strategies(QUERIES["t_decontaminate"](spark, sf_small))
+    assert strategies["SortMergeJoin"] == 0, strategies
+    assert strategies["BroadcastNestedLoopJoin"] == 0, strategies
+    assert strategies["CartesianProduct"] == 0, strategies
