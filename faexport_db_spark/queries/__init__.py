@@ -4,15 +4,19 @@ Modules register one ``queries()`` entry (and DuckDB oracle where
 SQL-expressible) per SURVEY.md §2 operator ID.
 
 DRIVER WINDOW: the driver's correctness harness checks only the FIRST
-50 registrations in insertion order, so ``_DRIVER_WINDOW`` below — not
+50 registrations in insertion order, so registration order — not
 module import order — decides which ops get a driver-verified row each
 round.  Rounds 1–2 burned the window on the same 50 keys (A/F/J/M/
-C1–C18); round 3 front-loads every op that has never had a driver row
-(W, O, U, S, K, C19–C22, v1, st_*, the oracle-checked t_* companions)
-plus three flagship sentinels.  Rotate this list each round so every
-registered op accumulates a driver-green row across rounds; everything
-keeps passing the full local differential (tests/test_oracle_differential.py)
-regardless of position.
+C1–C18); the rotation is now AUTOMATIC: ``_reorder`` reads the
+accumulated ``CORRECTNESS_r*.json`` files the driver leaves in the
+repo root and front-loads every op that has never had a clean driver
+row (after three flagship regression sentinels), prioritized by the
+curated ``_PRIORITY`` order (§2 ops before engine extensions), then
+registration order.  Ops already green in some round sort last, so
+across rounds every registered op accumulates a driver-green row with
+no manual rotation; everything keeps passing the full local
+differential (tests/test_oracle_differential.py) regardless of
+position.
 """
 
 from faexport_db_spark.queries import (  # noqa: F401
@@ -30,8 +34,14 @@ from faexport_db_spark.queries import (  # noqa: F401
 )
 from faexport_db_spark.queries.registry import ORACLES, QUERIES  # noqa: F401
 
-# Round-3 window: 47 never-driver-checked ops + 3 sentinels = 50.
-_DRIVER_WINDOW = [
+# Flagship regression canaries — always occupy the first window slots
+# so a merge-semantics regression is caught the same round it lands.
+_SENTINELS = ["merged_entity", "m5_extra_data_merge", "m7_clash_fold_checked"]
+
+# Priority ORDER for never-driver-checked ops (SURVEY §2 inventory
+# before engine extensions). Keys not listed here fall back to
+# registration order after these.
+_PRIORITY = [
     # W1–W4 row_number dedup (SURVEY §2.6)
     "w1_dedup_keep_highest",
     "w2_dedup_files",
@@ -82,23 +92,12 @@ _DRIVER_WINDOW = [
     "t_ann_ivf_persisted",
     "t_embed_lsh_checked",
     "t_embed_incremental_checked",
-    # flagship sentinels (already green in r01+r02; regression canaries)
-    "merged_entity",
-    "m5_extra_data_merge",
-    "m7_clash_fold_checked",
-    # more never-checked training ops (rest rotate into round 4)
+    # remaining oracle-checked training ops
     "t_exact_dedup",
     "t_embed_cosine_dedup",
     "t_lang_id",
     "t_text_quality",
     "t_token_count",
-]
-
-# Next-in-line after the window: the remaining never-driver-checked
-# oracle entries, so a wider window (or round-4 rotation) reaches them
-# first.  Everything else (r01/r02-green A/F/J/M/C1–C18 and the
-# rows-only approximate ops) follows in original registration order.
-_AFTER_WINDOW = [
     "t_ngram_jaccard_pairs",
     "t_doc_fingerprint",
     "t_multimodal_features",
@@ -110,15 +109,53 @@ _AFTER_WINDOW = [
 ]
 
 
+def _driver_green_keys() -> set[str]:
+    """Keys with a clean driver row in any accumulated
+    ``CORRECTNESS_r*.json``: present, no error, rows matching (a
+    rows-only entry records rows_match only)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        for key, row in doc.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("rows_match") and row.get("hash_match", True):
+                green.add(key)
+    return green
+
+
 def _reorder() -> None:
-    explicit = _DRIVER_WINDOW + _AFTER_WINDOW
-    missing = [k for k in explicit if k not in QUERIES]
+    missing = [k for k in _SENTINELS + _PRIORITY if k not in QUERIES]
     if missing:
         raise RuntimeError(f"driver-window keys not registered: {missing}")
+    explicit = _SENTINELS + _PRIORITY
     dupes = {k for k in explicit if explicit.count(k) > 1}
     if dupes:
         raise RuntimeError(f"driver-window keys duplicated: {sorted(dupes)}")
-    ordered = explicit + [k for k in QUERIES if k not in set(explicit)]
+    green = _driver_green_keys()
+    pri = {k: i for i, k in enumerate(_PRIORITY)}
+    reg = {k: i for i, k in enumerate(QUERIES)}
+
+    def rank(k: str):
+        if k in _SENTINELS:
+            return (0, _SENTINELS.index(k), 0)
+        # never-green first, ordered by curated priority then
+        # registration order; green ops sort last (they already have
+        # an archived driver row).
+        return (1 if k not in green else 2, pri.get(k, len(pri)), reg[k])
+
+    ordered = sorted(QUERIES, key=rank)
     for d in (QUERIES, ORACLES):
         snapshot = {k: d[k] for k in ordered if k in d}
         d.clear()
