@@ -103,6 +103,14 @@ def dedup_batch_against_store(
         .partitionBy("band_idx")
         .parquet(index_path)
     )
+    # First batch creates the parameter sidecar; later batches
+    # validate against it (a param change mid-stream must fail loud).
+    from faexport_db_spark.training.indexmeta import ensure_index_meta
+
+    ensure_index_meta(
+        spark, index_path, "minhash_bands",
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+    )
     return survivors
 
 
@@ -121,6 +129,105 @@ def start_streaming_dedup(
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         dedup_batch_against_store(batch_df, store_path, index_path, **dedup_kwargs)
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def embed_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 12,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding analog of ``dedup_batch_against_store``: one
+    micro-batch of vectors is coded ONCE (Arrow matmul, map-side),
+    probed against the persisted multi-table code index for near-dups
+    of the accepted corpus, self-deduped within the batch (lowest id
+    wins), and the survivors + their code rows are appended — batch
+    N+1 dedups against batch N with no corpus re-coding. The first
+    batch also writes the index parameter sidecar so every later probe
+    validates against it."""
+    from faexport_db_spark.training.indexmeta import ensure_index_meta
+    from faexport_db_spark.training.similarity import (
+        _code_rows,
+        cosine_near_dup_pairs_lsh,
+        embed_dedup_against_index,
+    )
+
+    spark = batch.sparkSession
+    batch = batch.select(id_col, vec_col)
+    coded = _code_rows(
+        batch, id_col, vec_col, nbits, n_tables, dim, seed
+    ).localCheckpoint(eager=True)
+
+    dup_ids = None
+    try:
+        corpus = spark.read.parquet(store_path)
+        cross = embed_dedup_against_index(
+            batch, corpus, index_path, threshold, id_col, vec_col,
+            nbits, n_tables, dim, seed,
+            probes=coded.withColumnRenamed("vid", "new_id"),
+        )
+        dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
+    except AnalysisException as exc:
+        # Same first-batch contract as the MinHash stream: only
+        # no-committed-data conditions mean "no corpus yet".
+        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+    self_pairs = cosine_near_dup_pairs_lsh(
+        batch, threshold, id_col, vec_col, nbits, n_tables, dim, seed,
+        entries=coded,
+    )
+    self_dups = self_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dup_ids = (
+        self_dups if dup_ids is None
+        else dup_ids.unionByName(self_dups).distinct()
+    )
+
+    survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("append").parquet(store_path)
+    (
+        coded.join(F.broadcast(survivors.select(F.col(id_col).alias("vid"))), "vid", "left_semi")
+        .write.mode("append")
+        .partitionBy("tbl")
+        .parquet(index_path)
+    )
+    ensure_index_meta(
+        spark, index_path, "embed_lsh_codes",
+        {"nbits": nbits, "n_tables": n_tables, "dim": dim, "seed": seed},
+    )
+    return survivors
+
+
+def start_streaming_embed_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``embed_dedup_batch_against_store`` into a streaming query
+    via foreachBatch. ``source`` is any streaming DataFrame with
+    (vec_id, embedding) columns."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        embed_dedup_batch_against_store(
+            batch_df, store_path, index_path, **dedup_kwargs
+        )
 
     writer = source.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

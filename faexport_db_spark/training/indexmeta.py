@@ -34,6 +34,20 @@ def write_index_meta(
     )
 
 
+def ensure_index_meta(
+    spark: SparkSession, path: str, kind: str, params: dict
+) -> None:
+    """Write the sidecar only if absent — the incremental/streaming
+    append paths call this per batch; the first append creates it,
+    later ones validate instead of blindly rewriting."""
+    fs = HadoopFs(spark, path)
+    meta_path = posixpath.join(path.rstrip("/"), INDEX_META_NAME)
+    if fs.exists(meta_path):
+        check_index_meta(spark, path, kind, params)
+        return
+    write_index_meta(spark, path, kind, params)
+
+
 def check_index_meta(
     spark: SparkSession, path: str, kind: str, params: dict
 ) -> None:

@@ -275,10 +275,14 @@ def cosine_near_dup_pairs_lsh(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int | None = 10_000,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: MULTI-TABLE hyperplane
     LSH generates candidates (same code in any of ``n_tables``
     independent ``nbits``-plane tables), exact cosine verifies.
+    ``entries`` short-circuits coding with precomputed ``_code_rows``
+    output (vid, tbl, code) — streaming callers code each batch once
+    and feed every step from that one frame.
 
     Multi-table replaces the earlier single-table + Hamming-1 probing:
     at nbits=8 a 4k-vector corpus produced ~300k candidate pairs
@@ -301,7 +305,8 @@ def cosine_near_dup_pairs_lsh(
     """
     from faexport_db_spark.training.dedup import _bucket_pairs
 
-    entries = _code_rows(corpus, id_col, vec_col, nbits, n_tables, dim, seed)
+    if entries is None:
+        entries = _code_rows(corpus, id_col, vec_col, nbits, n_tables, dim, seed)
     cand = _bucket_pairs(
         entries.select("tbl", "code", F.col("vid").alias("m")),
         ["tbl", "code"],
@@ -541,6 +546,7 @@ def embed_dedup_against_index(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int | None = 10_000,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs between a NEW batch and an indexed
     corpus — the incremental analog of ``cosine_near_dup_pairs_lsh``:
@@ -564,9 +570,10 @@ def embed_dedup_against_index(
         {"nbits": nbits, "n_tables": n_tables, "dim": dim, "seed": seed},
     )
     index = spark.read.parquet(index_path)
-    probes = _code_rows(
-        new_vecs, id_col, vec_col, nbits, n_tables, dim, seed, id_alias="new_id"
-    )
+    if probes is None:
+        probes = _code_rows(
+            new_vecs, id_col, vec_col, nbits, n_tables, dim, seed, id_alias="new_id"
+        )
     matched = index.join(F.broadcast(probes), ["tbl", "code"]).filter(
         F.col("vid") != F.col("new_id")
     )

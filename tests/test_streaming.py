@@ -347,3 +347,59 @@ def test_streaming_dedup_recovers_from_footerless_store(spark, sf_small, tmp_pat
     )
     assert survivors.count() == 2
     assert spark.read.parquet(str(store)).count() == 2
+
+
+def test_streaming_embed_dedup_filters_within_and_across_batches(
+    spark, sf_small, tmp_path
+):
+    """Embedding analog of the streaming dedup: batch 1 drops its
+    internal scaled twin; batch 2's twin of a batch-1 vector is caught
+    by the CODE-INDEX probe (no corpus re-coding), while its fresh
+    vector survives. The index ends with code rows for exactly the
+    survivors plus the parameter sidecar."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.streaming.dedup_stream import start_streaming_embed_dedup
+
+    emb = load_table(spark, sf_small, "embeddings").orderBy("vec_id").limit(3)
+    rows = emb.collect()
+    va, vb, vc = (list(r["embedding"]) for r in rows)
+    twin = lambda v: [x * 2.0 for x in v]  # noqa: E731 — cosine exactly 1
+
+    src = tmp_path / "incoming"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    batches = [
+        [(1, va), (2, vb), (3, twin(va))],   # 3 dups 1 within the batch
+        [(11, twin(va)), (12, vc)],          # 11 dups stored 1 via the index
+    ]
+    schema = "vec_id bigint, embedding array<float>"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_embed_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    assert kept == [1, 2, 12]
+    idx_ids = {r["vid"] for r in spark.read.parquet(index).select("vid").distinct().collect()}
+    assert idx_ids == {1, 2, 12}
+    # sidecar written on first batch and validated after: a mismatched
+    # probe must fail loud, not silently match nothing
+    import pytest
+
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    with pytest.raises(ValueError, match="different signing parameters"):
+        check_index_meta(
+            spark, index, "embed_lsh_codes",
+            {"nbits": 9, "n_tables": 6, "dim": 64, "seed": 42},
+        )
