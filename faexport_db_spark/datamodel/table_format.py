@@ -64,12 +64,19 @@ class TableFormat(ABC):
         path: str,
         key_cols: list[str],
         partition_cols: list[str],
+        keys: DataFrame | None = None,
     ) -> None:
-        """Replace rows matching ``key_cols`` in the touched
-        partitions with ``recomputed``, keeping every other row —
-        the incremental merged-view maintenance step. Delta/Iceberg:
-        one ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
-        INSERT`` — no read-union-rewrite, no lineage dance."""
+        """Replace rows matching the touched key set in the touched
+        partitions with ``recomputed``, keeping every other row — the
+        incremental merged-view maintenance step. ``keys`` is the
+        touched key set (``key_cols`` columns; defaults to
+        ``recomputed``'s keys) — pass it explicitly when a touched key
+        may have NO recomputed row (all its source rows deleted), so
+        its stale row is purged rather than kept; ``partition_cols``
+        must be a subset of ``key_cols``. Delta/Iceberg: one ``MERGE
+        INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT WHEN NOT
+        MATCHED BY SOURCE DELETE`` — no read-union-rewrite, no lineage
+        dance."""
 
 
 class ParquetFormat(TableFormat):
@@ -90,7 +97,11 @@ class ParquetFormat(TableFormat):
         writer.parquet(path)
 
     def delete_where(self, spark: SparkSession, path: str, predicate: Column) -> None:
-        survivors = self.read(spark, path).filter(~predicate)
+        # SQL DELETE WHERE p removes rows where p IS TRUE; rows where p
+        # is NULL survive. A plain filter(~p) would silently delete the
+        # NULL rows too, diverging from the Delta/Iceberg command this
+        # method mirrors.
+        survivors = self.read(spark, path).filter(~predicate.eqNullSafe(True))
         # Break lineage before overwriting the path we just read.
         survivors.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
@@ -111,16 +122,21 @@ class ParquetFormat(TableFormat):
         path: str,
         key_cols: list[str],
         partition_cols: list[str],
+        keys: DataFrame | None = None,
     ) -> None:
         from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         spark = recomputed.sparkSession
-        touched_keys = recomputed.select(*key_cols)
+        touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
         try:
             existing = self.read(spark, path)
+            # Partitions come from the TOUCHED KEYS, not from
+            # recomputed: a touched key whose rows were all deleted
+            # has no recomputed row, but its partition must still
+            # rewrite so the stale row is purged.
             touched_parts = [
-                tuple(r) for r in recomputed.select(*partition_cols).distinct().collect()
+                tuple(r) for r in touched_keys.select(*partition_cols).distinct().collect()
             ]
             part_pred = F.lit(False)
             for vals in touched_parts:

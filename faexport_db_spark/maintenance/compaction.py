@@ -87,11 +87,16 @@ def recover_compaction(spark: SparkSession, path: str) -> str:
         manifest = json.loads(fs.read_text(manifest_path))
         if fs.exists(commit_path):
             # Phase A completed (marker is written only after every
-            # compacted file is in place): finish phase B.
+            # compacted file is in place): finish phase B. The manifest
+            # MUST be deleted before the commit marker — the reverse
+            # order has a crash window (marker gone, manifest left)
+            # that the next recovery would read as "phase A incomplete"
+            # and roll BACK by deleting the compacted files, which are
+            # the only remaining copy once the originals are gone.
             for rel in manifest["delete"]:
                 fs.delete(posixpath.join(live, rel))
-            fs.delete(commit_path)
             fs.delete(manifest_path)
+            fs.delete(commit_path)
             outcome = "rolled_forward"
         else:
             # Phase A incomplete: originals are all still present;
@@ -102,6 +107,11 @@ def recover_compaction(spark: SparkSession, path: str) -> str:
                     fs.delete(posixpath.join(live, rel))
             fs.delete(manifest_path)
             outcome = "rolled_back"
+
+    # Orphan commit marker with no manifest = a completed compaction
+    # whose final marker delete didn't land; just remove it.
+    if not fs.exists(manifest_path) and fs.exists(commit_path):
+        fs.delete(commit_path)
 
     if fs.exists(tmp):
         fs.delete(tmp, recursive=True)
@@ -196,10 +206,15 @@ def compact_path(
             raise RuntimeError(f"rename failed: {src} -> {dst}")
     # Commit: from here a crash rolls FORWARD (originals get deleted).
     fs.write_text(posixpath.join(live, COMMIT_NAME), "")
-    # Phase B: drop the replaced originals.
+    # Phase B: drop the replaced originals, then the manifest, then
+    # the commit marker — in THAT order: a crash leaving the manifest
+    # without the marker would make the next recovery roll back and
+    # delete the compacted files (the only copy at this point). A
+    # crash leaving an orphan marker without a manifest is harmless
+    # (recovery just removes it).
     for rel, _s in snapshot:
         fs.delete(posixpath.join(live, rel))
-    fs.delete(posixpath.join(live, COMMIT_NAME))
     fs.delete(posixpath.join(live, MANIFEST_NAME))
+    fs.delete(posixpath.join(live, COMMIT_NAME))
     fs.delete(tmp, recursive=True)
     return {**stats, "files_after": plan_compaction(spark, live, target_bytes)["n_files"]}

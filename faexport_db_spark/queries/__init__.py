@@ -17,6 +17,17 @@ across rounds every registered op accumulates a driver-green row with
 no manual rotation; everything keeps passing the full local
 differential (tests/test_oracle_differential.py) regardless of
 position.
+
+Regression coverage note: sorting already-green ops out of the window
+trades their per-round driver re-check for first-time coverage of the
+rest — the prescription from the r02 review. Ops whose
+implementations are REWRITTEN should still get a same-round driver
+row; this round that holds because every rewritten pipeline (MinHash
+signing, SimHash banding, embedding LSH) is exercised by a
+never-green checked companion inside the window
+(t_minhash_lsh_checked, t_simhash_checked, t_embed_lsh_checked, …),
+and the full 113-entry local differential runs every round
+regardless.
 """
 
 from faexport_db_spark.queries import (  # noqa: F401

@@ -57,8 +57,19 @@ def dedup_batch_against_store(
     First batch (no index yet) skips the probe — everything new is
     self-deduped only.
     """
+    from faexport_db_spark.training.indexmeta import ensure_index_meta
+
     spark = batch.sparkSession
     batch = batch.select(id_col, text_col)
+
+    # Validate (or, on the first batch, create) the index parameter
+    # sidecar BEFORE anything is appended: a mismatched-parameter
+    # batch must fail here, not after it has already polluted the
+    # index with incompatibly-signed band rows.
+    ensure_index_meta(
+        spark, index_path, "minhash_bands",
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+    )
 
     # Sign the batch ONCE — the probe, the self-dedup and the index
     # append all consume this one frame (signing is the hot loop;
@@ -102,14 +113,6 @@ def dedup_batch_against_store(
         .write.mode("append")
         .partitionBy("band_idx")
         .parquet(index_path)
-    )
-    # First batch creates the parameter sidecar; later batches
-    # validate against it (a param change mid-stream must fail loud).
-    from faexport_db_spark.training.indexmeta import ensure_index_meta
-
-    ensure_index_meta(
-        spark, index_path, "minhash_bands",
-        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
     )
     return survivors
 
@@ -167,6 +170,15 @@ def embed_dedup_batch_against_store(
 
     spark = batch.sparkSession
     batch = batch.select(id_col, vec_col)
+
+    # Validate/create the sidecar BEFORE any append (see the MinHash
+    # variant: a param-mismatched batch must fail before polluting
+    # the index with incompatible code rows).
+    ensure_index_meta(
+        spark, index_path, "embed_lsh_codes",
+        {"nbits": nbits, "n_tables": n_tables, "dim": dim, "seed": seed},
+    )
+
     coded = _code_rows(
         batch, id_col, vec_col, nbits, n_tables, dim, seed
     ).localCheckpoint(eager=True)
@@ -203,10 +215,6 @@ def embed_dedup_batch_against_store(
         .write.mode("append")
         .partitionBy("tbl")
         .parquet(index_path)
-    )
-    ensure_index_meta(
-        spark, index_path, "embed_lsh_codes",
-        {"nbits": nbits, "n_tables": n_tables, "dim": dim, "seed": seed},
     )
     return survivors
 

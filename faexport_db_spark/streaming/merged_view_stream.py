@@ -49,9 +49,15 @@ def refresh_touched_users(
     ``ParquetFormat.upsert_keys``; on Delta/Iceberg it becomes one
     ``MERGE INTO``."""
     store = fmt.read(spark, snapshot_store_dir)
-    touched_snaps = store.join(F.broadcast(touched_keys.distinct()), ENTITY_KEY, "left_semi")
+    touched = touched_keys.distinct()
+    touched_snaps = store.join(F.broadcast(touched), ENTITY_KEY, "left_semi")
     recomputed = merged_users(touched_snaps)
-    fmt.upsert_keys(recomputed, merged_view_dir, ENTITY_KEY, ["website_id"])
+    # keys=touched (not recomputed's keys): a touched entity whose
+    # snapshots were ALL deleted has no recomputed row, and its stale
+    # merged-view row must be purged, not kept.
+    fmt.upsert_keys(
+        recomputed, merged_view_dir, ENTITY_KEY, ["website_id"], keys=touched
+    )
 
 
 def start_incremental_merged_users(

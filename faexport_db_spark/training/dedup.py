@@ -92,7 +92,11 @@ def minhash_signatures(
             "hs"
         ),
     )
-    seeds = F.array(*[F.lit(i).cast("long") for i in range(num_perm)])
+    # Seeds stay INT-typed: xxhash64 hashes int and long operands
+    # differently, and the pre-refactor per-column form hashed
+    # xxhash64(h, lit(int)) — int seeds keep every signature (and so
+    # every persisted band index) byte-identical across the refactor.
+    seeds = F.array(*[F.lit(i) for i in range(num_perm)])
     max_long = F.lit((1 << 63) - 1).cast("long")
     mins = F.aggregate(
         "hs",
@@ -322,12 +326,19 @@ def simhash_dedup_pairs(
     (``_bucket_pairs`` — signature plan computed once, no corpus-wide
     self-join/broadcast) finds every true pair without an all-pairs
     comparison. The signature travels inside the member struct, so
-    verification is a pure expression. A pair sharing several chunks
-    would surface in several buckets; instead of a ``distinct`` (a
-    second shuffle over all emitted pairs) each pair is emitted only
-    from its FIRST shared chunk — both signatures are in hand, so
-    "no earlier chunk also matched" is a pure filter expression. The
-    whole pipeline is ONE exchange (the bucket groupBy).
+    verification is a pure expression.
+
+    A pair sharing several chunks surfaces in several buckets. With
+    ``max_bucket=None`` each pair is emitted only from its FIRST
+    shared chunk — both signatures are in hand, so "no earlier chunk
+    also matched" is a pure filter expression and the whole pipeline
+    is ONE exchange (the bucket groupBy). With a stop-bucket guard ON,
+    that filter would LOSE pairs whose first shared chunk sits in a
+    dropped over-dense bucket (the signatures alone can't tell a
+    dropped bucket from an unshared chunk), so the guard path dedups
+    with a ``distinct`` over the emitted id pairs instead — a second,
+    id-pair-sized shuffle buys back every pair reachable through a
+    surviving chunk.
     """
     sigs = simhash_signatures(docs, text_col, id_col)
     chunks = max_hamming + 1
@@ -348,24 +359,23 @@ def simhash_dedup_pairs(
         banded, ["chunk_idx", "chunk_val"], member, max_bucket, keep=["chunk_idx"]
     )
     hamming = F.bit_count(F.col("ma.sig").bitwiseXOR(F.col("mb.sig")))
-    first_shared = F.coalesce(
-        *[
-            F.when(
-                chunk_of(F.col("ma.sig"), c) == chunk_of(F.col("mb.sig"), c),
-                F.lit(c),
-            )
-            for c in range(chunks)
-        ]
-    )
-    return (
-        cand.filter(F.col("chunk_idx") == first_shared)
-        .select(
-            F.col("ma.id").alias("id_a"),
-            F.col("mb.id").alias("id_b"),
-            hamming.alias("hamming"),
+    if max_bucket is None:
+        first_shared = F.coalesce(
+            *[
+                F.when(
+                    chunk_of(F.col("ma.sig"), c) == chunk_of(F.col("mb.sig"), c),
+                    F.lit(c),
+                )
+                for c in range(chunks)
+            ]
         )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        cand = cand.filter(F.col("chunk_idx") == first_shared)
+    pairs = cand.select(
+        F.col("ma.id").alias("id_a"),
+        F.col("mb.id").alias("id_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return pairs if max_bucket is None else pairs.distinct()
 
 
 def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:

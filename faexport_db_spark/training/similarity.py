@@ -209,18 +209,6 @@ def _pair_cosines(
     return per_pair.select("id_a", "id_b", cos.alias("cosine"))
 
 
-def _table_codes(vec: Column, planes: list[list[float]], nbits: int, n_tables: int) -> Column:
-    """Array of ``n_tables`` independent LSH codes (one per table,
-    ``nbits`` hyperplanes each) for a vector column — expression form,
-    used where a handful of planes is enough (ANN probing)."""
-    return F.array(
-        *[
-            _code_expr(vec, planes[t * nbits : (t + 1) * nbits])
-            for t in range(n_tables)
-        ]
-    )
-
-
 def _code_rows(
     df: DataFrame,
     id_col: str,

@@ -278,3 +278,38 @@ class TestTableFormatSeam:
             DEFAULT_FORMAT.upsert_keys(
                 bad, p, ["website_id", "site_user_id"], ["website_id"]
             )
+
+    def test_delete_where_keeps_null_predicate_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        p = str(tmp_path / "tn")
+        spark.createDataFrame(
+            [(1, 1), (2, None), (3, 3)], "id int, k int"
+        ).write.parquet(p)
+        DEFAULT_FORMAT.delete_where(spark, p, F.col("k") == 3)
+        # SQL DELETE WHERE k=3 keeps the NULL row
+        left = sorted(r["id"] for r in DEFAULT_FORMAT.read(spark, p).collect())
+        assert left == [1, 2]
+
+    def test_upsert_keys_purges_entity_with_no_recomputed_row(self, spark, tmp_path):
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        p = str(tmp_path / "view3")
+        base = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 2, "y")], ["website_id", "site_user_id", "val"]
+        )
+        DEFAULT_FORMAT.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+        # entity (a, 1) was touched but has NO recomputed row (all its
+        # source rows deleted): its stale view row must be purged
+        empty = base.filter("1=0")
+        keys = spark.createDataFrame([("a", 1)], ["website_id", "site_user_id"])
+        DEFAULT_FORMAT.upsert_keys(
+            empty, p, ["website_id", "site_user_id"], ["website_id"], keys=keys
+        )
+        rows = {
+            (r["website_id"], r["site_user_id"])
+            for r in DEFAULT_FORMAT.read(spark, p).collect()
+        }
+        assert rows == {("a", 2)}

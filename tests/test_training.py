@@ -339,3 +339,55 @@ def test_dedup_clusters_raises_when_unconverged(spark):
         dedup_clusters(chain, max_iters=2)
     got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(chain).collect()}
     assert set(got.values()) == {1}
+
+
+def test_simhash_pair_survives_dropped_first_shared_chunk(spark):
+    """A pair whose FIRST shared chunk sits in an over-dense (dropped)
+    bucket must still be emitted through a later surviving shared
+    chunk when the stop-bucket guard is on (regression: the pure
+    first-shared-chunk filter silently lost such pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.training.dedup import (
+        SIMHASH_BITS,
+        simhash_dedup_pairs,
+        simhash_signatures,
+    )
+
+    max_hamming = 14  # 15 chunks x 4 bits: collisions are easy to find
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+
+    rng = random.Random(13)
+    words = [f"tok{i}" for i in range(500)]
+    base = " ".join(rng.choice(words) for _ in range(60))
+    near = base.rsplit(" ", 1)[0] + " zzz"  # one word swapped
+
+    pool = [(100 + i, " ".join(rng.choice(words) for _ in range(60))) for i in range(120)]
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(
+            spark.createDataFrame([(1, base), (2, near)] + pool, "doc_id long, text string")
+        ).collect()
+    }
+    chunk = lambda s, c: (s >> (c * width)) & mask  # noqa: E731
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    assert ham <= max_hamming
+    shared = [c for c in range(chunks) if chunk(sigs[1], c) == chunk(sigs[2], c)]
+    assert len(shared) >= 2  # near-identical docs share most chunks
+    c0 = shared[0]
+    v0 = chunk(sigs[1], c0)
+    # fillers landing in the pair's first shared bucket (chunk c0, value v0)
+    fillers = [doc_id for doc_id, s in sigs.items() if doc_id > 2 and chunk(s, c0) == v0][:3]
+    assert len(fillers) >= 2, "pool too small to collide — enlarge it"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, near)] + [(f, dict(pool)[f]) for f in fillers],
+        "doc_id long, text string",
+    )
+    # bucket (c0, v0) holds 2 + len(fillers) > max_bucket -> dropped
+    out = simhash_dedup_pairs(corpus, max_hamming=max_hamming, max_bucket=1 + len(fillers))
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in found
