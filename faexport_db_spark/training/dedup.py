@@ -328,17 +328,20 @@ def simhash_dedup_pairs(
     comparison. The signature travels inside the member struct, so
     verification is a pure expression.
 
-    A pair sharing several chunks surfaces in several buckets. With
-    ``max_bucket=None`` each pair is emitted only from its FIRST
-    shared chunk — both signatures are in hand, so "no earlier chunk
-    also matched" is a pure filter expression and the whole pipeline
-    is ONE exchange (the bucket groupBy). With a stop-bucket guard ON,
-    that filter would LOSE pairs whose first shared chunk sits in a
-    dropped over-dense bucket (the signatures alone can't tell a
-    dropped bucket from an unshared chunk), so the guard path dedups
-    with a ``distinct`` over the emitted id pairs instead — a second,
-    id-pair-sized shuffle buys back every pair reachable through a
-    surviving chunk.
+    A pair sharing several chunks surfaces in several buckets; it is
+    emitted only from its first shared SURVIVING chunk, which keeps
+    the pipeline at ONE pair-sized exchange (the bucket groupBy, where
+    a distinct would shuffle the full pair set a second time — 579k
+    pairs at sf0.1 on the dup-dense fixture). "Shared" is a pure
+    expression over the two signatures in hand; "surviving" needs the
+    over-dense bucket set the stop-bucket guard dropped — that set is
+    derived from the SAME bucket aggregate (exchange reused, tiny by
+    construction: only buckets with > max_bucket members) and
+    broadcast-joined per earlier chunk, so a pair whose first shared
+    chunk was dropped still surfaces through its next surviving one —
+    the signatures alone can't tell a dropped bucket from an unshared
+    chunk, which is why the naive first-shared filter silently lost
+    such pairs.
     """
     sigs = simhash_signatures(docs, text_col, id_col)
     chunks = max_hamming + 1
@@ -358,24 +361,58 @@ def simhash_dedup_pairs(
     cand = _bucket_pairs(
         banded, ["chunk_idx", "chunk_val"], member, max_bucket, keep=["chunk_idx"]
     )
-    hamming = F.bit_count(F.col("ma.sig").bitwiseXOR(F.col("mb.sig")))
-    if max_bucket is None:
-        first_shared = F.coalesce(
-            *[
-                F.when(
-                    chunk_of(F.col("ma.sig"), c) == chunk_of(F.col("mb.sig"), c),
-                    F.lit(c),
-                )
-                for c in range(chunks)
-            ]
+    shared = [
+        chunk_of(F.col("ma.sig"), c) == chunk_of(F.col("mb.sig"), c)
+        for c in range(chunks)
+    ]
+    if max_bucket is not None:
+        # (chunk_idx, chunk_val) buckets the guard dropped — tiny by
+        # construction (only buckets with > max_bucket members). The
+        # count aggregate costs one extra signature map pass (its
+        # partial agg differs from the pair expansion's collect_set,
+        # so only the fan-out exchange is shared) — measured cheaper
+        # than every alternative that shares the bucket aggregate
+        # (whose final agg re-materializes member arrays per consumer)
+        # and FAR cheaper at scale than a distinct over the full pair
+        # set. Left-join one per EARLIER chunk so the pair row knows
+        # whether each earlier shared chunk survived.
+        dropped = (
+            banded.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
         )
-        cand = cand.filter(F.col("chunk_idx") == first_shared)
-    pairs = cand.select(
-        F.col("ma.id").alias("id_a"),
-        F.col("mb.id").alias("id_b"),
-        hamming.alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
-    return pairs if max_bucket is None else pairs.distinct()
+        for c in range(chunks - 1):
+            dc = (
+                dropped.filter(F.col("chunk_idx") == c)
+                .select(
+                    F.col("chunk_val").alias(f"__dv{c}"),
+                    F.lit(True).alias(f"__dropped{c}"),
+                )
+            )
+            cand = cand.join(
+                F.broadcast(dc),
+                chunk_of(F.col("ma.sig"), c) == F.col(f"__dv{c}"),
+                "left",
+            )
+        surviving = [
+            shared[c] & ~F.coalesce(F.col(f"__dropped{c}"), F.lit(False))
+            for c in range(chunks - 1)
+        ] + [shared[chunks - 1]]
+    else:
+        surviving = shared
+    first_surviving = F.coalesce(
+        *[F.when(surviving[c], F.lit(c)) for c in range(chunks)]
+    )
+    hamming = F.bit_count(F.col("ma.sig").bitwiseXOR(F.col("mb.sig")))
+    return (
+        cand.filter(F.col("chunk_idx") == first_surviving)
+        .select(
+            F.col("ma.id").alias("id_a"),
+            F.col("mb.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
