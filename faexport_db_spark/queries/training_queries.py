@@ -840,3 +840,37 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(docs, benchmark, n=5).select("doc_id")
+
+
+@register(
+    "t_corpus_mix",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.25)) AS t(lang, wt)),
+    tmax AS (SELECT min(n / wt) AS t FROM counts JOIN w USING (lang)),
+    rates AS (
+      SELECT lang, least(1.0, wt * t / n) AS rate
+      FROM counts JOIN w USING (lang), tmax
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || ':mix'), 1, 8)) AS BIGINT)
+               AS sample_key
+      FROM documents
+    )
+    SELECT k.doc_id, k.lang, k.sample_key
+    FROM keyed k JOIN rates r USING (lang)
+    WHERE k.sample_key < CAST(floor(r.rate * 4294967296) AS BIGINT)
+    """,
+)
+def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture targeting: resample to en/de/zh = 50/25/25 (the
+    binding stratum keeps everything, over-represented ones
+    downsample; unlisted languages drop). Weights are exact binary
+    fractions so the driver-side float threshold math reproduces
+    bit-for-bit in the DuckDB oracle."""
+    from faexport_db_spark.training.pipeline import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.25}
+    )

@@ -199,3 +199,46 @@ def corpus_prep(
         F.min("quality_score").alias("min_quality"),
         F.max("quality_score").alias("max_quality"),
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+) -> dict[str, float]:
+    """Per-stratum sampling rates that realize a target corpus MIXTURE
+    (domain/language weighting, the standard pre-training rebalancing
+    step): the largest corpus satisfying the target proportions keeps
+    T = min_s(n_s / w_s) docs, so stratum s samples at w_s*T/n_s —
+    the binding stratum keeps everything, the over-represented ones
+    downsample. One count aggregation; only the per-stratum count
+    table (bounded by the number of strata) ever reaches the driver.
+    Strata absent from ``weights`` get no rate (dropped by the
+    sampler)."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    present = {s: w for s, w in weights.items() if w > 0 and counts.get(s)}
+    if not present:
+        return {}
+    t_max = min(counts[s] / w for s, w in present.items())
+    return {s: min(1.0, w * t_max / counts[s]) for s, w in present.items()}
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture resample: compute ``mixture_rates`` and
+    apply the hash-thresholded ``stratified_sample`` — reproducible
+    across runs/engines/partitionings, proportions within sampling
+    noise of the target weights."""
+    rates = mixture_rates(docs, weights, stratum_col)
+    return stratified_sample(
+        docs, rates, default_rate=0.0, stratum_col=stratum_col,
+        id_col=id_col, salt=salt,
+    )

@@ -391,3 +391,23 @@ def test_simhash_pair_survives_dropped_first_shared_chunk(spark):
     out = simhash_dedup_pairs(corpus, max_hamming=max_hamming, max_bucket=1 + len(fillers))
     found = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in found
+
+
+def test_mix_corpus_hits_target_proportions(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.training.pipeline import mix_corpus, mixture_rates
+
+    docs = load_table(spark, sf_small, "documents")
+    weights = {"en": 0.5, "de": 0.25, "zh": 0.25}
+    rates = mixture_rates(docs, weights)
+    # the binding stratum samples at 1.0; all rates in (0, 1]
+    assert max(rates.values()) == 1.0
+    assert all(0 < r <= 1.0 for r in rates.values())
+    out = mix_corpus(docs, weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(weights)  # unlisted languages dropped
+    total = sum(got.values())
+    for lang, w in weights.items():
+        # hash-sampling noise: within 15% relative of the target share
+        assert abs(got[lang] / total - w) <= 0.15 * w + 2 / total, (lang, got)
