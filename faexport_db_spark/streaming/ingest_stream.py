@@ -95,13 +95,15 @@ def start_submission_ingest(
             "submission_snapshot_files": ("file_id", "submission_snapshot_id"),
             "submission_snapshot_file_hashes": ("hash_id", "file_id"),
         }
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
         for name, df in tables.items():
             for col in id_cols[name]:
                 df = df.withColumn(col, F.col(col) + F.lit(offset))
-            (
-                df.write.mode("append")
-                .partitionBy("website_id" if "website_id" in df.columns else [])
-                .parquet(f"{store_dir.rstrip('/')}/{name}")
+            DEFAULT_FORMAT.append(
+                df,
+                f"{store_dir.rstrip('/')}/{name}",
+                ["website_id"] if "website_id" in df.columns else None,
             )
         if on_batch_complete is not None:
             on_batch_complete(batch_id)
