@@ -26,8 +26,8 @@ row; this round that holds because every rewritten pipeline (MinHash
 signing, SimHash banding, embedding LSH) is exercised by a
 never-green checked companion inside the window
 (t_minhash_lsh_checked, t_simhash_checked, t_embed_lsh_checked, …),
-and the full 113-entry local differential runs every round
-regardless.
+and the full local differential over every registered entry runs
+every round regardless.
 """
 
 from faexport_db_spark.queries import (  # noqa: F401

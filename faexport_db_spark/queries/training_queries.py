@@ -31,6 +31,7 @@ from faexport_db_spark.training.similarity import (
 )
 from faexport_db_spark.training.pipeline import (
     corpus_prep,
+    mix_corpus,
     sequence_pack,
     sketch_bounds,
     stratified_sample,
@@ -869,8 +870,6 @@ def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsample; unlisted languages drop). Weights are exact binary
     fractions so the driver-side float threshold math reproduces
     bit-for-bit in the DuckDB oracle."""
-    from faexport_db_spark.training.pipeline import mix_corpus
-
     return mix_corpus(
         _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.25}
     )

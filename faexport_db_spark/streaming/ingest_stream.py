@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT, TableFormat
 from faexport_db_spark.ingest.base import explode_to_store
 from faexport_db_spark.ingest.faexport_api import (
     parse_submission_payloads,
@@ -70,6 +71,7 @@ def start_submission_ingest(
     trigger: dict | None = None,
     scan_time=None,
     on_batch_complete=None,
+    fmt: TableFormat = DEFAULT_FORMAT,
 ):
     """Run the streaming ingest; returns the StreamingQuery.
 
@@ -95,12 +97,10 @@ def start_submission_ingest(
             "submission_snapshot_files": ("file_id", "submission_snapshot_id"),
             "submission_snapshot_file_hashes": ("hash_id", "file_id"),
         }
-        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
-
         for name, df in tables.items():
             for col in id_cols[name]:
                 df = df.withColumn(col, F.col(col) + F.lit(offset))
-            DEFAULT_FORMAT.append(
+            fmt.append(
                 df,
                 f"{store_dir.rstrip('/')}/{name}",
                 ["website_id"] if "website_id" in df.columns else None,

@@ -213,17 +213,27 @@ def mixture_rates(
     the binding stratum keeps everything, the over-represented ones
     downsample. One count aggregation; only the per-stratum count
     table (bounded by the number of strata) ever reaches the driver.
-    Strata absent from ``weights`` get no rate (dropped by the
-    sampler)."""
+    Corpus strata absent from ``weights`` get no rate (dropped by the
+    sampler). A WEIGHTED stratum absent from the corpus raises — a
+    silently-skipped target stratum (typo'd code, empty source) would
+    renormalize the realized mixture far from the request while the
+    pipeline reports success."""
     counts = {
         r[stratum_col]: r["n"]
         for r in docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    present = {s: w for s, w in weights.items() if w > 0 and counts.get(s)}
-    if not present:
+    wanted = {s: w for s, w in weights.items() if w > 0}
+    missing = sorted(s for s in wanted if not counts.get(s))
+    if missing:
+        raise ValueError(
+            f"mixture target strata {missing} have no rows in the corpus "
+            f"(present: {sorted(counts)}); the realized mixture would "
+            f"silently skew — fix the weights or the corpus."
+        )
+    if not wanted:
         return {}
-    t_max = min(counts[s] / w for s, w in present.items())
-    return {s: min(1.0, w * t_max / counts[s]) for s, w in present.items()}
+    t_max = min(counts[s] / w for s, w in wanted.items())
+    return {s: min(1.0, w * t_max / counts[s]) for s, w in wanted.items()}
 
 
 def mix_corpus(
