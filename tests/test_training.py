@@ -411,3 +411,36 @@ def test_mix_corpus_hits_target_proportions(spark, sf_small):
     for lang, w in weights.items():
         # hash-sampling noise: within 15% relative of the target share
         assert abs(got[lang] / total - w) <= 0.15 * w + 2 / total, (lang, got)
+
+
+def test_nonbinding_stop_bucket_guard_changes_nothing(spark, sf_small):
+    """With a cap larger than every bucket, the guard path must return
+    EXACTLY the guard-off pairs for all three LSH pipelines — pins the
+    first-surviving-chunk machinery (SimHash) and the guard plumbing
+    (MinHash, embedding) against silent divergence."""
+    from faexport_db_spark.queries.training_queries import (
+        _mutated_corpus,
+        _planted_embeddings,
+    )
+    from faexport_db_spark.training.dedup import (
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+    from faexport_db_spark.training.similarity import cosine_near_dup_pairs_lsh
+
+    docs = _mutated_corpus(load_table(spark, sf_small, "documents").select("doc_id", "text"))
+    emb = _planted_embeddings(load_table(spark, sf_small, "embeddings"))
+    big = 10**9
+
+    def pairs(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert pairs(simhash_dedup_pairs(docs, max_bucket=big)) == pairs(
+        simhash_dedup_pairs(docs, max_bucket=None)
+    )
+    assert pairs(minhash_dedup_pairs(docs, max_bucket=big)) == pairs(
+        minhash_dedup_pairs(docs, max_bucket=None)
+    )
+    assert pairs(cosine_near_dup_pairs_lsh(emb, max_bucket=big)) == pairs(
+        cosine_near_dup_pairs_lsh(emb, max_bucket=None)
+    )
