@@ -873,3 +873,61 @@ def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(
         _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.25}
     )
+
+
+@register("t_ann_pq_topk")  # ADC distances depend on engine k-means → rows-only
+def t_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus compressed to m=8 subspace
+    codes (16 centroids each), queries scan codes with per-query ADC
+    lookup tables — no vector data read at query time. The
+    memory-compressed scale path alongside LSH and IVF."""
+    from faexport_db_spark.training.similarity import pq_encode, pq_topk, pq_train
+
+    corpus = _planted_embeddings(load_table(spark, sf_dir, "embeddings"))
+    books = pq_train(corpus, m=8, k=16)
+    codes = pq_encode(corpus, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in corpus.filter(F.col("vec_id") < 5).collect()
+    ]
+    out = pq_topk(codes, queries, books, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "t_ann_pq_checked",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS copy_is_min
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def t_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable PQ invariant: PQ distances are L2, so the
+    planted twin here is the IDENTICAL vector re-id'd (not the scaled
+    copy the cosine ops use). It quantizes to the query's own
+    per-subspace argmin centroids, so its ADC distance IS the global minimum any
+    corpus vector can achieve — rank-1 adc_dist must equal the copy's
+    adc_dist for every query, robust to k-means jitter and code
+    collisions (a collision ties, it can't go lower)."""
+    from faexport_db_spark.training.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    books = pq_train(corpus, m=8, k=16)
+    codes = pq_encode(corpus, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    top1 = pq_topk(codes, queries, books, k=1).select(
+        "query_id", F.col("adc_dist").alias("best")
+    )
+    copy_best = pq_topk(
+        codes.filter(F.col("nid") >= 1000000), queries, books, k=1
+    ).select("query_id", F.col("adc_dist").alias("copy_d"))
+    return top1.join(copy_best, "query_id").select(
+        "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
+    )

@@ -583,3 +583,147 @@ def embed_dedup_against_index(
     return _pair_cosines(both, cand, id_col, vec_col).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN scale path:
+# vectors compress to m subspace codes (m bytes at k<=256), queries scan
+# codes with per-query ADC lookup tables instead of raw vectors. At
+# 100 TB this is the difference between scanning 256 GB of codes and
+# 25 TB of float vectors; IVF composes on top (assign cells, PQ within).
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: split dim into ``m`` contiguous
+    subvectors and run a small deterministic k-means in each (seeded by
+    lowest xxhash64(id), like ``ivf_centroids``). Each subspace pass is
+    a map-only assignment + one groupBy; only the (m x k x dim/m)
+    codebook ever reaches the driver."""
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    base = fan_out(corpus).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    for j in range(m):
+        sliced = base.select(
+            F.col(id_col), F.slice("v", j * sub + 1, sub).alias("v")
+        )
+        seeds = (
+            sliced.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(k)
+            .collect()
+        )
+        cents = [list(r["v"]) for r in seeds]
+        for _ in range(iters):
+            assigned = sliced.select(
+                "v", _nearest_l2(F.col("v"), cents).alias("cid")
+            )
+            sums = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("mval"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in sums:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["mval"]
+            cents = [
+                [comp[p] for p in sorted(comp)] if (comp := by_cid.get(i)) else cents[i]
+                for i in range(k)
+            ]
+        books.append(cents)
+    return books
+
+
+def _l2sq_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_l2(vec: Column, centroids: list[list[float]]) -> Column:
+    scored = F.array(
+        *[
+            F.struct(
+                _l2sq_expr(vec, F.lit(c).cast("array<double>")).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["cid"]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>[m]): each subvector's nearest codebook
+    entry by L2 — a pure map-side projection; ties break toward the
+    lowest centroid id (array_min on (distance, cid) structs)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _nearest_l2(F.slice(v, j * sub + 1, sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    return fan_out(corpus).select(F.col(id_col).alias("nid"), codes.alias("codes"))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, the m x k table of
+    exact subvector-to-centroid squared distances is computed
+    driver-side (tiny) and shipped as literals; each corpus code row
+    sums m table lookups — no vector data is ever read at query time.
+    ``queries`` is a bounded in-memory list (same contract as the
+    brute-force baseline's broadcast query set). Output: (query_id,
+    neighbor_id, adc_dist, rank), ties by neighbor id."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = None
+    for qid, qv in queries:
+        tables = [
+            [
+                sum((qv[j * sub + t] - c[t]) ** 2 for t in range(sub))
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        dist = None
+        for j in range(m):
+            term = F.element_at(
+                F.lit(tables[j]).cast("array<double>"),
+                F.element_at("codes", j + 1) + 1,
+            )
+            dist = term if dist is None else dist + term
+        scored = corpus_codes.select(
+            F.lit(qid).alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        ).filter(F.col("neighbor_id") != qid)
+        out = scored if out is None else out.unionByName(scored)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
