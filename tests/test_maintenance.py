@@ -313,3 +313,29 @@ class TestTableFormatSeam:
             for r in DEFAULT_FORMAT.read(spark, p).collect()
         }
         assert rows == {("a", 2)}
+
+
+def test_compaction_orphan_commit_marker_is_cleaned_not_rolled_back(
+    spark, sf_small, tmp_path
+):
+    """Crash AFTER phase B deleted the manifest but BEFORE the commit
+    marker: the state is a COMPLETED compaction plus an orphan marker.
+    Recovery must just remove the marker — and, critically, the
+    delete-ordering contract (manifest before marker) means the
+    deadly inverse state (manifest without marker, originals gone)
+    can no longer arise; this test pins the orphan-marker path."""
+    import os
+
+    from faexport_db_spark.maintenance.compaction import (
+        COMMIT_NAME,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "store")
+    _mini_docs(spark, sf_small, 0, 30).write.parquet(path)
+    want = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    open(os.path.join(path, COMMIT_NAME), "w").close()
+
+    assert recover_compaction(spark, path) == "clean"
+    assert not os.path.exists(os.path.join(path, COMMIT_NAME))
+    assert {r["doc_id"] for r in spark.read.parquet(path).collect()} == want
