@@ -68,7 +68,8 @@ def dedup_batch_against_store(
     # index with incompatibly-signed band rows.
     ensure_index_meta(
         spark, index_path, "minhash_bands",
-        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n,
+         "scheme": "tokshingle1"},
     )
 
     # Sign the batch ONCE — the probe, the self-dedup and the index

