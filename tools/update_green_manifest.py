@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Regenerate the committed driver-green manifest from the
+``CORRECTNESS_r*.json`` files the driver leaves in the repo root.
+
+The registry's driver-window rotation (queries/__init__.py) reads the
+COMMITTED manifest so the window is deterministic for a given checkout
+— a stale/foreign/missing CORRECTNESS file can no longer silently
+change which ops the driver verifies (ADVICE r03). Run this after each
+round lands a new CORRECTNESS file, review the diff, commit.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(ROOT, "faexport_db_spark", "queries", "driver_green.json")
+
+
+def collect_green() -> dict[str, str]:
+    """key -> first round file that recorded it clean."""
+    green: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            doc = json.load(f)
+        if not isinstance(doc, dict):
+            continue
+        for key, row in doc.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("rows_match") and row.get("hash_match", True):
+                green.setdefault(key, os.path.basename(path))
+    return green
+
+
+def main() -> None:
+    green = collect_green()
+    prev = {}
+    if os.path.exists(MANIFEST):
+        with open(MANIFEST) as f:
+            prev = json.load(f).get("green", {})
+    merged = {**prev, **{k: v for k, v in green.items() if k not in prev}}
+    with open(MANIFEST, "w") as f:
+        json.dump({"green": dict(sorted(merged.items()))}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    added = sorted(set(merged) - set(prev))
+    print(f"manifest: {len(merged)} green keys ({len(added)} new): {added}")
+
+
+if __name__ == "__main__":
+    main()
