@@ -877,20 +877,20 @@ def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("t_ann_pq_topk")  # ADC distances depend on engine k-means → rows-only
 def t_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: corpus compressed to m=8 subspace
-    codes (16 centroids each), queries scan codes with per-query ADC
-    lookup tables — no vector data read at query time. The
-    memory-compressed scale path alongside LSH and IVF."""
-    from faexport_db_spark.training.similarity import pq_encode, pq_topk, pq_train
+    """Product-quantization ANN, scale form: corpus compressed to m=8
+    subspace codes (16 centroids each); queries travel as a DataFrame
+    whose rows compute their own ADC lookup tables, broadcast, and
+    scan the code table ONCE regardless of query count (``pq_topk_df``
+    — the per-query-plan-branch form ``pq_topk`` remains for bounded
+    panels; tests pin their outputs equal). No vector data read at
+    query time."""
+    from faexport_db_spark.training.similarity import pq_encode, pq_topk_df, pq_train
 
     corpus = _planted_embeddings(load_table(spark, sf_dir, "embeddings"))
     books = pq_train(corpus, m=8, k=16)
     codes = pq_encode(corpus, books)
-    queries = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in corpus.filter(F.col("vec_id") < 5).collect()
-    ]
-    out = pq_topk(codes, queries, books, k=3)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    out = pq_topk_df(codes, queries, books, k=3)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -908,8 +908,9 @@ def t_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace argmin centroids, so its ADC distance IS the global minimum any
     corpus vector can achieve — rank-1 adc_dist must equal the copy's
     adc_dist for every query, robust to k-means jitter and code
-    collisions (a collision ties, it can't go lower)."""
-    from faexport_db_spark.training.similarity import pq_encode, pq_topk, pq_train
+    collisions (a collision ties, it can't go lower). Exercises the
+    scale form (queries as a DataFrame, one code scan)."""
+    from faexport_db_spark.training.similarity import pq_encode, pq_topk_df, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
     copies = emb.select(
@@ -918,15 +919,58 @@ def t_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionByName(copies)
     books = pq_train(corpus, m=8, k=16)
     codes = pq_encode(corpus, books)
-    queries = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") < 5).collect()
-    ]
-    top1 = pq_topk(codes, queries, books, k=1).select(
+    queries = emb.filter(F.col("vec_id") < 5)
+    top1 = pq_topk_df(codes, queries, books, k=1).select(
         "query_id", F.col("adc_dist").alias("best")
     )
-    copy_best = pq_topk(
+    copy_best = pq_topk_df(
         codes.filter(F.col("nid") >= 1000000), queries, books, k=1
+    ).select("query_id", F.col("adc_dist").alias("copy_d"))
+    return top1.join(copy_best, "query_id").select(
+        "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
+    )
+
+
+@register(
+    "t_ann_ivfpq_checked",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS copy_is_min
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def t_ann_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (the IVFADC layout): coarse cells route each
+    query to nprobe cells, ADC code scans within. The identical-copy
+    twin assigns to the query's own nearest cell (same vector → same
+    argmax centroid), so nprobe ≥ 1 guarantees it is probed, and its
+    ADC distance is the global minimum any corpus vector can achieve —
+    rank-1 adc_dist must equal the copy's adc_dist for every query.
+    Coarse centroids and codebooks are trained once and shared by the
+    full-corpus and copies-only runs."""
+    from faexport_db_spark.training.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    cents = ivf_centroids(corpus, n_centroids=8)
+    books = pq_train(corpus, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top1 = ivfpq_topk(
+        corpus, queries, k=1, nprobe=2, centroids=cents, codebooks=books
+    ).select("query_id", F.col("adc_dist").alias("best"))
+    copy_best = ivfpq_topk(
+        corpus.filter(F.col("vec_id") >= 1000000),
+        queries,
+        k=1,
+        nprobe=2,
+        centroids=cents,
+        codebooks=books,
     ).select("query_id", F.col("adc_dist").alias("copy_d"))
     return top1.join(copy_best, "query_id").select(
         "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")

@@ -620,6 +620,15 @@ def pq_train(
             .limit(k)
             .collect()
         )
+        if len(seeds) < k:
+            # Otherwise the centroid-update comprehension below indexes
+            # cents[i] for i in range(k) and dies with an opaque
+            # IndexError (ADVICE r03).
+            raise ValueError(
+                f"pq_train: corpus has only {len(seeds)} vectors but k={k} "
+                "centroids per subspace were requested — pass a smaller k "
+                "or a larger corpus"
+            )
         cents = [list(r["v"]) for r in seeds]
         for _ in range(iters):
             assigned = sliced.select(
@@ -724,6 +733,154 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def _adc_tables(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-row ADC lookup tables: array[m][k] of exact subvector-to-
+    centroid squared distances — the per-QUERY table ``pq_topk``
+    computed driver-side, here a pure expression so queries can be a
+    DataFrame of any size."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = _as_double(vec)
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _l2sq_expr(
+                        F.slice(v, j * sub + 1, sub), F.lit(c).cast("array<double>")
+                    )
+                    for c in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _adc_dist(tables_col: Column, codes_col: Column, m: int) -> Column:
+    """Σ_j tables[j][codes[j]] — m array lookups per corpus code row."""
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(tables_col, j + 1), F.element_at(codes_col, j + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def pq_topk_df(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale form of ``pq_topk``: queries as a DATAFRAME, one scan of
+    the code table regardless of query count.
+
+    ``pq_topk`` builds one plan branch (one code scan) per query —
+    fine for its documented bounded-panel contract, quadratic plan
+    compilation for a thousand-query batch (VERDICT r03 item 4). Here
+    each query row computes its own ADC table as a pure expression
+    (m × k little L2 sums over codebook literals), the query panel
+    broadcasts, and every corpus code row sums m table lookups against
+    every query in a single broadcast-nested-loop pass — the code
+    table is scanned ONCE. The per-query top-k window then shuffles
+    only skinny (query_id, neighbor_id, adc_dist) rows; no vector
+    bytes exist anywhere downstream of the query panel.
+
+    Output schema/order/tie-breaks identical to ``pq_topk``:
+    (query_id, neighbor_id, adc_dist, rank), ties by neighbor id.
+    """
+    m = len(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _adc_tables(F.col(vec_col), codebooks).alias("__adc")
+    )
+    scored = (
+        corpus_codes.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_adc_dist(F.col("__adc"), F.col("codes"), m), 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN layout
+    (IVFADC, Jégou/Douze/Schmid PAMI 2011): coarse centroids route
+    each query to ``nprobe`` cells, and WITHIN the probed cells
+    distances come from PQ codes via ADC lookups, so a probe reads
+    ~nprobe/n_centroids of the CODE bytes and no vectors at all.
+
+    Codebooks are trained on the raw vectors (not cell residuals —
+    one shared codebook table keeps the probe a single equi-join;
+    residual encoding is a documented accuracy upgrade, not a
+    different plan shape). Queries travel as a DataFrame: cell
+    routing (``_probed_queries``'s argmax expression) and ADC tables
+    are pure per-row expressions, the probed-query panel broadcasts,
+    and candidates come from an equi-join on ``cid`` against the coded
+    corpus — with a ``cid=``-partitioned persisted code table this is
+    partition pruning, exactly like ``ivf_topk_persisted``.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), ties by
+    neighbor id."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m, codebook_k, iters, id_col, vec_col,
+                             dim=len(centroids[0]))
+    coded = pq_encode(corpus, codebooks, id_col, vec_col).join(
+        fan_out(corpus).select(
+            F.col(id_col).alias("nid"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+        ),
+        "nid",
+    )
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col).select(
+        "query_id", "cid", _adc_tables(F.col("q_vec"), codebooks).alias("__adc")
+    )
+    nm = len(codebooks)
+    scored = (
+        coded.join(F.broadcast(q), "cid")
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_adc_dist(F.col("__adc"), F.col("codes"), nm), 6).alias("adc_dist"),
+        )
+        # a pair can surface via several probed cells only if dup cell
+        # assignments existed; cells partition the corpus, so rows are
+        # already unique — no distinct needed.
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

@@ -153,14 +153,35 @@ def repetition_signals(
     keyword stuffing and template spam that length/stopword features
     miss. Pure column expressions, one narrow pass.
 
-    The top-token count is O(distinct x tokens) per doc — fine for
-    natural documents (both factors are bounded by doc length); for
-    pathological megadocs, bound upstream by a length filter."""
+    The top-token count is the longest run in the SORTED token array —
+    ``array_sort`` + one linear run-length ``aggregate`` — so the pass
+    is O(n log n) per doc with no quadratic term (the previous
+    filter-per-unique form was O(distinct × tokens), pathological on
+    megadocs; VERDICT r03 item 5)."""
     toks = tokens_expr(text_col)
     n = F.size(toks)
     uniq = F.array_distinct(toks)
-    top_count = F.array_max(
-        F.transform(uniq, lambda u: F.size(F.filter(toks, lambda t: t == u)))
+    # (prev_token, current_run, best_run) fold over sorted tokens;
+    # identical values are adjacent after the sort, so the max
+    # frequency is the max run length.
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),

@@ -200,3 +200,29 @@ def test_decontaminate_broadcasts_benchmark_not_corpus(spark, sf_small):
     assert strategies["SortMergeJoin"] == 0, strategies
     assert strategies["BroadcastNestedLoopJoin"] == 0, strategies
     assert strategies["CartesianProduct"] == 0, strategies
+
+
+def test_pq_topk_df_scans_code_table_once(spark, sf_small):
+    """Scale contract of the DataFrame PQ form: ONE scan of the code
+    table no matter how many queries, no Python evals, and the query
+    panel joined via broadcast (VERDICT r03 item 4)."""
+    from faexport_db_spark.plans.audit import _physical_plan, assert_plan
+    from faexport_db_spark.training.similarity import (
+        pq_encode,
+        pq_topk_df,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    books = pq_train(emb, m=8, k=8)
+    codes = pq_encode(emb, books).localCheckpoint()  # pin: codes scan, not re-encode
+    out = pq_topk_df(codes, emb.filter(F.col("vec_id") < 50), books, k=3)
+    assert_plan(
+        out,
+        max_python_evals=0,
+        require_join=("BroadcastNestedLoopJoin",),
+        forbid_join=("SortMergeJoin",),
+    )
+    plan = _physical_plan(out)
+    # exactly one scan of the checkpointed code table
+    assert plan.count("Scan ExistingRDD") == 1, plan

@@ -444,3 +444,73 @@ def test_nonbinding_stop_bucket_guard_changes_nothing(spark, sf_small):
     assert pairs(cosine_near_dup_pairs_lsh(emb, max_bucket=big)) == pairs(
         cosine_near_dup_pairs_lsh(emb, max_bucket=None)
     )
+
+
+def test_pq_topk_df_matches_panel_form(spark, sf_small):
+    """The scale form (queries as a DataFrame, one code scan) must
+    produce exactly the panel form's output — same ADC distances,
+    ranks and tie-breaks."""
+    from faexport_db_spark.training.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_df,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    books = pq_train(emb, m=8, k=8)
+    codes = pq_encode(emb, books).localCheckpoint()
+    panel = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    a = sorted(
+        map(tuple, pq_topk(codes, panel, books, k=3).collect())
+    )
+    b = sorted(
+        map(tuple, pq_topk_df(codes, emb.filter(F.col("vec_id") < 4), books, k=3).collect())
+    )
+    assert a == b
+
+
+def test_pq_train_rejects_undersized_corpus(spark, sf_small):
+    from faexport_db_spark.training.similarity import pq_train
+
+    emb = load_table(spark, sf_small, "embeddings").limit(3)
+    with pytest.raises(ValueError, match="corpus has only 3 vectors"):
+        pq_train(emb, m=8, k=8)
+
+
+def test_ivfpq_finds_identical_twin_within_probed_cell(spark, sf_small):
+    from faexport_db_spark.training.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    copies = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    from faexport_db_spark.training.similarity import ivf_centroids, pq_train
+
+    cents = ivf_centroids(corpus, n_centroids=8)
+    books = pq_train(corpus, m=8, k=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    best = {
+        r["query_id"]: r["adc_dist"]
+        for r in ivfpq_topk(
+            corpus, queries, k=1, nprobe=2, centroids=cents, codebooks=books
+        ).collect()
+    }
+    # The identical copy lands in the query's own nearest (probed)
+    # cell and its ADC distance is the global minimum any corpus
+    # vector can achieve, so the winner must tie it exactly.
+    copy_best = {
+        r["query_id"]: r["adc_dist"]
+        for r in ivfpq_topk(
+            corpus.filter(F.col("vec_id") >= 1000000),
+            queries,
+            k=1,
+            nprobe=2,
+            centroids=cents,
+            codebooks=books,
+        ).collect()
+    }
+    assert set(best) == {0, 1, 2}
+    assert best == copy_best
