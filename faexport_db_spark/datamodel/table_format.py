@@ -129,24 +129,38 @@ class ParquetFormat(TableFormat):
 
         spark = recomputed.sparkSession
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
+        # Partitions come from the TOUCHED KEYS, not from recomputed: a
+        # touched key whose rows were all deleted has no recomputed
+        # row, but its partition must still rewrite so the stale row
+        # is purged.
+        touched_parts = [
+            tuple(r) for r in touched_keys.select(*partition_cols).distinct().collect()
+        ]
         try:
             existing = self.read(spark, path)
-            # Partitions come from the TOUCHED KEYS, not from
-            # recomputed: a touched key whose rows were all deleted
-            # has no recomputed row, but its partition must still
-            # rewrite so the stale row is purged.
-            touched_parts = [
-                tuple(r) for r in touched_keys.select(*partition_cols).distinct().collect()
-            ]
             part_pred = F.lit(False)
             for vals in touched_parts:
                 clause = F.lit(True)
                 for c, v in zip(partition_cols, vals):
-                    clause = clause & (F.col(c) == F.lit(v))
+                    # eqNullSafe: a NULL partition value must still
+                    # select its (__HIVE_DEFAULT_PARTITION__) rows —
+                    # plain == is never true against NULL, which would
+                    # both skip the keep-side and leave stale rows
+                    # (ADVICE r03).
+                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
                 part_pred = part_pred | clause
-            keep = existing.filter(part_pred).join(
-                F.broadcast(touched_keys.distinct()), key_cols, "left_anti"
-            )
+            # The anti-join must be null-safe too: with a plain
+            # equi-join a NULL-keyed stale row never matches its
+            # touched key and silently survives next to its
+            # replacement.
+            tk = touched_keys.distinct().alias("__tk")
+            ex = existing.filter(part_pred).alias("__ex")
+            anti_cond = F.lit(True)
+            for c in key_cols:
+                anti_cond = anti_cond & F.col(f"__ex.{c}").eqNullSafe(
+                    F.col(f"__tk.{c}")
+                )
+            keep = ex.join(F.broadcast(tk), anti_cond, "left_anti")
             out = recomputed.unionByName(keep).localCheckpoint(eager=True)
         except AnalysisException as exc:
             # First-batch cases only: missing path, or a crashed first
@@ -157,6 +171,41 @@ class ParquetFormat(TableFormat):
                 raise
             out = recomputed
         self.overwrite_partitions(out, path, partition_cols)
+        # Dynamic partition overwrite only replaces partitions PRESENT
+        # in the written data — a touched partition whose every row was
+        # purged has no output rows, so its stale directory would
+        # silently survive (ADVICE r03). Delete those explicitly.
+        out_parts = {
+            tuple(r) for r in out.select(*partition_cols).distinct().collect()
+        }
+        emptied = [p for p in touched_parts if p not in out_parts]
+        if emptied:
+            from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+            fs = HadoopFs(spark, path)
+            for vals in emptied:
+                reldir = "/".join(
+                    f"{c}={_hive_partition_value(spark, v)}"
+                    for c, v in zip(partition_cols, vals)
+                )
+                fs.delete(f"{path.rstrip('/')}/{reldir}", recursive=True)
+
+
+def _hive_partition_value(spark: SparkSession, v) -> str:
+    """The directory-name form Spark gives a partition VALUE — null
+    sentinel and path escaping included, via the same catalyst helper
+    the writer uses (``ExternalCatalogUtils.escapePathName``) so the
+    deleted directory is byte-identical to the written one."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):  # Python str(True) != Spark "true"
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    return (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(s)
+    )
 
 
 DEFAULT_FORMAT = ParquetFormat()

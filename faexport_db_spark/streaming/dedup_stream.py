@@ -23,6 +23,21 @@ contract as ingest_stream.py; a re-delivered batch's docs are exact
 re-appends that the maintenance dedup collapses, and re-appended band
 rows are harmless duplicate candidates (the verify stage's per-pair
 groupBy collapses them).
+
+ATOMICITY of the two appends (store + index): a per-batch commit
+marker under ``<index>/_batch_committed/<id>`` is written only after
+BOTH appends succeed, and a batch whose marker exists is skipped
+entirely on re-delivery — the common foreachBatch retry therefore
+re-appends NOTHING. The two crash windows in between converge on
+retry (ADVICE r03): (a) crash after the store append — the fresh
+store rows have no index rows yet, so they produce no candidates, the
+survivor set recomputes identically, and the retry re-appends them
+(exact duplicates, collapsed by maintenance dedup) plus the index
+rows that were missing, closing the stored-but-invisible-to-the-index
+hole; (b) crash after the index append — the batch's own index rows
+match only their own ids (filtered by ``vid != new_id``), so the
+survivor set again recomputes identically and the retry completes the
+marker. Either way the index ends up covering every stored row.
 """
 
 from __future__ import annotations
@@ -38,6 +53,34 @@ from faexport_db_spark.training.dedup import (
 )
 
 
+def _batch_marker(
+    spark: SparkSession,
+    index_path: str,
+    batch_id: int | None,
+    stream_id: str | None,
+):
+    """(committed?, mark_fn) for the per-batch commit marker — see the
+    module docstring's atomicity contract. Batch ids are only unique
+    WITHIN one stream checkpoint (a fresh checkpoint renumbers from
+    0), so markers are namespaced by ``stream_id`` — the checkpoint
+    digest ``start_streaming_*`` derives. ``batch_id=None`` (direct
+    batch-API callers outside a stream) disables the protocol."""
+    if batch_id is None:
+        return False, lambda: None
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    fs = HadoopFs(spark, index_path)
+    ns = stream_id or "direct"
+    marker = f"{index_path.rstrip('/')}/_batch_committed/{ns}/{batch_id}"
+    return fs.exists(marker), lambda: fs.write_text(marker, "")
+
+
+def _stream_id(checkpoint: str) -> str:
+    import hashlib
+
+    return hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+
+
 def dedup_batch_against_store(
     batch: DataFrame,
     store_path: str,
@@ -48,18 +91,25 @@ def dedup_batch_against_store(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.6,
-) -> DataFrame:
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+) -> DataFrame | None:
     """One micro-batch step: return the batch rows that are NOT
     near-duplicates of the indexed corpus or of an earlier row in the
     same batch (lowest id wins within a batch), and append the
     survivors to the store and their band rows to the index.
 
     First batch (no index yet) skips the probe — everything new is
-    self-deduped only.
+    self-deduped only. With a ``batch_id``, a batch whose commit
+    marker already exists returns ``None`` untouched (re-delivered
+    after a full commit — appending again would duplicate rows).
     """
     from faexport_db_spark.training.indexmeta import ensure_index_meta
 
     spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
     batch = batch.select(id_col, text_col)
 
     # Validate (or, on the first batch, create) the index parameter
@@ -115,6 +165,7 @@ def dedup_batch_against_store(
         .partitionBy("band_idx")
         .parquet(index_path)
     )
+    mark()  # both appends durable → re-delivery of this batch is a no-op
     return survivors
 
 
@@ -131,8 +182,13 @@ def start_streaming_dedup(
     foreachBatch. ``source`` is any streaming DataFrame with
     (doc_id, text) columns."""
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        dedup_batch_against_store(batch_df, store_path, index_path, **dedup_kwargs)
+    sid = _stream_id(checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
 
     writer = source.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
@@ -153,7 +209,9 @@ def embed_dedup_batch_against_store(
     dim: int = 64,
     seed: int = 42,
     threshold: float = 0.95,
-) -> DataFrame:
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+) -> DataFrame | None:
     """Embedding analog of ``dedup_batch_against_store``: one
     micro-batch of vectors is coded ONCE (Arrow matmul, map-side),
     probed against the persisted multi-table code index for near-dups
@@ -161,7 +219,9 @@ def embed_dedup_batch_against_store(
     wins), and the survivors + their code rows are appended — batch
     N+1 dedups against batch N with no corpus re-coding. The first
     batch also writes the index parameter sidecar so every later probe
-    validates against it."""
+    validates against it. ``batch_id`` enables the per-batch commit
+    marker (module docstring): an already-committed batch returns
+    ``None`` without appending."""
     from faexport_db_spark.training.indexmeta import ensure_index_meta
     from faexport_db_spark.training.similarity import (
         _code_rows,
@@ -170,6 +230,9 @@ def embed_dedup_batch_against_store(
     )
 
     spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
     batch = batch.select(id_col, vec_col)
 
     # Validate/create the sidecar BEFORE any append (see the MinHash
@@ -217,6 +280,7 @@ def embed_dedup_batch_against_store(
         .partitionBy("tbl")
         .parquet(index_path)
     )
+    mark()  # both appends durable → re-delivery of this batch is a no-op
     return survivors
 
 
@@ -233,9 +297,12 @@ def start_streaming_embed_dedup(
     via foreachBatch. ``source`` is any streaming DataFrame with
     (vec_id, embedding) columns."""
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    sid = _stream_id(checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         embed_dedup_batch_against_store(
-            batch_df, store_path, index_path, **dedup_kwargs
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
         )
 
     writer = source.writeStream.foreachBatch(_process).option(

@@ -314,6 +314,52 @@ class TestTableFormatSeam:
         }
         assert rows == {("a", 2)}
 
+    def test_upsert_keys_purges_partition_emptied_entirely(self, spark, tmp_path):
+        """Purging the SOLE entity of a partition must remove the
+        partition directory — dynamic overwrite alone leaves it
+        (ADVICE r03 medium)."""
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        p = str(tmp_path / "view4")
+        base = spark.createDataFrame(
+            [("a", 1, "x"), ("b", 2, "y")], ["website_id", "site_user_id", "val"]
+        )
+        DEFAULT_FORMAT.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+        empty = base.filter("1=0")
+        keys = spark.createDataFrame([("a", 1)], ["website_id", "site_user_id"])
+        DEFAULT_FORMAT.upsert_keys(
+            empty, p, ["website_id", "site_user_id"], ["website_id"], keys=keys
+        )
+        rows = {
+            (r["website_id"], r["site_user_id"])
+            for r in DEFAULT_FORMAT.read(spark, p).collect()
+        }
+        assert rows == {("b", 2)}
+
+    def test_upsert_keys_handles_null_partition_value(self, spark, tmp_path):
+        """NULL partition values route to __HIVE_DEFAULT_PARTITION__;
+        the touched-partition predicate must be null-safe so those
+        rows are kept/purged like any others (ADVICE r03)."""
+        from faexport_db_spark.datamodel.table_format import DEFAULT_FORMAT
+
+        p = str(tmp_path / "view5")
+        base = spark.createDataFrame(
+            [(None, 1, "x"), (None, 2, "y"), ("b", 3, "z")],
+            "website_id string, site_user_id int, val string",
+        )
+        DEFAULT_FORMAT.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+        upd = spark.createDataFrame(
+            [(None, 1, "x2")], "website_id string, site_user_id int, val string"
+        )
+        DEFAULT_FORMAT.upsert_keys(upd, p, ["website_id", "site_user_id"], ["website_id"])
+        rows = {
+            (r["website_id"], r["site_user_id"], r["val"])
+            for r in DEFAULT_FORMAT.read(spark, p).collect()
+        }
+        # (None, 1) replaced, (None, 2) KEPT (same partition, untouched
+        # key), ("b", 3) untouched partition
+        assert rows == {(None, 1, "x2"), (None, 2, "y"), ("b", 3, "z")}
+
 
 def test_compaction_orphan_commit_marker_is_cleaned_not_rolled_back(
     spark, sf_small, tmp_path

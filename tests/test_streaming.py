@@ -403,3 +403,34 @@ def test_streaming_embed_dedup_filters_within_and_across_batches(
             spark, index, "embed_lsh_codes",
             {"nbits": 9, "n_tables": 6, "dim": 64, "seed": 42},
         )
+
+
+def test_batch_commit_marker_skips_redelivered_batch(spark, tmp_path):
+    """A batch re-delivered AFTER its commit marker was written must be
+    skipped entirely — no duplicate store rows, no duplicate index
+    rows (ADVICE r03: the two appends are not atomic; the marker makes
+    the common foreachBatch retry a no-op)."""
+    from faexport_db_spark.streaming.dedup_stream import dedup_batch_against_store
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    out1 = dedup_batch_against_store(batch, store, index, batch_id=7)
+    assert out1 is not None and out1.count() == 2
+    n_store = spark.read.parquet(store).count()
+    n_index = spark.read.parquet(index).count()
+    # re-delivery of the SAME committed batch: skipped
+    out2 = dedup_batch_against_store(batch, store, index, batch_id=7)
+    assert out2 is None
+    assert spark.read.parquet(store).count() == n_store
+    assert spark.read.parquet(index).count() == n_index
+    # a NEW batch id still processes
+    batch2 = spark.createDataFrame(
+        [(3, "lambda mu nu xi omicron pi rho")], "doc_id bigint, text string"
+    )
+    out3 = dedup_batch_against_store(batch2, store, index, batch_id=8)
+    assert out3 is not None and out3.count() == 1
+    assert spark.read.parquet(store).count() == n_store + 1
