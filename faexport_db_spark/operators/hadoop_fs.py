@@ -50,6 +50,15 @@ class HadoopFs:
                 out.append((full[len(base_q) + 1 :], status.getLen()))
         return sorted(out)
 
+    def list_names(self, dir_path: str) -> list[str]:
+        """Non-recursive child names of a directory ([] if absent)."""
+        jp = self.jpath(dir_path)
+        if not self.fs.exists(jp):
+            return []
+        return sorted(
+            status.getPath().getName() for status in self.fs.listStatus(jp)
+        )
+
     def write_text(self, p: str, text: str) -> None:
         stream = self.fs.create(self.jpath(p), True)
         try:

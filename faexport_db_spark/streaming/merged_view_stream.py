@@ -41,14 +41,18 @@ def refresh_touched_users(
     merged_view_dir: str,
     touched_keys: DataFrame,
     fmt: TableFormat = DEFAULT_FORMAT,
+    store_fmt: TableFormat | None = None,
 ) -> None:
     """Re-merge the entities in ``touched_keys`` and upsert them into
     the merged view through the storage seam: on parquet that is
     keep-rows ∪ recomputed + dynamic partition overwrite with the
     lineage-break and first-batch handling in
     ``ParquetFormat.upsert_keys``; on Delta/Iceberg it becomes one
-    ``MERGE INTO``."""
-    store = fmt.read(spark, snapshot_store_dir)
+    ``MERGE INTO``. ``fmt`` governs the VIEW table; the snapshot
+    store — appended by the ingest stream, plain parquet unless stated
+    otherwise — is read with ``store_fmt`` (defaults to the parquet
+    strategy, NOT to ``fmt``: the two tables' formats are independent)."""
+    store = (store_fmt or DEFAULT_FORMAT).read(spark, snapshot_store_dir)
     touched = touched_keys.distinct()
     touched_snaps = store.join(F.broadcast(touched), ENTITY_KEY, "left_semi")
     recomputed = merged_users(touched_snaps)
