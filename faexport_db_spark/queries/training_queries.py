@@ -40,6 +40,7 @@ from faexport_db_spark.training.text import (
     decontaminate,
     doc_fingerprint,
     lang_id,
+    passage_dedup,
     quality_features,
     repetition_signals,
     token_counts,
@@ -975,3 +976,48 @@ def t_ann_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.join(copy_best, "query_id").select(
         "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
     )
+
+
+@register(
+    "t_passage_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+    raw AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(0, CAST(greatest(ceil(len(toks)/10.0) - 1, 0) AS BIGINT)),
+        i -> struct_pack(tile_idx := i,
+                         tile_txt := array_to_string(toks[i*10+1 : i*10+10], ' '))
+      )) AS tile
+      FROM t
+    ),
+    tiles AS (
+      SELECT doc_id, tile.tile_idx AS tile_idx, tile.tile_txt AS tile_txt FROM raw
+    ),
+    w AS (
+      SELECT *, count(*) OVER (PARTITION BY md5(tile_txt)) AS cnt,
+             row_number() OVER (PARTITION BY md5(tile_txt)
+                                ORDER BY doc_id, tile_idx) AS rn
+      FROM tiles
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN cnt = 1 OR rn = 1 THEN tile_txt END,
+                               ' ' ORDER BY tile_idx), '') AS clean_text,
+           count(*) AS n_tiles,
+           sum(CASE WHEN cnt = 1 OR rn = 1 THEN 0 ELSE 1 END) AS n_tiles_removed
+    FROM w GROUP BY doc_id
+    """,
+)
+def t_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage removal (Lee et al. 2021 shape) over
+    the corpus plus planted exact copies: every copy's tiles repeat
+    their original's, so the copies come back fully emptied while the
+    originals (lowest doc_id = first occurrence) keep their text.
+    Tile width 10 tokens so the ~30-token fixture docs span several
+    tiles."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return passage_dedup(docs.unionByName(copies), tile_tokens=10)

@@ -234,3 +234,88 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def passage_dedup(
+    docs: DataFrame,
+    tile_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-PASSAGE removal — the within/across-document
+    substring dedup of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), re-expressed Spark-first: instead
+    of a global suffix array (a single sorted structure no executor
+    can hold), documents tile into fixed ``tile_tokens`` windows, each
+    tile's md5 is aggregated globally, and every repeat of a tile
+    beyond its first occurrence (lowest (doc_id, tile_idx)) is cut
+    from its document. Catches copy-pasted boilerplate, license
+    headers and mirrored passages that document-level dedup misses.
+
+    Shape at 100 TB: tiles explode linearly (n_tokens / tile_tokens
+    rows per doc); the per-hash aggregate is a map-side-combining
+    groupBy (a boilerplate tile repeated millions of times collapses
+    to ONE row before the exchange — no skewed window partition); the
+    join back on the hash is AQE-skew-handled; the rebuild groupBy is
+    keyed by doc — uniform. Nothing corpus-sized broadcasts.
+
+    Output: (id, clean_text, n_tiles, n_tiles_removed), one row per
+    input doc — a doc that was entirely duplicated passages comes back
+    with empty text, not silently dropped. md5 keeps the tile digest
+    engine-portable (DuckDB-checkable), like ``doc_fingerprint``.
+    """
+    toks = tokens_expr(text_col)
+    n_tiles = F.ceil(F.size(toks) / F.lit(tile_tokens)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tiles - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("tile_idx"),
+            F.concat_ws(" ", F.slice(toks, i * tile_tokens + 1, tile_tokens)).alias(
+                "tile_txt"
+            ),
+        ),
+    )
+    tiled = (
+        docs.select(F.col(id_col), F.explode(tiles).alias("t"))
+        .select(
+            F.col(id_col),
+            F.col("t.tile_idx"),
+            F.col("t.tile_txt"),
+            F.md5(F.col("t.tile_txt")).alias("th"),
+        )
+    )
+    per_hash = tiled.groupBy("th").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("tile_idx").alias("kidx"))).alias(
+            "__keeper"
+        ),
+    )
+    flagged = tiled.join(per_hash, "th").withColumn(
+        "__kept",
+        (F.col("__cnt") == 1)
+        | (
+            (F.col(id_col) == F.col("__keeper.kid"))
+            & (F.col("tile_idx") == F.col("__keeper.kidx"))
+        ),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__kept"),
+                            F.struct(F.col("tile_idx"), F.col("tile_txt")),
+                        )
+                    )
+                ),
+                lambda s: s["tile_txt"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tiles"),
+        F.sum(F.when(F.col("__kept"), 0).otherwise(1)).cast("bigint").alias(
+            "n_tiles_removed"
+        ),
+    )
+    return rebuilt

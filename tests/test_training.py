@@ -514,3 +514,31 @@ def test_ivfpq_finds_identical_twin_within_probed_cell(spark, sf_small):
     }
     assert set(best) == {0, 1, 2}
     assert best == copy_best
+
+
+def test_passage_dedup_cuts_repeats_keeps_first(spark):
+    from faexport_db_spark.training.text import passage_dedup
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta eps"),
+            (2, f"{shared} zeta eta theta iota kappa"),  # repeats doc 1's tile
+            (3, "unique words only in this doc here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_dedup(docs, tile_tokens=5).collect()}
+    assert out[1]["clean_text"].startswith(shared)  # first occurrence kept
+    assert out[1]["n_tiles_removed"] == 0
+    assert not out[2]["clean_text"].startswith(shared)  # repeat cut
+    assert out[2]["n_tiles_removed"] == 1
+    assert out[2]["clean_text"] == "zeta eta theta iota kappa"
+    assert out[3]["n_tiles_removed"] == 0
+    # a doc that is ENTIRELY a repeat comes back present but empty
+    dup_doc = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id bigint, text string"
+    )
+    out2 = {r["doc_id"]: r for r in passage_dedup(dup_doc, tile_tokens=5).collect()}
+    assert out2[1]["clean_text"] == shared
+    assert out2[2]["clean_text"] == "" and out2[2]["n_tiles_removed"] == 1
