@@ -855,12 +855,17 @@ def ivfpq_topk(
     if codebooks is None:
         codebooks = pq_train(corpus, m, codebook_k, iters, id_col, vec_col,
                              dim=len(centroids[0]))
-    coded = pq_encode(corpus, codebooks, id_col, vec_col).join(
-        fan_out(corpus).select(
-            F.col(id_col).alias("nid"),
-            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
-        ),
-        "nid",
+    # Codes and cell id in ONE map-side projection — never a
+    # corpus×corpus join (both are pure expressions over the vector).
+    sub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[_nearest_l2(F.slice(v, j * sub + 1, sub), codebooks[j]) for j in range(len(codebooks))]
+    )
+    coded = fan_out(corpus).select(
+        F.col(id_col).alias("nid"),
+        codes.alias("codes"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
     )
     q = _probed_queries(queries, centroids, nprobe, id_col, vec_col).select(
         "query_id", "cid", _adc_tables(F.col("q_vec"), codebooks).alias("__adc")

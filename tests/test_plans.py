@@ -226,3 +226,47 @@ def test_pq_topk_df_scans_code_table_once(spark, sf_small):
     plan = _physical_plan(out)
     # exactly one scan of the checkpointed code table
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_passage_dedup_never_broadcasts_corpus(spark, sf_small):
+    """Passage dedup's shape: tiles explode linearly, the per-hash
+    aggregate combines map-side, the join back is an equi-join on the
+    hash, the rebuild groups by doc — no Python, no cartesian, and
+    nothing corpus-sized broadcast (the per-hash agg output is
+    corpus-sized, so it must NOT be a broadcast side)."""
+    from faexport_db_spark.plans.audit import assert_plan
+    from faexport_db_spark.training.text import passage_dedup
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    out = passage_dedup(docs, tile_tokens=10)
+    assert_plan(
+        out,
+        max_python_evals=0,
+        forbid_join=("BroadcastNestedLoopJoin", "CartesianProduct"),
+    )
+
+
+def test_ivfpq_codes_are_one_projection_no_self_join(spark, sf_small):
+    """The coded corpus (codes + cell id) must be a single map-side
+    projection of the corpus — never a corpus-with-corpus join — and
+    the probe must reach it through a broadcast equi-join on cid."""
+    from faexport_db_spark.plans.audit import assert_plan
+    from faexport_db_spark.training.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=4, iters=1)
+    books = pq_train(emb, m=8, k=8, iters=1)
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=2, nprobe=2,
+        centroids=cents, codebooks=books,
+    )
+    assert_plan(
+        out,
+        max_python_evals=0,
+        require_join=("BroadcastHashJoin",),
+        forbid_join=("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    )

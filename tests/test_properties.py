@@ -297,3 +297,60 @@ def test_merged_files_expr_matches_python_fold(spark, rows):
     got = rows_of(merged_files(snaps, files, hashes))
     want = rows_of(merged_files(snaps, files, hashes, impl="python"))
     assert got == want
+
+
+def test_passage_dedup_conservation_and_uniqueness(spark):
+    """Invariants on any corpus: (1) per-doc kept+removed == n_tiles,
+    (2) global kept tile count == distinct tile-hash count (exactly one
+    survivor per distinct tile), (3) a corpus with no repeated tile
+    removes nothing and reproduces every text."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.training.text import passage_dedup
+
+    words = ["w%d" % i for i in range(60)]
+    rows = []
+    for d in range(30):
+        # deterministic pseudo-random distinct texts + some with shared spans
+        toks = [words[(d * 7 + k * 11) % 60] for k in range(23)]
+        if d % 5 == 0:
+            toks[0:5] = ["s1", "s2", "s3", "s4", "s5"]  # shared leading tile
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = passage_dedup(docs, tile_tokens=5)
+    got = out.collect()
+    assert len(got) == 30
+    total_tiles = sum(r["n_tiles"] for r in got)
+    removed = sum(r["n_tiles_removed"] for r in got)
+    distinct_tiles = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.ceil(F.size(F.split(F.trim("text"), r"\s+")) / 5).cast("int") - 1,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.trim("text"), r"\s+"), i * 5 + 1, 5)
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert total_tiles - removed == distinct_tiles
+    # unique corpus: nothing removed, texts reproduced
+    uniq = spark.createDataFrame(
+        [(d, " ".join(words[(d * 13 + k) % 60] + str(d) for k in range(12)))
+         for d in range(10)],
+        "doc_id bigint, text string",
+    )
+    out2 = {r["doc_id"]: r for r in passage_dedup(uniq, tile_tokens=5).collect()}
+    src = {r["doc_id"]: r["text"] for r in uniq.collect()}
+    assert all(out2[d]["n_tiles_removed"] == 0 for d in out2)
+    assert all(out2[d]["clean_text"] == src[d] for d in out2)
