@@ -1021,3 +1021,46 @@ def t_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return passage_dedup(docs.unionByName(copies), tile_tokens=10)
+
+
+@register(
+    "t_passage_incremental_checked",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    counts AS (SELECT doc_id, CAST(greatest(ceil(len(toks)/10.0), 1) AS BIGINT) AS n FROM t)
+    SELECT doc_id + 1000000 AS doc_id, '' AS clean_text,
+           n AS n_tiles, n AS n_tiles_removed
+    FROM counts
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           'nv' || CAST(doc_id AS VARCHAR) || '_0' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_1' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_2' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_3' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_4' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_5' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_6' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_7' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_8' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_9' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_10' || ' ' || 'nv' || CAST(doc_id AS VARCHAR) || '_11' AS clean_text,
+           CAST(2 AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_tiles_removed
+    FROM documents
+    """,
+)
+def t_passage_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental passage dedup against the persisted tile index:
+    the index holds the corpus' tiles; the arriving batch is exact
+    copies (every tile already indexed -> comes back fully emptied)
+    plus per-doc novel 12-token texts (no tile indexed -> passes
+    through verbatim, 2 tiles, 0 removed). Deterministic both ways,
+    so the whole incremental path - tiling, index probe, batch-first
+    keeper rule, rebuild - is oracle-pinned."""
+    import tempfile
+
+    from faexport_db_spark.training.text import (
+        build_passage_index,
+        passage_dedup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="faexport_spark_ptiles_") + "/index"
+    build_passage_index(docs, path, tile_tokens=10)
+    copies = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    novel = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_0')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_1')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_2')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_3')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_4')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_5')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_6')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_7')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_8')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_9')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_10')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_11'))).alias("text"),
+    )
+    return passage_dedup_against_index(
+        copies.unionByName(novel), path, tile_tokens=10, append=False
+    )

@@ -264,26 +264,7 @@ def passage_dedup(
     with empty text, not silently dropped. md5 keeps the tile digest
     engine-portable (DuckDB-checkable), like ``doc_fingerprint``.
     """
-    toks = tokens_expr(text_col)
-    n_tiles = F.ceil(F.size(toks) / F.lit(tile_tokens)).cast("int")
-    tiles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_tiles - 1, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("tile_idx"),
-            F.concat_ws(" ", F.slice(toks, i * tile_tokens + 1, tile_tokens)).alias(
-                "tile_txt"
-            ),
-        ),
-    )
-    tiled = (
-        docs.select(F.col(id_col), F.explode(tiles).alias("t"))
-        .select(
-            F.col(id_col),
-            F.col("t.tile_idx"),
-            F.col("t.tile_txt"),
-            F.md5(F.col("t.tile_txt")).alias("th"),
-        )
-    )
+    tiled = _tiled(docs, tile_tokens, text_col, id_col)
     per_hash = tiled.groupBy("th").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct(F.col(id_col).alias("kid"), F.col("tile_idx").alias("kidx"))).alias(
@@ -298,7 +279,37 @@ def passage_dedup(
             & (F.col("tile_idx") == F.col("__keeper.kidx"))
         ),
     )
-    rebuilt = flagged.groupBy(id_col).agg(
+    return _rebuild_docs(flagged, id_col)
+
+
+def _tiled(
+    docs: DataFrame, tile_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, tile_idx, tile_txt, th): fixed-width token tiles + md5."""
+    toks = tokens_expr(text_col)
+    n_tiles = F.ceil(F.size(toks) / F.lit(tile_tokens)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tiles - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("tile_idx"),
+            F.concat_ws(" ", F.slice(toks, i * tile_tokens + 1, tile_tokens)).alias(
+                "tile_txt"
+            ),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(tiles).alias("t")).select(
+        F.col(id_col),
+        F.col("t.tile_idx"),
+        F.col("t.tile_txt"),
+        F.md5(F.col("t.tile_txt")).alias("th"),
+    )
+
+
+def _rebuild_docs(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Tile rows (+ ``__kept``) → one (id, clean_text, n_tiles,
+    n_tiles_removed) row per doc; fully-removed docs come back empty,
+    never dropped."""
+    return flagged.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -318,4 +329,93 @@ def passage_dedup(
             "n_tiles_removed"
         ),
     )
-    return rebuilt
+
+
+def build_passage_index(
+    docs: DataFrame,
+    index_path: str,
+    tile_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus' DISTINCT tile digests — the passage analog
+    of the MinHash band index: arriving batches dedup against
+    everything accepted so far without re-tiling the corpus. One
+    narrow column (th), sorted within partitions for row-group
+    min/max pruning on probe joins; a parameter sidecar rejects probes
+    tiled with a different width."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    (
+        _tiled(docs, tile_tokens, text_col, id_col)
+        .select("th")
+        .distinct()
+        .sortWithinPartitions("th")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    write_index_meta(
+        docs.sparkSession, index_path, "passage_tiles", {"tile_tokens": tile_tokens}
+    )
+
+
+def passage_dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    tile_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = True,
+) -> DataFrame:
+    """Incremental duplicated-passage removal: a NEW batch's tiles are
+    cut when their digest already exists in the persisted index (the
+    corpus always wins — it holds the first occurrence) or repeats an
+    earlier tile within the batch (lowest (id, tile_idx) keeps). Only
+    the batch is tiled; candidates come from ONE index scan against
+    the broadcast batch digest set (batch-sized, never corpus-sized),
+    exactly the arriving-batch economics of the incremental MinHash
+    path. With ``append``, surviving tile digests join the index so
+    batch N+1 dedups against batch N.
+
+    Output: (id, clean_text, n_tiles, n_tiles_removed) per batch doc.
+    """
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    check_index_meta(
+        spark, index_path, "passage_tiles", {"tile_tokens": tile_tokens}
+    )
+    tiled = _tiled(batch, tile_tokens, text_col, id_col).localCheckpoint(eager=True)
+    index = spark.read.parquet(index_path)
+    hit_ths = (
+        index.join(F.broadcast(tiled.select("th").distinct()), "th", "left_semi")
+        .select("th")
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    per_hash = tiled.groupBy("th").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("tile_idx").alias("kidx"))).alias(
+            "__keeper"
+        )
+    )
+    flagged = (
+        tiled.join(per_hash, "th")
+        .join(F.broadcast(hit_ths), "th", "left")
+        .withColumn(
+            "__kept",
+            F.coalesce(F.col("__in_corpus"), F.lit(False)).eqNullSafe(False)
+            & (F.col(id_col) == F.col("__keeper.kid"))
+            & (F.col("tile_idx") == F.col("__keeper.kidx")),
+        )
+    )
+    out = _rebuild_docs(flagged, id_col)
+    if append:
+        out = out.localCheckpoint(eager=True)  # pin before the index mutates
+        (
+            flagged.filter(F.col("__kept"))
+            .select("th")
+            .distinct()
+            .write.mode("append")
+            .parquet(index_path)
+        )
+    return out

@@ -542,3 +542,38 @@ def test_passage_dedup_cuts_repeats_keeps_first(spark):
     out2 = {r["doc_id"]: r for r in passage_dedup(dup_doc, tile_tokens=5).collect()}
     assert out2[1]["clean_text"] == shared
     assert out2[2]["clean_text"] == "" and out2[2]["n_tiles_removed"] == 1
+
+
+def test_passage_incremental_batches_dedup_against_each_other(spark, tmp_path):
+    """Batch N+1 must dedup against both the corpus AND batch N's
+    appended survivors, and a parameter-mismatched probe fails loud."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+    from faexport_db_spark.training.text import (
+        build_passage_index,
+        passage_dedup_against_index,
+    )
+
+    path = str(tmp_path / "tiles")
+    corpus = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5 d1 d2 d3 d4 d5")], "doc_id bigint, text string"
+    )
+    build_passage_index(corpus, path, tile_tokens=5)
+    # batch 1: one corpus-dup tile + one novel tile
+    b1 = spark.createDataFrame(
+        [(10, "c1 c2 c3 c4 c5 n1 n2 n3 n4 n5")], "doc_id bigint, text string"
+    )
+    out1 = {r["doc_id"]: r for r in
+            passage_dedup_against_index(b1, path, tile_tokens=5).collect()}
+    assert out1[10]["clean_text"] == "n1 n2 n3 n4 n5"
+    assert out1[10]["n_tiles_removed"] == 1
+    # batch 2 repeats batch 1's novel tile → cut via the appended index
+    b2 = spark.createDataFrame(
+        [(20, "n1 n2 n3 n4 n5 x1 x2 x3 x4 x5")], "doc_id bigint, text string"
+    )
+    out2 = {r["doc_id"]: r for r in
+            passage_dedup_against_index(b2, path, tile_tokens=5).collect()}
+    assert out2[20]["clean_text"] == "x1 x2 x3 x4 x5"
+    assert out2[20]["n_tiles_removed"] == 1
+    # sidecar guards the tiling width
+    with pytest.raises(ValueError):
+        check_index_meta(spark, path, "passage_tiles", {"tile_tokens": 7})
