@@ -129,42 +129,15 @@ class ParquetFormat(TableFormat):
         keys: DataFrame | None = None,
     ) -> None:
         from pyspark.errors import AnalysisException
-        from pyspark.sql import functions as F
 
         spark = recomputed.sparkSession
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
-        # Partitions come from the TOUCHED KEYS, not from recomputed: a
-        # touched key whose rows were all deleted has no recomputed
-        # row, but its partition must still rewrite so the stale row
-        # is purged.
-        touched_parts = [
-            tuple(r) for r in touched_keys.select(*partition_cols).distinct().collect()
-        ]
+        touched_parts = _touched_parts(touched_keys, recomputed, partition_cols)
         try:
             existing = self.read(spark, path)
-            part_pred = F.lit(False)
-            for vals in touched_parts:
-                clause = F.lit(True)
-                for c, v in zip(partition_cols, vals):
-                    # eqNullSafe: a NULL partition value must still
-                    # select its (__HIVE_DEFAULT_PARTITION__) rows —
-                    # plain == is never true against NULL, which would
-                    # both skip the keep-side and leave stale rows
-                    # (ADVICE r03).
-                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
-                part_pred = part_pred | clause
-            # The anti-join must be null-safe too: with a plain
-            # equi-join a NULL-keyed stale row never matches its
-            # touched key and silently survives next to its
-            # replacement.
-            tk = touched_keys.distinct().alias("__tk")
-            ex = existing.filter(part_pred).alias("__ex")
-            anti_cond = F.lit(True)
-            for c in key_cols:
-                anti_cond = anti_cond & F.col(f"__ex.{c}").eqNullSafe(
-                    F.col(f"__tk.{c}")
-                )
-            keep = ex.join(F.broadcast(tk), anti_cond, "left_anti")
+            keep = _keep_untouched(
+                existing, touched_keys, key_cols, partition_cols, touched_parts
+            )
             out = recomputed.unionByName(keep).localCheckpoint(eager=True)
         except AnalysisException as exc:
             # First-batch cases only: missing path, or a crashed first
@@ -193,6 +166,41 @@ class ParquetFormat(TableFormat):
                     for c, v in zip(partition_cols, vals)
                 )
                 fs.delete(f"{path.rstrip('/')}/{reldir}", recursive=True)
+
+
+def _touched_parts(
+    touched_keys: DataFrame, recomputed: DataFrame, partition_cols: list[str]
+) -> list[tuple]:
+    """Distinct partitions affected by an upsert: the touched keys'
+    (a touched key with no recomputed row still purges its stale row)
+    UNION recomputed's (a recomputed row outside the key set must
+    still be written, identically under every strategy)."""
+    both = touched_keys.select(*partition_cols).unionByName(
+        recomputed.select(*partition_cols)
+    )
+    return [tuple(r) for r in both.distinct().collect()]
+
+
+def _keep_untouched(
+    existing: DataFrame,
+    touched_keys: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    touched_parts: list[tuple],
+) -> DataFrame:
+    """Rows of the touched partitions whose keys are NOT touched —
+    the keep-side of an upsert rewrite. Both the partition predicate
+    and the key anti-join are NULL-SAFE: plain equality is never true
+    against NULL, which would skip the keep-side of a null-valued
+    partition and let a NULL-keyed stale row survive next to its
+    replacement (ADVICE r03). Shared by every strategy so null
+    semantics can never diverge between them."""
+    tk = touched_keys.distinct().alias("__tk")
+    ex = existing.filter(_parts_pred(touched_parts, partition_cols)).alias("__ex")
+    anti_cond = F.lit(True)
+    for c in key_cols:
+        anti_cond = anti_cond & F.col(f"__ex.{c}").eqNullSafe(F.col(f"__tk.{c}"))
+    return ex.join(F.broadcast(tk), anti_cond, "left_anti")
 
 
 def _hive_partition_value(spark: SparkSession, v) -> str:
@@ -253,7 +261,11 @@ class ManifestParquetFormat(TableFormat):
 
         return HadoopFs(spark, path)
 
-    def _latest(self, fs, path: str) -> tuple[int, list[dict]]:
+    def _latest(self, fs, path: str) -> tuple[int, list[dict], str | None]:
+        """(version, entries, schema_json); (0, [], None) before the
+        first commit. The schema travels in the manifest so a validly
+        EMPTY table still reads as an empty DataFrame of the right
+        shape instead of bricking the strategy."""
         import json
         import re
 
@@ -263,21 +275,23 @@ class ManifestParquetFormat(TableFormat):
             if (m := re.fullmatch(r"v(\d+)\.json", name))
         ]
         if not versions:
-            return 0, []
+            return 0, [], None
         v = max(versions)
         doc = json.loads(
             fs.read_text(f"{path.rstrip('/')}/{self.MANIFEST_DIR}/v{v}.json")
         )
-        return v, doc["entries"]
+        return v, doc["entries"], doc.get("schema")
 
-    def _commit(self, fs, path: str, version: int, entries: list[dict]) -> None:
+    def _commit(
+        self, fs, path: str, version: int, entries: list[dict], schema: str | None
+    ) -> None:
         import json
         import uuid
 
         base = f"{path.rstrip('/')}/{self.MANIFEST_DIR}"
         fs.mkdirs(base)
         tmp = f"{base}/.v{version}.json.tmp-{uuid.uuid4().hex}"
-        fs.write_text(tmp, json.dumps({"entries": entries}))
+        fs.write_text(tmp, json.dumps({"entries": entries, "schema": schema}))
         if not fs.rename(tmp, f"{base}/v{version}.json"):
             fs.delete(tmp)
             raise ConcurrentCommitError(
@@ -314,10 +328,23 @@ class ManifestParquetFormat(TableFormat):
         return entries
 
     def _read_entries(
-        self, spark: SparkSession, path: str, entries: list[dict]
+        self, spark: SparkSession, path: str, entries: list[dict], schema: str | None
     ) -> DataFrame:
         from functools import reduce
 
+        if not entries:
+            # A committed-but-empty table is valid state (everything
+            # purged): an empty frame of the recorded shape, not an
+            # error and not a crash on reduce().
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            if schema is None:
+                raise FileNotFoundError(
+                    f"manifest at {path} names no files and records no schema"
+                )
+            return spark.createDataFrame([], StructType.fromJson(_json.loads(schema)))
         by_base: dict[str, list[str]] = {}
         for e in entries:
             by_base.setdefault(e["base"], []).append(e["file"])
@@ -331,24 +358,24 @@ class ManifestParquetFormat(TableFormat):
 
     # -- TableFormat surface -----------------------------------------
     def read(self, spark: SparkSession, path: str) -> DataFrame:
-        version, entries = self._latest(self._fs(spark, path), path)
+        version, entries, schema = self._latest(self._fs(spark, path), path)
         if version == 0:
             raise FileNotFoundError(f"no committed manifest at {path}")
-        if not entries:  # a committed but empty table
-            raise FileNotFoundError(f"manifest at {path} names no files")
-        return self._read_entries(spark, path, entries)
+        return self._read_entries(spark, path, entries, schema)
 
     def append(
         self, df: DataFrame, path: str, partition_cols: list[str] | None = None
     ) -> None:
         fs = self._fs(df.sparkSession, path)
         new = self._write_commit(df, path, partition_cols)
-        # data files are immutable, so a version race is safely
-        # retryable by re-reading the latest entry list
+        schema = df.schema.json()
+        # data files are immutable and appended entries carry forward
+        # verbatim, so a version race is safely retryable by re-reading
+        # the latest entry list
         for _ in range(5):
-            version, entries = self._latest(fs, path)
+            version, entries, prev_schema = self._latest(fs, path)
             try:
-                self._commit(fs, path, version + 1, entries + new)
+                self._commit(fs, path, version + 1, entries + new, prev_schema or schema)
                 return
             except ConcurrentCommitError:
                 continue
@@ -356,29 +383,44 @@ class ManifestParquetFormat(TableFormat):
 
     def delete_where(self, spark: SparkSession, path: str, predicate: Column) -> None:
         fs = self._fs(spark, path)
-        version, entries = self._latest(fs, path)
-        if version == 0:
-            raise FileNotFoundError(f"no committed manifest at {path}")
-        part_cols = sorted({c for e in entries for c in e["partition"]})
-        survivors = self._read_entries(spark, path, entries).filter(
-            ~predicate.eqNullSafe(True)
-        )
-        new = self._write_commit(survivors, path, part_cols or None)
-        self._commit(fs, path, version + 1, new)
+        # The survivors are recomputed from the snapshot read in the
+        # SAME attempt, so a concurrent commit between read and publish
+        # restarts the whole computation instead of silently deleting
+        # the other writer's rows (the stale attempt's files become
+        # vacuum-able orphans).
+        for _ in range(5):
+            version, entries, schema = self._latest(fs, path)
+            if version == 0:
+                raise FileNotFoundError(f"no committed manifest at {path}")
+            part_cols = sorted({c for e in entries for c in e["partition"]})
+            survivors = self._read_entries(spark, path, entries, schema).filter(
+                ~predicate.eqNullSafe(True)
+            )
+            new = self._write_commit(survivors, path, part_cols or None)
+            try:
+                self._commit(fs, path, version + 1, new, schema)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"delete at {path}: 5 version races in a row")
 
     def overwrite_partitions(
         self, df: DataFrame, path: str, partition_cols: list[str]
     ) -> None:
+        # Overwrite semantics are last-writer-wins PER PARTITION, so
+        # the new files need no recompute on a version race — only the
+        # carried-forward entry list is re-read.
         fs = self._fs(df.sparkSession, path)
         new = self._write_commit(df, path, partition_cols)
+        schema = df.schema.json()
         replaced = {_partition_key(e["partition"]) for e in new}
         for _ in range(5):
-            version, entries = self._latest(fs, path)
+            version, entries, prev_schema = self._latest(fs, path)
             kept = [
                 e for e in entries if _partition_key(e["partition"]) not in replaced
             ]
             try:
-                self._commit(fs, path, version + 1, kept + new)
+                self._commit(fs, path, version + 1, kept + new, prev_schema or schema)
                 return
             except ConcurrentCommitError:
                 continue
@@ -395,37 +437,28 @@ class ManifestParquetFormat(TableFormat):
         spark = recomputed.sparkSession
         fs = self._fs(spark, path)
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
-        touched_parts = [
-            tuple(r)
-            for r in touched_keys.select(*partition_cols).distinct().collect()
-        ]
+        touched_parts = _touched_parts(touched_keys, recomputed, partition_cols)
         touched_set = {
             _partition_key(dict(zip(partition_cols, map(_manifest_value, vals))))
             for vals in touched_parts
         }
-        version, entries = self._latest(fs, path)
-        if version == 0:
-            out = recomputed
-        else:
-            existing = self._read_entries(spark, path, entries)
-            part_pred = F.lit(False)
-            for vals in touched_parts:
-                clause = F.lit(True)
-                for c, v in zip(partition_cols, vals):
-                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
-                part_pred = part_pred | clause
-            tk = touched_keys.distinct().alias("__tk")
-            ex = existing.filter(part_pred).alias("__ex")
-            anti_cond = F.lit(True)
-            for c in key_cols:
-                anti_cond = anti_cond & F.col(f"__ex.{c}").eqNullSafe(
-                    F.col(f"__tk.{c}")
-                )
-            keep = ex.join(F.broadcast(tk), anti_cond, "left_anti")
-            out = recomputed.unionByName(keep)
-        new = self._write_commit(out.filter(_parts_pred(touched_parts, partition_cols)), path, partition_cols)
+        # Upsert is a MERGE: the keep-side must reflect the snapshot
+        # actually being replaced, so on a version race the whole
+        # out-set recomputes from the fresh snapshot — never commit a
+        # merge computed against a superseded version (that would
+        # silently drop the concurrent writer's rows). Stale attempts'
+        # files become vacuum-able orphans.
         for _ in range(5):
-            version, entries = self._latest(fs, path)
+            version, entries, schema = self._latest(fs, path)
+            if version == 0 or not entries:
+                out = recomputed
+            else:
+                existing = self._read_entries(spark, path, entries, schema)
+                keep = _keep_untouched(
+                    existing, touched_keys, key_cols, partition_cols, touched_parts
+                )
+                out = recomputed.unionByName(keep)
+            new = self._write_commit(out, path, partition_cols)
             # untouched partitions carry forward; touched ones are
             # REPLACED by the new commit's entries — an emptied
             # partition simply has none, so it vanishes (no stale-dir
@@ -436,27 +469,41 @@ class ManifestParquetFormat(TableFormat):
                 if _partition_key(e["partition"]) not in touched_set
             ]
             try:
-                self._commit(fs, path, version + 1, kept + new)
+                self._commit(
+                    fs, path, version + 1, kept + new, schema or out.schema.json()
+                )
                 return
             except ConcurrentCommitError:
                 continue
         raise ConcurrentCommitError(f"upsert at {path}: 5 version races in a row")
 
-    def vacuum(self, spark: SparkSession, path: str) -> list[str]:
-        """Delete data files no manifest... strictly: files not named
-        by the LATEST manifest (older manifests are removed too, so
-        time-travel ends here — run only when no reader needs an old
-        version). Returns the deleted relative paths."""
+    def vacuum(
+        self, spark: SparkSession, path: str, grace_seconds: int = 3600
+    ) -> list[str]:
+        """Reclaim data files not named by the latest manifest and
+        manifests OLDER than it. Concurrency contract (the Delta-style
+        retention rule): a data file is only deleted when it is both
+        unreferenced AND older than ``grace_seconds``, so a concurrent
+        committer's freshly-written files — not yet published when the
+        live set was read — are never touched; newer manifests and
+        in-flight ``.tmp`` files are never deleted. Time-travel before
+        the latest version ends here — run only when no reader needs an
+        old version. Returns the deleted relative paths."""
+        import re
+        import time
+
         fs = self._fs(spark, path)
-        version, entries = self._latest(fs, path)
+        version, entries, _schema = self._latest(fs, path)
         live = {f"{e['base']}/{e['file']}" for e in entries}
+        cutoff_ms = (time.time() - grace_seconds) * 1000
         deleted = []
-        for rel, _size in fs.list_parquet(f"{path.rstrip('/')}/data"):
-            if f"data/{rel}" not in live:
+        for rel, _size, mtime_ms in fs.list_parquet_status(f"{path.rstrip('/')}/data"):
+            if f"data/{rel}" not in live and mtime_ms < cutoff_ms:
                 fs.delete(f"{path.rstrip('/')}/data/{rel}")
                 deleted.append(f"data/{rel}")
         for name in fs.list_names(f"{path.rstrip('/')}/{self.MANIFEST_DIR}"):
-            if name != f"v{version}.json":
+            m = re.fullmatch(r"v(\d+)\.json", name)
+            if m and int(m.group(1)) < version:
                 fs.delete(f"{path.rstrip('/')}/{self.MANIFEST_DIR}/{name}")
         return deleted
 

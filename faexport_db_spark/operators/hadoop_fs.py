@@ -50,6 +50,27 @@ class HadoopFs:
                 out.append((full[len(base_q) + 1 :], status.getLen()))
         return sorted(out)
 
+    def list_parquet_status(self, base: str) -> list[tuple[str, int, int]]:
+        """Recursive (relative_path, size, mtime_ms) listing of
+        *.parquet files — mtime feeds grace-period vacuum decisions."""
+        base_q = self.fs.makeQualified(self.jpath(base)).toString().rstrip("/")
+        out: list[tuple[str, int, int]] = []
+        if not self.fs.exists(self.jpath(base)):
+            return out
+        it = self.fs.listFiles(self.jpath(base), True)
+        while it.hasNext():
+            status = it.next()
+            full = status.getPath().toString()
+            if full.endswith(".parquet"):
+                out.append(
+                    (
+                        full[len(base_q) + 1 :],
+                        status.getLen(),
+                        status.getModificationTime(),
+                    )
+                )
+        return sorted(out)
+
     def list_names(self, dir_path: str) -> list[str]:
         """Non-recursive child names of a directory ([] if absent)."""
         jp = self.jpath(dir_path)

@@ -131,6 +131,19 @@ _PRIORITY = [
 ]
 
 
+def is_green_row(row) -> bool:
+    """A driver correctness row that counts as a clean pass — THE
+    single definition, shared with ``tools/update_green_manifest.py``
+    so the committed manifest can never drift from the runtime merge
+    (review finding)."""
+    return (
+        isinstance(row, dict)
+        and not row.get("err")
+        and bool(row.get("rows_match"))
+        and bool(row.get("hash_match", True))
+    )
+
+
 def _driver_green_keys() -> set[str]:
     """Keys with an archived clean driver row.
 
@@ -141,22 +154,36 @@ def _driver_green_keys() -> set[str]:
     ``CORRECTNESS_r*.json`` files present in the repo root are merged
     in on top so a fresh round's rows take effect before the manifest
     is regenerated. ``SPARK_GRAFT_GREEN_MANIFEST`` points at an
-    alternate manifest (ADVICE r03: no silent dependence on untracked
-    files)."""
+    alternate manifest. Failures are LOUD: an explicitly-pointed
+    manifest that can't be read raises, and an unreadable default
+    manifest logs a warning — a silently-empty green set would
+    reshuffle the driver window, the exact failure this mechanism
+    exists to prevent (ADVICE r03 + review finding)."""
     import glob
     import json
+    import logging
     import os
 
     green: set[str] = set()
-    manifest = os.environ.get(
-        "SPARK_GRAFT_GREEN_MANIFEST",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_green.json"),
+    explicit = os.environ.get("SPARK_GRAFT_GREEN_MANIFEST")
+    manifest = explicit or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "driver_green.json"
     )
     try:
         with open(manifest) as f:
             green |= set(json.load(f).get("green", {}))
-    except (OSError, ValueError):
-        pass
+    except (OSError, ValueError) as exc:
+        if explicit:
+            raise RuntimeError(
+                f"SPARK_GRAFT_GREEN_MANIFEST points at an unreadable manifest "
+                f"{manifest!r}: {exc}"
+            ) from exc
+        logging.getLogger(__name__).warning(
+            "driver-green manifest %s unreadable (%s); the correctness "
+            "window will treat every op as never-checked",
+            manifest,
+            exc,
+        )
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
@@ -167,9 +194,7 @@ def _driver_green_keys() -> set[str]:
         if not isinstance(doc, dict):
             continue
         for key, row in doc.items():
-            if not isinstance(row, dict) or row.get("err"):
-                continue
-            if row.get("rows_match") and row.get("hash_match", True):
+            if is_green_row(row):
                 green.add(key)
     return green
 

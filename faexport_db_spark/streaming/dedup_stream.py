@@ -61,10 +61,11 @@ def _batch_marker(
 ):
     """(committed?, mark_fn) for the per-batch commit marker — see the
     module docstring's atomicity contract. Batch ids are only unique
-    WITHIN one stream checkpoint (a fresh checkpoint renumbers from
-    0), so markers are namespaced by ``stream_id`` — the checkpoint
-    digest ``start_streaming_*`` derives. ``batch_id=None`` (direct
-    batch-API callers outside a stream) disables the protocol."""
+    WITHIN one stream-checkpoint lifetime (a fresh or wiped checkpoint
+    renumbers from 0), so markers are namespaced by ``stream_id`` —
+    the checkpoint-resident token ``_stream_id`` mints.
+    ``batch_id=None`` (direct batch-API callers outside a stream)
+    disables the protocol."""
     if batch_id is None:
         return False, lambda: None
     from faexport_db_spark.operators.hadoop_fs import HadoopFs
@@ -75,10 +76,27 @@ def _batch_marker(
     return fs.exists(marker), lambda: fs.write_text(marker, "")
 
 
-def _stream_id(checkpoint: str) -> str:
-    import hashlib
+def _stream_id(spark: SparkSession, checkpoint: str) -> str:
+    """Stream-instance namespace for batch markers: a token file
+    INSIDE the checkpoint directory, created on first use. Batch ids
+    are only meaningful relative to a checkpoint's lifetime — if the
+    checkpoint is wiped, Spark renumbers batches from 0, and a
+    path-derived namespace would then skip brand-new batches 0..N as
+    'already committed' (review finding: silent data loss). The token
+    dies with the checkpoint, so a wiped checkpoint gets a fresh
+    namespace while restarts of a live checkpoint keep their markers."""
+    import uuid
 
-    return hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    fs = HadoopFs(spark, checkpoint)
+    token_path = f"{checkpoint.rstrip('/')}/_dedup_stream_token"
+    if fs.exists(token_path):
+        return fs.read_text(token_path).strip()
+    token = uuid.uuid4().hex[:12]
+    fs.mkdirs(checkpoint.rstrip("/"))
+    fs.write_text(token_path, token)
+    return token
 
 
 def dedup_batch_against_store(
@@ -182,7 +200,7 @@ def start_streaming_dedup(
     foreachBatch. ``source`` is any streaming DataFrame with
     (doc_id, text) columns."""
 
-    sid = _stream_id(checkpoint)
+    sid = _stream_id(spark, checkpoint)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         dedup_batch_against_store(
@@ -297,7 +315,7 @@ def start_streaming_embed_dedup(
     via foreachBatch. ``source`` is any streaming DataFrame with
     (vec_id, embedding) columns."""
 
-    sid = _stream_id(checkpoint)
+    sid = _stream_id(spark, checkpoint)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         embed_dedup_batch_against_store(

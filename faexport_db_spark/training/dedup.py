@@ -166,7 +166,6 @@ def _bucket_pairs(
     bucket_cols: list[str],
     member: Column,
     max_bucket: int | None,
-    keep: list[str] | None = None,
 ) -> DataFrame:
     """Expand ordered member pairs within each LSH bucket.
 
@@ -179,11 +178,8 @@ def _bucket_pairs(
     is what makes the shape viable at 100 TB. ``max_bucket`` drops
     degenerate over-common buckets (the LSH analog of stop words) —
     a bucket shared by millions of near-identical docs would otherwise
-    reintroduce the quadratic term LSH exists to avoid. ``keep`` names
-    bucket-key columns to carry through to the pair output (e.g. the
-    chunk index for first-shared-chunk dedup).
+    reintroduce the quadratic term LSH exists to avoid.
     """
-    keep = keep or []
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(member)).alias("members"))
@@ -191,11 +187,8 @@ def _bucket_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("members") <= max_bucket)
-    lefts = buckets.select(
-        *keep, F.col("members"), F.posexplode("members").alias("i", "ma")
-    )
+    lefts = buckets.select(F.col("members"), F.posexplode("members").alias("i", "ma"))
     return lefts.select(
-        *keep,
         F.col("ma"),
         F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("mb"),
     )

@@ -8,8 +8,11 @@ every duplicate: the worst failure mode a dedup gate can have (ADVICE
 r02). So each builder writes an underscore-prefixed JSON sidecar
 (ignored by Spark's parquet scanner, like ``_SUCCESS``) recording its
 signing parameters, and each probe validates before joining, raising
-on mismatch. Indexes from before this sidecar existed validate as
-legacy (nothing to check against — rebuild to upgrade).
+on mismatch. A missing sidecar is an ERROR, not a legacy pass: the
+signing scheme has changed since the sidecar was introduced
+(tokshingle1), so an unlabeled index is exactly the
+silently-returns-nothing hazard the sidecar exists to prevent —
+rebuild the index, or write a sidecar stating its true parameters.
 """
 
 from __future__ import annotations
@@ -52,12 +55,19 @@ def check_index_meta(
     spark: SparkSession, path: str, kind: str, params: dict
 ) -> None:
     """Raise ValueError if ``path``'s sidecar disagrees with the
-    probe's ``kind``/``params``. A missing sidecar (pre-sidecar index)
-    passes — there is nothing to validate against."""
+    probe's ``kind``/``params`` — or is MISSING. The earlier
+    missing-passes-as-legacy exemption became a hole when the signing
+    scheme changed (review finding: a pre-sidecar index probed with
+    token-hash shingles silently admits every duplicate)."""
     fs = HadoopFs(spark, path)
     meta_path = posixpath.join(path.rstrip("/"), INDEX_META_NAME)
     if not fs.exists(meta_path):
-        return
+        raise ValueError(
+            f"index at {path} has no {INDEX_META_NAME} sidecar; its signing "
+            f"scheme is unknown and a mismatched probe silently returns ~zero "
+            f"pairs — rebuild the index with a current builder, or write the "
+            f"sidecar stating its true parameters (write_index_meta)."
+        )
     meta = json.loads(fs.read_text(meta_path))
     mismatches = {}
     if meta.get("kind") != kind:

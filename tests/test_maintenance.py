@@ -527,12 +527,12 @@ class TestManifestFormat:
         p = str(tmp_path / "t")
         fmt.append(spark.range(10), p)
         fs = fmt._fs(spark, p)
-        v, entries = fmt._latest(fs, p)
-        assert v == 1 and entries
+        v, entries, schema = fmt._latest(fs, p)
+        assert v == 1 and entries and schema
         # a second committer racing to the same version must fail
         # loudly and leave the committed manifest untouched
         with _pytest.raises(ConcurrentCommitError):
-            fmt._commit(fs, p, 1, [])
+            fmt._commit(fs, p, 1, [], schema)
         assert fmt._latest(fs, p)[1] == entries
 
     def test_crash_orphans_are_invisible_and_vacuumed(self, spark, tmp_path):
@@ -545,8 +545,11 @@ class TestManifestFormat:
         orphan_entries = fmt._write_commit(spark.range(100, 200), p, None)
         assert orphan_entries
         assert fmt.read(spark, p).count() == 10  # readers can't see it
-        deleted = fmt.vacuum(spark, p)
-        assert deleted  # orphans reclaimed
+        # default grace protects files this fresh (they might belong to
+        # a concurrent committer about to publish)
+        assert fmt.vacuum(spark, p) == []
+        deleted = fmt.vacuum(spark, p, grace_seconds=0)
+        assert deleted  # orphans reclaimed once past the grace window
         assert fmt.read(spark, p).count() == 10
 
     def test_delete_where_compacts_commits(self, spark, tmp_path):
@@ -559,6 +562,110 @@ class TestManifestFormat:
             fmt.append(spark.range(i * 10, i * 10 + 10), p)
         fmt.delete_where(spark, p, F.lit(False))  # documented compaction form
         fs = fmt._fs(spark, p)
-        _v, entries = fmt._latest(fs, p)
+        _v, entries, _schema = fmt._latest(fs, p)
         assert len({e["base"] for e in entries}) == 1  # one commit dir now
         assert fmt.read(spark, p).count() == 40
+
+    def test_emptied_table_stays_usable(self, spark, tmp_path):
+        """Purging every key leaves a committed-EMPTY table that still
+        reads (empty frame of the recorded schema) and accepts the
+        next mutation — not a FileNotFoundError/reduce() crash."""
+        from pyspark.sql import functions as F
+
+        from faexport_db_spark.datamodel.table_format import ManifestParquetFormat
+
+        fmt = ManifestParquetFormat()
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("a", 1, "x")], ["website_id", "site_user_id", "val"]
+        )
+        fmt.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+        keys = spark.createDataFrame([("a", 1)], ["website_id", "site_user_id"])
+        fmt.upsert_keys(
+            base.filter("1=0"), p, ["website_id", "site_user_id"], ["website_id"],
+            keys=keys,
+        )
+        empty = fmt.read(spark, p)
+        assert empty.count() == 0
+        assert set(empty.columns) == {"website_id", "site_user_id", "val"}
+        fmt.delete_where(spark, p, F.lit(False))  # no-crash on empty
+        fmt.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+        assert fmt.read(spark, p).count() == 1
+
+    def test_upsert_version_race_recomputes_not_drops(self, spark, tmp_path, monkeypatch):
+        """A concurrent commit landing between an upsert's snapshot
+        read and its manifest publish must NOT lose the concurrent
+        writer's rows: the conflicted upsert recomputes its merge from
+        the fresh snapshot (review finding: lost update)."""
+        from faexport_db_spark.datamodel.table_format import ManifestParquetFormat
+
+        fmt = ManifestParquetFormat()
+        racer = ManifestParquetFormat()
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("a", 1, "old"), ("a", 2, "old")], ["website_id", "site_user_id", "val"]
+        )
+        fmt.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+
+        raced = {}
+        real_write_commit = ManifestParquetFormat._write_commit
+
+        def inject(self, df, path, partition_cols):
+            # After the upsert has read its snapshot but before it
+            # publishes: a concurrent writer lands a NEW row in the
+            # SAME (touched) partition.
+            if self is fmt and not raced:
+                raced["done"] = True
+                racer.append(
+                    spark.createDataFrame(
+                        [("a", 3, "concurrent")],
+                        ["website_id", "site_user_id", "val"],
+                    ),
+                    p,
+                    ["website_id"],
+                )
+            return real_write_commit(self, df, path, partition_cols)
+
+        monkeypatch.setattr(ManifestParquetFormat, "_write_commit", inject)
+        upd = spark.createDataFrame(
+            [("a", 1, "new")], ["website_id", "site_user_id", "val"]
+        )
+        fmt.upsert_keys(upd, p, ["website_id", "site_user_id"], ["website_id"])
+        assert raced, "race injection did not fire"
+        rows = {
+            (r["website_id"], r["site_user_id"]): r["val"]
+            for r in fmt.read(spark, p).collect()
+        }
+        # the concurrent row SURVIVES the retried merge
+        assert rows == {("a", 1): "new", ("a", 2): "old", ("a", 3): "concurrent"}
+
+    def test_upsert_writes_recomputed_rows_outside_key_set(self, spark, tmp_path):
+        """recomputed rows in partitions the key set does not touch
+        must still land, identically under both strategies (review
+        finding: the manifest strategy silently filtered them away)."""
+        from faexport_db_spark.datamodel.table_format import (
+            ManifestParquetFormat,
+            ParquetFormat,
+        )
+
+        for fmt in (ParquetFormat(), ManifestParquetFormat()):
+            p = str(tmp_path / f"t_{type(fmt).__name__}")
+            base = spark.createDataFrame(
+                [("a", 1, "old")], ["website_id", "site_user_id", "val"]
+            )
+            fmt.upsert_keys(base, p, ["website_id", "site_user_id"], ["website_id"])
+            # keys narrower than recomputed: recomputed also carries a
+            # row for untouched-by-keys partition 'b'
+            rec = spark.createDataFrame(
+                [("a", 1, "new"), ("b", 9, "extra")],
+                ["website_id", "site_user_id", "val"],
+            )
+            keys = spark.createDataFrame([("a", 1)], ["website_id", "site_user_id"])
+            fmt.upsert_keys(
+                rec, p, ["website_id", "site_user_id"], ["website_id"], keys=keys
+            )
+            rows = {
+                (r["website_id"], r["site_user_id"]): r["val"]
+                for r in fmt.read(spark, p).collect()
+            }
+            assert rows == {("a", 1): "new", ("b", 9): "extra"}, type(fmt).__name__

@@ -14,13 +14,19 @@ from __future__ import annotations
 import glob
 import json
 import os
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(ROOT, "faexport_db_spark", "queries", "driver_green.json")
+sys.path.insert(0, ROOT)
 
 
 def collect_green() -> dict[str, str]:
-    """key -> first round file that recorded it clean."""
+    """key -> first round file that recorded it clean. The acceptance
+    criteria are ``queries.is_green_row`` — the SAME definition the
+    runtime merge uses, so the manifest can't drift from it."""
+    from faexport_db_spark.queries import is_green_row
+
     green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         with open(path) as f:
@@ -28,9 +34,7 @@ def collect_green() -> dict[str, str]:
         if not isinstance(doc, dict):
             continue
         for key, row in doc.items():
-            if not isinstance(row, dict) or row.get("err"):
-                continue
-            if row.get("rows_match") and row.get("hash_match", True):
+            if is_green_row(row):
                 green.setdefault(key, os.path.basename(path))
     return green
 
