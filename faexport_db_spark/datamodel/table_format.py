@@ -357,11 +357,29 @@ class ManifestParquetFormat(TableFormat):
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     # -- TableFormat surface -----------------------------------------
-    def read(self, spark: SparkSession, path: str) -> DataFrame:
-        version, entries, schema = self._latest(self._fs(spark, path), path)
-        if version == 0:
-            raise FileNotFoundError(f"no committed manifest at {path}")
-        return self._read_entries(spark, path, entries, schema)
+    def read(
+        self, spark: SparkSession, path: str, version: int | None = None
+    ) -> DataFrame:
+        """Latest committed snapshot, or — manifest formats get this
+        for free — any still-vacuumed-retained ``version`` (time
+        travel): every manifest is immutable and names its full file
+        set, so reading v is just resolving v's entry list."""
+        import json
+
+        fs = self._fs(spark, path)
+        if version is None:
+            version, entries, schema = self._latest(fs, path)
+            if version == 0:
+                raise FileNotFoundError(f"no committed manifest at {path}")
+            return self._read_entries(spark, path, entries, schema)
+        mpath = f"{path.rstrip('/')}/{self.MANIFEST_DIR}/v{version}.json"
+        if not fs.exists(mpath):
+            raise FileNotFoundError(
+                f"manifest v{version} not found at {path} (vacuumed, or never "
+                f"committed)"
+            )
+        doc = json.loads(fs.read_text(mpath))
+        return self._read_entries(spark, path, doc["entries"], doc.get("schema"))
 
     def append(
         self, df: DataFrame, path: str, partition_cols: list[str] | None = None

@@ -72,8 +72,19 @@ def _batch_marker(
 
     fs = HadoopFs(spark, index_path)
     ns = stream_id or "direct"
-    marker = f"{index_path.rstrip('/')}/_batch_committed/{ns}/{batch_id}"
-    return fs.exists(marker), lambda: fs.write_text(marker, "")
+    ns_dir = f"{index_path.rstrip('/')}/_batch_committed/{ns}"
+    marker = f"{ns_dir}/{batch_id}"
+
+    def mark() -> None:
+        fs.write_text(marker, "")
+        # Markers only matter for RECENT batches (a re-delivery is
+        # always near the checkpoint's tail), so prune the long tail —
+        # without this, one empty file per batch accumulates forever.
+        for name in fs.list_names(ns_dir):
+            if name.isdigit() and int(name) < batch_id - 200:
+                fs.delete(f"{ns_dir}/{name}")
+
+    return fs.exists(marker), mark
 
 
 def _stream_id(spark: SparkSession, checkpoint: str) -> str:

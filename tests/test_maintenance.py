@@ -669,3 +669,18 @@ class TestManifestFormat:
                 for r in fmt.read(spark, p).collect()
             }
             assert rows == {("a", 1): "new", ("b", 9): "extra"}, type(fmt).__name__
+
+    def test_time_travel_reads_old_versions_until_vacuum(self, spark, tmp_path):
+        from faexport_db_spark.datamodel.table_format import ManifestParquetFormat
+
+        fmt = ManifestParquetFormat()
+        p = str(tmp_path / "t")
+        fmt.append(spark.range(10), p)           # v1
+        fmt.append(spark.range(10, 30), p)       # v2
+        assert fmt.read(spark, p, version=1).count() == 10
+        assert fmt.read(spark, p, version=2).count() == 30
+        assert fmt.read(spark, p).count() == 30
+        fmt.vacuum(spark, p, grace_seconds=0)
+        with _pytest.raises(FileNotFoundError, match="vacuumed"):
+            fmt.read(spark, p, version=1)
+        assert fmt.read(spark, p).count() == 30
