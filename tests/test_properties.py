@@ -354,3 +354,76 @@ def test_passage_dedup_conservation_and_uniqueness(spark):
     src = {r["doc_id"]: r["text"] for r in uniq.collect()}
     assert all(out2[d]["n_tiles_removed"] == 0 for d in out2)
     assert all(out2[d]["clean_text"] == src[d] for d in out2)
+
+
+def test_format_strategies_agree_on_random_mutation_sequences(spark, tmp_path):
+    """Model-based equivalence: the same deterministic pseudo-random
+    sequence of append / delete_where / upsert_keys mutations applied
+    through BOTH storage strategies must yield identical tables at
+    every step. Catches any semantic drift between the rewrite-based
+    parquet implementation and the manifest commit protocol that the
+    hand-written cases miss."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.datamodel.table_format import (
+        ManifestParquetFormat,
+        ParquetFormat,
+    )
+
+    rng = random.Random(20260814)
+    fmts = {"pq": ParquetFormat(), "mf": ManifestParquetFormat()}
+    paths = {k: str(tmp_path / k) for k in fmts}
+
+    def mkrows(n):
+        return [
+            (rng.choice(["a", "b", "c", None]), rng.randrange(40), f"v{rng.randrange(1000)}")
+            for _ in range(n)
+        ]
+
+    def table(k):
+        try:
+            return {
+                (r["part"], r["key"], r["val"])
+                for r in fmts[k].read(spark, paths[k]).collect()
+            }
+        except Exception:
+            return set()
+
+    schema = "part string, key int, val string"
+    # seed both with the same first batch (upsert creates the table)
+    first = spark.createDataFrame(mkrows(8), schema)
+    for k in fmts:
+        fmts[k].upsert_keys(first, paths[k], ["part", "key"], ["part"])
+
+    for step in range(12):
+        op = rng.choice(["append", "delete", "upsert", "upsert_purge"])
+        rows = mkrows(rng.randrange(1, 6))
+        threshold = rng.randrange(40)
+        for k in fmts:
+            if op == "append":
+                fmts[k].append(
+                    spark.createDataFrame(rows, schema), paths[k], ["part"]
+                )
+            elif op == "delete":
+                fmts[k].delete_where(spark, paths[k], F.col("key") < threshold)
+            elif op == "upsert":
+                fmts[k].upsert_keys(
+                    spark.createDataFrame(rows, schema),
+                    paths[k],
+                    ["part", "key"],
+                    ["part"],
+                )
+            else:  # purge: touched keys with no recomputed rows
+                keys = spark.createDataFrame(
+                    [(p, key) for p, key, _ in rows], "part string, key int"
+                )
+                fmts[k].upsert_keys(
+                    spark.createDataFrame([], schema),
+                    paths[k],
+                    ["part", "key"],
+                    ["part"],
+                    keys=keys,
+                )
+        assert table("pq") == table("mf"), f"diverged at step {step} after {op}"
