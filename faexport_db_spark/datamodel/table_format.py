@@ -131,6 +131,12 @@ class ParquetFormat(TableFormat):
         from pyspark.errors import AnalysisException
 
         spark = recomputed.sparkSession
+        # Pin recomputed ONCE: _touched_parts collects over it and the
+        # out-union evaluates it again — without this an expensive
+        # incremental-merge plan executes twice per upsert (review
+        # finding), and under manifest version races up to once per
+        # retry.
+        recomputed = recomputed.localCheckpoint(eager=True)
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
         touched_parts = _touched_parts(touched_keys, recomputed, partition_cols)
         try:
@@ -324,6 +330,13 @@ class ManifestParquetFormat(TableFormat):
                         if raw == "__HIVE_DEFAULT_PARTITION__"
                         else _unescape_path_name(spark, raw)
                     )
+            if partition_cols and not partition:
+                # a partitionBy write puts every DATA file under c=v
+                # dirs; a root-level file is the zero-row placeholder
+                # Spark emits for an empty frame — recording it would
+                # give the entry a ()-layout that no touched set can
+                # ever match
+                continue
             entries.append({"base": base_rel, "file": rel, "partition": partition})
         return entries
 
@@ -391,9 +404,11 @@ class ManifestParquetFormat(TableFormat):
         # verbatim, so a version race is safely retryable by re-reading
         # the latest entry list
         for _ in range(5):
-            version, entries, prev_schema = self._latest(fs, path)
+            version, entries, _prev_schema = self._latest(fs, path)
             try:
-                self._commit(fs, path, version + 1, entries + new, prev_schema or schema)
+                # the freshly-written df's schema is the table's
+                # current shape (schema evolution: latest write wins)
+                self._commit(fs, path, version + 1, entries + new, schema)
                 return
             except ConcurrentCommitError:
                 continue
@@ -410,13 +425,16 @@ class ManifestParquetFormat(TableFormat):
             version, entries, schema = self._latest(fs, path)
             if version == 0:
                 raise FileNotFoundError(f"no committed manifest at {path}")
+            if not entries:
+                return  # committed-empty table: nothing to delete, and
+                # rewriting it would lose the partition layout
             part_cols = sorted({c for e in entries for c in e["partition"]})
             survivors = self._read_entries(spark, path, entries, schema).filter(
                 ~predicate.eqNullSafe(True)
             )
             new = self._write_commit(survivors, path, part_cols or None)
             try:
-                self._commit(fs, path, version + 1, new, schema)
+                self._commit(fs, path, version + 1, new, survivors.schema.json())
                 return
             except ConcurrentCommitError:
                 continue
@@ -433,12 +451,12 @@ class ManifestParquetFormat(TableFormat):
         schema = df.schema.json()
         replaced = {_partition_key(e["partition"]) for e in new}
         for _ in range(5):
-            version, entries, prev_schema = self._latest(fs, path)
+            version, entries, _prev_schema = self._latest(fs, path)
             kept = [
                 e for e in entries if _partition_key(e["partition"]) not in replaced
             ]
             try:
-                self._commit(fs, path, version + 1, kept + new, prev_schema or schema)
+                self._commit(fs, path, version + 1, kept + new, schema)
                 return
             except ConcurrentCommitError:
                 continue
@@ -454,6 +472,7 @@ class ManifestParquetFormat(TableFormat):
     ) -> None:
         spark = recomputed.sparkSession
         fs = self._fs(spark, path)
+        recomputed = recomputed.localCheckpoint(eager=True)  # see ParquetFormat note
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
         touched_parts = _touched_parts(touched_keys, recomputed, partition_cols)
         touched_set = {
@@ -466,8 +485,23 @@ class ManifestParquetFormat(TableFormat):
         # merge computed against a superseded version (that would
         # silently drop the concurrent writer's rows). Stale attempts'
         # files become vacuum-able orphans.
+        want_layout = tuple(sorted(partition_cols))
         for _ in range(5):
             version, entries, schema = self._latest(fs, path)
+            bad = {
+                tuple(sorted(e["partition"])) for e in entries
+            } - {want_layout}
+            if bad:
+                # An entry partitioned differently (e.g. an
+                # unpartitioned append) can NEVER match the touched
+                # set, so its stale rows would silently survive next
+                # to their replacements (review finding) — refuse.
+                raise ValueError(
+                    f"upsert_keys({partition_cols}) on {path}: manifest holds "
+                    f"entries with partition layouts {sorted(bad)}; compact to "
+                    f"one layout first (delete_where(lit(False)) after "
+                    f"re-appending with partition_cols={partition_cols})"
+                )
             if version == 0 or not entries:
                 out = recomputed
             else:
@@ -487,9 +521,7 @@ class ManifestParquetFormat(TableFormat):
                 if _partition_key(e["partition"]) not in touched_set
             ]
             try:
-                self._commit(
-                    fs, path, version + 1, kept + new, schema or out.schema.json()
-                )
+                self._commit(fs, path, version + 1, kept + new, out.schema.json())
                 return
             except ConcurrentCommitError:
                 continue
@@ -519,10 +551,18 @@ class ManifestParquetFormat(TableFormat):
             if f"data/{rel}" not in live and mtime_ms < cutoff_ms:
                 fs.delete(f"{path.rstrip('/')}/data/{rel}")
                 deleted.append(f"data/{rel}")
-        for name in fs.list_names(f"{path.rstrip('/')}/{self.MANIFEST_DIR}"):
+        mdir = f"{path.rstrip('/')}/{self.MANIFEST_DIR}"
+        for name in fs.list_names(mdir):
             m = re.fullmatch(r"v(\d+)\.json", name)
             if m and int(m.group(1)) < version:
-                fs.delete(f"{path.rstrip('/')}/{self.MANIFEST_DIR}/{name}")
+                fs.delete(f"{mdir}/{name}")
+            elif ".json.tmp-" in name:
+                # crash-orphaned commit tmp (writer died between
+                # write_text and rename): reclaim once it is safely
+                # older than any in-flight committer
+                st = fs.fs.getFileStatus(fs.jpath(f"{mdir}/{name}"))
+                if st.getModificationTime() < cutoff_ms:
+                    fs.delete(f"{mdir}/{name}")
         return deleted
 
 

@@ -38,17 +38,7 @@ class HadoopFs:
 
     def list_parquet(self, base: str) -> list[tuple[str, int]]:
         """Recursive (relative_path, size) listing of *.parquet files."""
-        base_q = self.fs.makeQualified(self.jpath(base)).toString().rstrip("/")
-        out: list[tuple[str, int]] = []
-        if not self.fs.exists(self.jpath(base)):
-            return out
-        it = self.fs.listFiles(self.jpath(base), True)
-        while it.hasNext():
-            status = it.next()
-            full = status.getPath().toString()
-            if full.endswith(".parquet"):
-                out.append((full[len(base_q) + 1 :], status.getLen()))
-        return sorted(out)
+        return [(rel, size) for rel, size, _ in self.list_parquet_status(base)]
 
     def list_parquet_status(self, base: str) -> list[tuple[str, int, int]]:
         """Recursive (relative_path, size, mtime_ms) listing of

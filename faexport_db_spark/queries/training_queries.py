@@ -1059,7 +1059,13 @@ def t_passage_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     copies = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     novel = docs.select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat_ws(" ", F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_0')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_1')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_2')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_3')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_4')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_5')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_6')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_7')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_8')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_9')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_10')), F.concat(F.lit('nv'), F.col('doc_id').cast('string'), F.lit('_11'))).alias("text"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("nv"), F.col("doc_id").cast("string"), F.lit(f"_{k}"))
+                for k in range(12)
+            ],
+        ).alias("text"),
     )
     return passage_dedup_against_index(
         copies.unionByName(novel), path, tile_tokens=10, append=False

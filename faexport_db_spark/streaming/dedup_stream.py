@@ -80,9 +80,12 @@ def _batch_marker(
         # Markers only matter for RECENT batches (a re-delivery is
         # always near the checkpoint's tail), so prune the long tail —
         # without this, one empty file per batch accumulates forever.
-        for name in fs.list_names(ns_dir):
-            if name.isdigit() and int(name) < batch_id - 200:
-                fs.delete(f"{ns_dir}/{name}")
+        # Prune every ~50 batches, not every batch: the directory LIST
+        # is an RPC worth amortizing on object stores.
+        if batch_id % 50 == 0:
+            for name in fs.list_names(ns_dir):
+                if name.isdigit() and int(name) < batch_id - 200:
+                    fs.delete(f"{ns_dir}/{name}")
 
     return fs.exists(marker), mark
 
@@ -103,7 +106,13 @@ def _stream_id(spark: SparkSession, checkpoint: str) -> str:
     fs = HadoopFs(spark, checkpoint)
     token_path = f"{checkpoint.rstrip('/')}/_dedup_stream_token"
     if fs.exists(token_path):
-        return fs.read_text(token_path).strip()
+        token = fs.read_text(token_path).strip()
+        # An empty/truncated token (crash mid-create) must re-mint —
+        # falling through to the shared 'direct' namespace could skip
+        # batches whose ids collide with another degraded stream's
+        # markers (review finding).
+        if token:
+            return token
     token = uuid.uuid4().hex[:12]
     fs.mkdirs(checkpoint.rstrip("/"))
     fs.write_text(token_path, token)

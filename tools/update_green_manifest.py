@@ -23,9 +23,11 @@ sys.path.insert(0, ROOT)
 
 def collect_green() -> dict[str, str]:
     """key -> first round file that recorded it clean. The acceptance
-    criteria are ``queries.is_green_row`` — the SAME definition the
-    runtime merge uses, so the manifest can't drift from it."""
-    from faexport_db_spark.queries import is_green_row
+    criteria are ``queries.greenrows.is_green_row`` — the SAME
+    definition the runtime merge uses, so the manifest can't drift
+    from it (imported from the dependency-free module so this tool
+    works even while the registry itself is broken)."""
+    from faexport_db_spark.queries.greenrows import is_green_row
 
     green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
