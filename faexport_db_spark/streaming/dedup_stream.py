@@ -349,3 +349,82 @@ def start_streaming_embed_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def passage_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    tile_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+) -> DataFrame | None:
+    """Passage-level analog of ``dedup_batch_against_store``: the
+    batch's duplicated passages (vs the indexed corpus AND earlier
+    tiles in the same batch) are CUT — documents are cleaned, not
+    dropped — and the cleaned non-empty docs are appended to the
+    store while ``passage_dedup_against_index`` appends the surviving
+    tile digests, so batch N+1 dedups against batch N's passages.
+    Same commit-marker protocol as the other streams; crash windows
+    converge the same way (a retried batch's surviving tiles are
+    already indexed, so its docs re-clean identically)."""
+    from faexport_db_spark.training.text import (
+        build_passage_index,
+        passage_dedup_against_index,
+    )
+
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
+    batch = batch.select(id_col, text_col)
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    if not HadoopFs(spark, index_path).exists(
+        f"{index_path.rstrip('/')}/_index_meta.json"
+    ):
+        # first batch bootstraps an empty index (sidecar + zero tiles)
+        build_passage_index(
+            batch.filter(F.lit(False)), index_path, tile_tokens, text_col, id_col
+        )
+    cleaned = passage_dedup_against_index(
+        batch, index_path, tile_tokens, text_col, id_col, append=True
+    )
+    survivors = (
+        cleaned.filter(F.length("clean_text") > 0)
+        .select(F.col(id_col), F.col("clean_text").alias(text_col))
+        .localCheckpoint(eager=True)
+    )
+    survivors.write.mode("append").parquet(store_path)
+    mark()
+    return survivors
+
+
+def start_streaming_passage_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``passage_dedup_batch_against_store`` into a streaming
+    query via foreachBatch. ``source`` is any streaming DataFrame with
+    (doc_id, text) columns."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        passage_dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -434,3 +434,41 @@ def test_batch_commit_marker_skips_redelivered_batch(spark, tmp_path):
     out3 = dedup_batch_against_store(batch2, store, index, batch_id=8)
     assert out3 is not None and out3.count() == 1
     assert spark.read.parquet(store).count() == n_store + 1
+
+
+def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path):
+    """Passage-level streaming dedup: batch 2's passages that repeat
+    batch 1's are cut via the growing tile index; cleaned docs land in
+    the store; fully-duplicated docs never do."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        start_streaming_passage_dedup,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    shared = "s1 s2 s3 s4 s5"
+    batches = [
+        [(1, f"{shared} a1 a2 a3 a4 a5"), (2, "b1 b2 b3 b4 b5")],
+        # 10 repeats batch 1's shared tile + adds novel; 11 is ENTIRELY
+        # made of already-seen tiles → cleaned to empty, never stored
+        [(10, f"{shared} c1 c2 c3 c4 c5"), (11, f"{shared} b1 b2 b3 b4 b5")],
+    ]
+    schema = "doc_id bigint, text string"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_passage_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True}, tile_tokens=5,
+        )
+        q.awaitTermination(120)
+
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(store).collect()}
+    assert set(rows) == {1, 2, 10}
+    assert rows[1].startswith(shared)       # first occurrence kept whole
+    assert rows[10] == "c1 c2 c3 c4 c5"     # repeat of batch 1's tile cut
+    # doc 11 was entirely duplicated passages → cleaned empty, not stored
