@@ -270,3 +270,15 @@ def test_ivfpq_codes_are_one_projection_no_self_join(spark, sf_small):
         require_join=("BroadcastHashJoin",),
         forbid_join=("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"),
     )
+
+
+def test_dedup_pipeline_shuffle_ceilings(spark, sf_small):
+    """Exchange-count regression ceilings for the rewritten dedup
+    pipelines (r04 shapes): SimHash = fan-out + signature-group agg +
+    chunk-bucket agg + verified-pair dedup (4); passage dedup =
+    per-hash agg (whose exchange the join back reuses) + per-doc
+    rebuild (2). A new exchange sneaking into these plans is a scale
+    regression even when results stay correct."""
+    assert shuffle_count(QUERIES["t_simhash_dedup"](spark, sf_small)) <= 4
+    assert shuffle_count(QUERIES["t_passage_dedup"](spark, sf_small)) <= 2
+    assert shuffle_count(QUERIES["t_minhash_lsh_dedup"](spark, sf_small)) <= 9
