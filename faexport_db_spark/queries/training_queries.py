@@ -1070,3 +1070,47 @@ def t_passage_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     return passage_dedup_against_index(
         copies.unionByName(novel), path, tile_tokens=10, append=False
     )
+
+
+@register(
+    "t_ann_ivfpq_persisted",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS copy_is_min
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def t_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFADC path end-to-end: build writes the corpus
+    as cid-partitioned PQ CODES (the billion-scale layout — a probe
+    partition-prunes the code table and reads no vector bytes), probe
+    reads it back through the partition filter. Same copy-is-min
+    invariant as the inline composition: the identical twin quantizes
+    to the query's own argmin centroids inside the query's own nearest
+    (probed) cell, so rank-1 adc_dist equals the copy's adc_dist."""
+    import tempfile
+
+    from faexport_db_spark.training.similarity import (
+        ivfpq_build,
+        ivfpq_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    path = tempfile.mkdtemp(prefix="faexport_spark_ivfpq_") + "/index"
+    ivfpq_build(corpus, path, n_centroids=8, m=8, codebook_k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top1 = ivfpq_topk_persisted(spark, path, queries, k=1, nprobe=2).select(
+        "query_id", F.col("adc_dist").alias("best")
+    )
+    copy1 = (
+        ivfpq_topk_persisted(spark, path, queries, k=10_000_000, nprobe=2)
+        .filter(F.col("neighbor_id") >= 1000000)
+        .groupBy("query_id")
+        .agg(F.min("adc_dist").alias("copy_d"))
+    )
+    return top1.join(copy1, "query_id").select(
+        "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
+    )

@@ -889,3 +889,89 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Persist the IVFADC layout: the corpus as PQ CODES (m small ints
+    per vector — no vector bytes) written once as ``cid``-partitioned
+    parquet, plus the coarse centroids and per-subspace codebooks as a
+    JSON sidecar. At 100 TB this is THE billion-scale ANN artifact: a
+    probe partition-prunes to ~nprobe/n_centroids of the code table
+    and ADC-scans bytes, never vectors. Returns (centroids,
+    codebooks) for callers that keep probing in-process."""
+    import json
+    import os
+
+    centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    codebooks = pq_train(
+        corpus, m, codebook_k, iters, id_col, vec_col, dim=len(centroids[0])
+    )
+    sub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _nearest_l2(F.slice(v, j * sub + 1, sub), codebooks[j])
+            for j in range(len(codebooks))
+        ]
+    )
+    coded = fan_out(corpus).select(
+        F.col(id_col).alias("nid"),
+        codes.alias("codes"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    coded.write.mode("overwrite").partitionBy("cid").parquet(path)
+    with open(os.path.join(path, "_ivfpq_model.json"), "w") as f:
+        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
+    return centroids, codebooks
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVFADC index: route each query row to its
+    ``nprobe`` cells (pure expression over the sidecar centroids),
+    partition-prune the code table to those ``cid=`` directories, and
+    ADC-scan the codes with per-query lookup tables — identical
+    output contract to ``ivfpq_topk`` with the same models."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_model.json")) as f:
+        model = json.load(f)
+    centroids, codebooks = model["centroids"], model["codebooks"]
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col).select(
+        "query_id", "cid", _adc_tables(F.col("q_vec"), codebooks).alias("__adc")
+    )
+    probed_cids = [r["cid"] for r in q.select("cid").distinct().collect()]
+    coded = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
+    nm = len(codebooks)
+    scored = (
+        coded.join(F.broadcast(q), "cid")
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_adc_dist(F.col("__adc"), F.col("codes"), nm), 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

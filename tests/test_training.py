@@ -577,3 +577,30 @@ def test_passage_incremental_batches_dedup_against_each_other(spark, tmp_path):
     # sidecar guards the tiling width
     with pytest.raises(ValueError):
         check_index_meta(spark, path, "passage_tiles", {"tile_tokens": 7})
+
+
+def test_ivfpq_persisted_matches_inline_and_prunes(spark, sf_small, tmp_path):
+    """The persisted IVFADC layout must return exactly what the inline
+    composition returns for the same models, and probing must prune
+    the code-table scan to the probed cid= directories."""
+    from faexport_db_spark.training.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq")
+    cents, books = ivfpq_build(emb, path, n_centroids=8, m=8, codebook_k=8, iters=2)
+
+    persisted = ivfpq_topk_persisted(spark, path, queries, k=3, nprobe=2)
+    inline = ivfpq_topk(
+        emb, queries, k=3, nprobe=2, centroids=cents, codebooks=books
+    )
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # partition pruning: only the probed cid= directories are read
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
