@@ -55,7 +55,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
              arg_max(event_type, ts) AS latest_event_type,
              arg_max(value, ts) FILTER (WHERE event_type = 'purchase') AS last_purchase_value,
              arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT), ts) AS latest_k,
-             round(sum(value), 2) AS total_value
+             round(CAST(sum(value) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY user_id
     ) m LEFT JOIN customer c ON m.user_id = c.c_custkey
     """,

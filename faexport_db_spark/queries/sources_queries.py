@@ -182,7 +182,7 @@ def s8_preresolved_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k1_bulk_append_sink",
     oracle="""
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_quantity), 2) AS total_qty
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -21,7 +21,7 @@ from faexport_db_spark.streaming.events_stream import windowed_event_counts
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -47,13 +47,14 @@ def st_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts, value,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
       FROM marked
     )
     SELECT user_id, min(ts) AS session_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
     FROM numbered GROUP BY user_id, session_no
     """,
 )

@@ -627,8 +627,9 @@ def t_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
                - n_tokens AS strt
       FROM sized
     )
@@ -657,8 +658,9 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
                - n_tokens AS strt
       FROM sized
     )
@@ -1007,7 +1009,8 @@ def t_ann_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(string_agg(CASE WHEN cnt = 1 OR rn = 1 THEN tile_txt END,
                                ' ' ORDER BY tile_idx), '') AS clean_text,
            count(*) AS n_tiles,
-           sum(CASE WHEN cnt = 1 OR rn = 1 THEN 0 ELSE 1 END) AS n_tiles_removed
+           CAST(sum(CASE WHEN cnt = 1 OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_tiles_removed
     FROM w GROUP BY doc_id
     """,
 )

@@ -7,6 +7,7 @@ order-insensitively (BASELINE.md t2).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 
 import pandas as pd
@@ -50,6 +51,58 @@ def _canon(value):
     return str(value)
 
 
+def column_kind(series: pd.Series) -> str:
+    """Coarse dtype *kind* of a pandas column, for the strict-type leg
+    of the differential. The driver's value hash distinguishes int64
+    from float64 (``1`` vs ``1.0``) even though :func:`_canon` renders
+    both as ``1`` — so a kind mismatch here is exactly the class of bug
+    (r04's ``t_passage_dedup`` uncast ``sum()``) that was locally green
+    but driver-red. Buckets: int / float / bool / datetime / str /
+    binary / object, with ``empty`` as a wildcard for all-null or
+    zero-row columns."""
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    if k != "O":
+        return k
+    non_null = series[series.notna()]
+    if len(non_null) == 0:
+        return "empty"
+    v = non_null.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, _decimal.Decimal):
+        return "float"
+    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+        return "datetime"
+    if isinstance(v, (bytes, bytearray)):
+        return "binary"
+    if isinstance(v, str):
+        return "str"
+    return "object"
+
+
+def assert_same_kinds(mine: pd.DataFrame, oracle: pd.DataFrame, name: str) -> None:
+    """Fail if any shared column has a different dtype kind on the
+    Spark vs the DuckDB side (``empty`` matches anything)."""
+    bad = []
+    for col in sorted(set(mine.columns) & set(oracle.columns)):
+        a, b = column_kind(mine[col]), column_kind(oracle[col])
+        if a != b and "empty" not in (a, b):
+            bad.append(f"{col}: spark={a} oracle={b}")
+    assert not bad, f"{name}: column dtype-kind mismatch — " + "; ".join(bad)
+
+
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = [tuple(_canon(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
@@ -63,6 +116,7 @@ def assert_oracle_match(spark_df, sql: str, sf_dir: str, name: str = "query") ->
         f"{name}: column mismatch spark={sorted(mine.columns)} oracle={sorted(oracle.columns)}"
     )
     assert len(mine) == len(oracle), f"{name}: row count {len(mine)} != oracle {len(oracle)}"
+    assert_same_kinds(mine, oracle, name)
     mine_rows = canonical_rows(mine)
     oracle_rows = canonical_rows(oracle)
     if mine_rows != oracle_rows:

@@ -20,3 +20,21 @@ def test_query(spark, sf_small, name):
         assert df.schema is not None
     else:
         assert_oracle_match(df, oracle, sf_small, name=name)
+
+
+def test_oracle_lint_no_uncast_sum_avg():
+    """Registry lint (VERDICT r04 #2): DuckDB's sum(INTEGER) returns
+    HUGEINT which pandas renders as float64, silently diverging from
+    Spark's bigint in the driver's value hash. Require every oracle
+    sum()/avg() to sit directly inside a CAST so the result dtype is
+    pinned on the DuckDB side too."""
+    import re
+
+    pat = re.compile(r"\b(sum|avg)\s*\(", re.I)
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        for m in pat.finditer(sql):
+            prefix = sql[: m.start()].rstrip().lower()
+            if not prefix.endswith("cast("):
+                offenders.append(f"{name}: ...{sql[max(0, m.start() - 30): m.end()]!r}")
+    assert not offenders, "uncast sum/avg in oracles:\n" + "\n".join(offenders)
