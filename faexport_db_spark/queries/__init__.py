@@ -54,10 +54,15 @@ _SENTINELS = ["merged_entity", "m5_extra_data_merge", "m7_clash_fold_checked"]
 # they re-enter the window right after the sentinels (VERDICT r03
 # item 6). Clear this list when a round ships no rewrites.
 _REWRITTEN = [
-    # r04: token-hash shingles + signature-group-collapse SimHash
-    "t_simhash_checked",
-    "t_minhash_lsh_checked",
-    "t_minhash_incremental_checked",
+    # r05: oracle SQL re-typed (CAST around sum()/avg(), dtype-strict
+    # differential) — the implementation is unchanged but the archived
+    # green rows were earned against the OLD oracle text, so re-prove
+    # under the new one. merged_entity / m5 are sentinels already.
+    "k1_bulk_append_sink",
+    "st_event_window_counts",
+    "st_session_windows",
+    "t_sequence_pack",
+    "t_pack_manifest",
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory
@@ -134,8 +139,10 @@ _PRIORITY = [
 from faexport_db_spark.queries.greenrows import is_green_row  # noqa: F401,E402
 
 
-def _driver_green_keys() -> set[str]:
-    """Keys with an archived clean driver row.
+def _driver_green_keys() -> dict[str, int]:
+    """Keys with an archived clean driver row, mapped to the LAST
+    round number that recorded one (r05: the window re-checks greens
+    oldest-first for regression detection, VERDICT r04 item 8).
 
     Primary source is the COMMITTED manifest
     (``queries/driver_green.json``, regenerated by
@@ -153,15 +160,21 @@ def _driver_green_keys() -> set[str]:
     import json
     import logging
     import os
+    import re
 
-    green: set[str] = set()
+    def _rnum(v) -> int:
+        m = re.search(r"_r(\d+)", str(v))
+        return int(m.group(1)) if m else 0
+
+    green: dict[str, int] = {}
     explicit = os.environ.get("SPARK_GRAFT_GREEN_MANIFEST")
     manifest = explicit or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "driver_green.json"
     )
     try:
         with open(manifest) as f:
-            green |= set(json.load(f).get("green", {}))
+            for key, src in json.load(f).get("green", {}).items():
+                green[key] = max(green.get(key, 0), _rnum(src))
     except (OSError, ValueError) as exc:
         if explicit:
             raise RuntimeError(
@@ -183,9 +196,10 @@ def _driver_green_keys() -> set[str]:
             continue
         if not isinstance(doc, dict):
             continue
+        rnd = _rnum(os.path.basename(path))
         for key, row in doc.items():
             if is_green_row(row):
-                green.add(key)
+                green[key] = max(green.get(key, 0), rnd)
     return green
 
 
@@ -215,9 +229,12 @@ def _reorder() -> None:
         if k in _REWRITTEN:
             return (1, _REWRITTEN.index(k), 0)
         # never-green first, ordered by curated priority then
-        # registration order; green ops sort last (they already have
-        # an archived driver row).
-        return (2 if k not in green else 3, pri.get(k, len(pri)), reg[k])
+        # registration order; green ops sort last, OLDEST last-green
+        # round first so the steady-state rotation is regression
+        # detection (VERDICT r04 item 8).
+        if k not in green:
+            return (2, 0, pri.get(k, len(pri)), reg[k])
+        return (3, green[k], pri.get(k, len(pri)), reg[k])
 
     ordered = sorted(QUERIES, key=rank)
     for d in (QUERIES, ORACLES):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -22,11 +23,13 @@ sys.path.insert(0, ROOT)
 
 
 def collect_green() -> dict[str, str]:
-    """key -> first round file that recorded it clean. The acceptance
-    criteria are ``queries.greenrows.is_green_row`` — the SAME
-    definition the runtime merge uses, so the manifest can't drift
-    from it (imported from the dependency-free module so this tool
-    works even while the registry itself is broken)."""
+    """key -> LAST round file that recorded it clean (r05: was first;
+    the window now re-checks greens oldest-first, which needs recency,
+    not discovery order). The acceptance criteria are
+    ``queries.greenrows.is_green_row`` — the SAME definition the
+    runtime merge uses, so the manifest can't drift from it (imported
+    from the dependency-free module so this tool works even while the
+    registry itself is broken)."""
     from faexport_db_spark.queries.greenrows import is_green_row
 
     green: dict[str, str] = {}
@@ -37,7 +40,7 @@ def collect_green() -> dict[str, str]:
             continue
         for key, row in doc.items():
             if is_green_row(row):
-                green.setdefault(key, os.path.basename(path))
+                green[key] = os.path.basename(path)
     return green
 
 
@@ -47,7 +50,16 @@ def main() -> None:
     if os.path.exists(MANIFEST):
         with open(MANIFEST) as f:
             prev = json.load(f).get("green", {})
-    merged = {**prev, **{k: v for k, v in green.items() if k not in prev}}
+    def rnum(v):
+        m = re.search(r"_r(\d+)", str(v))
+        return int(m.group(1)) if m else -1
+
+    # Per key keep whichever side names the NEWER round; a key only in
+    # prev survives (the loose CORRECTNESS file may have been cleaned).
+    merged = dict(prev)
+    for k, v in green.items():
+        if k not in merged or rnum(v) > rnum(merged[k]):
+            merged[k] = v
     with open(MANIFEST, "w") as f:
         json.dump({"green": dict(sorted(merged.items()))}, f, indent=1, sort_keys=True)
         f.write("\n")
