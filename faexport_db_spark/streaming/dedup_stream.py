@@ -46,11 +46,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
+from faexport_db_spark.datamodel.table_format import ParquetFormat, TableFormat
 from faexport_db_spark.training.dedup import (
     minhash_band_rows,
     minhash_dedup_pairs,
     minhash_dedup_against_index,
 )
+
+
+def _read_store_or_none(fmt: TableFormat, spark: SparkSession, store_path: str):
+    """The store before the first committed batch reads as ``None``.
+    Only the no-committed-data conditions qualify: a missing path, a
+    directory a crashed first write left with zero parquet footers
+    (``UNABLE_TO_INFER_SCHEMA``), or — manifest strategies — no
+    committed manifest (``FileNotFoundError``). Any other failure
+    propagates so the micro-batch retries; a swallowed transient error
+    here would let duplicates through silently."""
+    try:
+        return fmt.read(spark, store_path)
+    except FileNotFoundError:
+        return None
+    except AnalysisException as exc:
+        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return None
 
 
 def _batch_marker(
@@ -131,6 +150,7 @@ def dedup_batch_against_store(
     threshold: float = 0.6,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    fmt: TableFormat | None = None,
 ) -> DataFrame | None:
     """One micro-batch step: return the batch rows that are NOT
     near-duplicates of the indexed corpus or of an earlier row in the
@@ -141,7 +161,13 @@ def dedup_batch_against_store(
     self-deduped only. With a ``batch_id``, a batch whose commit
     marker already exists returns ``None`` untouched (re-delivered
     after a full commit — appending again would duplicate rows).
-    """
+
+    ``fmt`` is the store's :class:`TableFormat` strategy (default
+    plain parquet) — store reads and survivor appends go through it so
+    manifest-format stores stay transactional; the band index is an
+    engine-internal artifact with a fixed parquet layout and stays
+    raw."""
+    fmt = fmt or ParquetFormat()
     from faexport_db_spark.training.indexmeta import ensure_index_meta
 
     spark = batch.sparkSession
@@ -168,23 +194,13 @@ def dedup_batch_against_store(
     ).localCheckpoint(eager=True)
 
     dup_ids = None
-    try:
-        corpus = spark.read.parquet(store_path)
+    corpus = _read_store_or_none(fmt, spark, store_path)
+    if corpus is not None:
         cross = minhash_dedup_against_index(
             batch, corpus, index_path, text_col, id_col,
             num_perm, bands, shingle_n, threshold, banded=banded,
         )
         dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
-    except AnalysisException as exc:
-        # ONLY the no-committed-data cases mean "first batch": a
-        # missing path, or a directory a crashed first write left with
-        # zero parquet footers (UNABLE_TO_INFER_SCHEMA) — without the
-        # latter, a batch-1 crash would wedge the stream in a permanent
-        # retry loop. Any other read failure must propagate so the
-        # micro-batch retries (a swallowed transient error here would
-        # let duplicates through silently).
-        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
     self_pairs = minhash_dedup_pairs(
         batch, text_col, id_col, num_perm, bands, shingle_n, threshold,
         banded=banded,
@@ -196,7 +212,7 @@ def dedup_batch_against_store(
     # Materialize ONCE before the two appends (probe + anti-join would
     # otherwise recompute per sink write).
     survivors = survivors.localCheckpoint(eager=True)
-    survivors.write.mode("append").parquet(store_path)
+    fmt.append(survivors, store_path)
     (
         banded.join(F.broadcast(survivors.select(id_col)), id_col, "left_semi")
         .write.mode("append")
@@ -249,6 +265,7 @@ def embed_dedup_batch_against_store(
     threshold: float = 0.95,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    fmt: TableFormat | None = None,
 ) -> DataFrame | None:
     """Embedding analog of ``dedup_batch_against_store``: one
     micro-batch of vectors is coded ONCE (Arrow matmul, map-side),
@@ -259,7 +276,8 @@ def embed_dedup_batch_against_store(
     batch also writes the index parameter sidecar so every later probe
     validates against it. ``batch_id`` enables the per-batch commit
     marker (module docstring): an already-committed batch returns
-    ``None`` without appending."""
+    ``None`` without appending. ``fmt`` is the store's strategy, as in
+    ``dedup_batch_against_store``; the code index stays raw parquet."""
     from faexport_db_spark.training.indexmeta import ensure_index_meta
     from faexport_db_spark.training.similarity import (
         _code_rows,
@@ -267,6 +285,7 @@ def embed_dedup_batch_against_store(
         embed_dedup_against_index,
     )
 
+    fmt = fmt or ParquetFormat()
     spark = batch.sparkSession
     committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
     if committed:
@@ -286,19 +305,14 @@ def embed_dedup_batch_against_store(
     ).localCheckpoint(eager=True)
 
     dup_ids = None
-    try:
-        corpus = spark.read.parquet(store_path)
+    corpus = _read_store_or_none(fmt, spark, store_path)
+    if corpus is not None:
         cross = embed_dedup_against_index(
             batch, corpus, index_path, threshold, id_col, vec_col,
             nbits, n_tables, dim, seed,
             probes=coded.withColumnRenamed("vid", "new_id"),
         )
         dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
-    except AnalysisException as exc:
-        # Same first-batch contract as the MinHash stream: only
-        # no-committed-data conditions mean "no corpus yet".
-        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
     self_pairs = cosine_near_dup_pairs_lsh(
         batch, threshold, id_col, vec_col, nbits, n_tables, dim, seed,
         entries=coded,
@@ -311,7 +325,7 @@ def embed_dedup_batch_against_store(
 
     survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
     survivors = survivors.localCheckpoint(eager=True)
-    survivors.write.mode("append").parquet(store_path)
+    fmt.append(survivors, store_path)
     (
         coded.join(F.broadcast(survivors.select(F.col(id_col).alias("vid"))), "vid", "left_semi")
         .write.mode("append")
@@ -360,21 +374,37 @@ def passage_dedup_batch_against_store(
     id_col: str = "doc_id",
     batch_id: int | None = None,
     stream_id: str | None = None,
+    fmt: TableFormat | None = None,
 ) -> DataFrame | None:
     """Passage-level analog of ``dedup_batch_against_store``: the
     batch's duplicated passages (vs the indexed corpus AND earlier
     tiles in the same batch) are CUT — documents are cleaned, not
     dropped — and the cleaned non-empty docs are appended to the
-    store while ``passage_dedup_against_index`` appends the surviving
-    tile digests, so batch N+1 dedups against batch N's passages.
-    Same commit-marker protocol as the other streams; crash windows
-    converge the same way (a retried batch's surviving tiles are
-    already indexed, so its docs re-clean identically)."""
+    store, THEN their surviving tile digests to the index, so batch
+    N+1 dedups against batch N's passages. Same commit-marker protocol
+    as the other streams.
+
+    Append ordering is store-FIRST, mirroring the MinHash/embed
+    variants (ADVICE r04 high): the tile index carries digests only —
+    no doc ids, so no ``vid != new_id`` self-exclusion — and a retry
+    after a digest-first crash would find the batch's own tiles
+    indexed, re-clean every doc to empty, drop them all on the
+    length>0 filter, and mark the batch committed with its text
+    silently lost. Store-first converges instead: a retry after the
+    store append re-cleans identically (index unchanged), re-appends
+    exact duplicates the maintenance dedup collapses, then completes
+    the digest append; a retry after BOTH appends re-cleans to empty
+    against the batch's own digests, appends nothing — the store
+    already holds the survivors — and just completes the marker.
+
+    ``fmt`` is the store's strategy; the digest index stays raw
+    parquet."""
     from faexport_db_spark.training.text import (
         build_passage_index,
-        passage_dedup_against_index,
+        passage_dedup_probe,
     )
 
+    fmt = fmt or ParquetFormat()
     spark = batch.sparkSession
     committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
     if committed:
@@ -389,15 +419,21 @@ def passage_dedup_batch_against_store(
         build_passage_index(
             batch.filter(F.lit(False)), index_path, tile_tokens, text_col, id_col
         )
-    cleaned = passage_dedup_against_index(
-        batch, index_path, tile_tokens, text_col, id_col, append=True
+    cleaned, kept_ths = passage_dedup_probe(
+        batch, index_path, tile_tokens, text_col, id_col
     )
+    # Pin BOTH outputs before any mutation: the digest append changes
+    # the index the probe reads, so an unpinned kept_ths recomputed
+    # after the store append would still be consistent, but one
+    # recomputed after its OWN append would not.
     survivors = (
         cleaned.filter(F.length("clean_text") > 0)
         .select(F.col(id_col), F.col("clean_text").alias(text_col))
         .localCheckpoint(eager=True)
     )
-    survivors.write.mode("append").parquet(store_path)
+    kept_ths = kept_ths.localCheckpoint(eager=True)
+    fmt.append(survivors, store_path)
+    kept_ths.write.mode("append").parquet(index_path)
     mark()
     return survivors
 

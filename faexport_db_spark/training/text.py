@@ -359,26 +359,20 @@ def build_passage_index(
     )
 
 
-def passage_dedup_against_index(
+def passage_dedup_probe(
     batch: DataFrame,
     index_path: str,
     tile_tokens: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
-    append: bool = True,
-) -> DataFrame:
-    """Incremental duplicated-passage removal: a NEW batch's tiles are
-    cut when their digest already exists in the persisted index (the
-    corpus always wins — it holds the first occurrence) or repeats an
-    earlier tile within the batch (lowest (id, tile_idx) keeps). Only
-    the batch is tiled; candidates come from ONE index scan against
-    the broadcast batch digest set (batch-sized, never corpus-sized),
-    exactly the arriving-batch economics of the incremental MinHash
-    path. With ``append``, surviving tile digests join the index so
-    batch N+1 dedups against batch N.
-
-    Output: (id, clean_text, n_tiles, n_tiles_removed) per batch doc.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Probe-only core of :func:`passage_dedup_against_index`:
+    ``(cleaned_docs, kept_digests)`` with NO index mutation, so
+    callers control the append ordering themselves — the streaming
+    path must write survivors to the store BEFORE indexing their
+    digests (a digest-first crash window would make the retry re-clean
+    every doc to empty against its own digests and silently drop the
+    batch's text; ADVICE r04 high)."""
     from faexport_db_spark.training.indexmeta import check_index_meta
 
     spark = batch.sparkSession
@@ -408,14 +402,34 @@ def passage_dedup_against_index(
             & (F.col("tile_idx") == F.col("__keeper.kidx")),
         )
     )
-    out = _rebuild_docs(flagged, id_col)
+    kept_ths = flagged.filter(F.col("__kept")).select("th").distinct()
+    return _rebuild_docs(flagged, id_col), kept_ths
+
+
+def passage_dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    tile_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = True,
+) -> DataFrame:
+    """Incremental duplicated-passage removal: a NEW batch's tiles are
+    cut when their digest already exists in the persisted index (the
+    corpus always wins — it holds the first occurrence) or repeats an
+    earlier tile within the batch (lowest (id, tile_idx) keeps). Only
+    the batch is tiled; candidates come from ONE index scan against
+    the broadcast batch digest set (batch-sized, never corpus-sized),
+    exactly the arriving-batch economics of the incremental MinHash
+    path. With ``append``, surviving tile digests join the index so
+    batch N+1 dedups against batch N.
+
+    Output: (id, clean_text, n_tiles, n_tiles_removed) per batch doc.
+    """
+    out, kept_ths = passage_dedup_probe(
+        batch, index_path, tile_tokens, text_col, id_col
+    )
     if append:
         out = out.localCheckpoint(eager=True)  # pin before the index mutates
-        (
-            flagged.filter(F.col("__kept"))
-            .select("th")
-            .distinct()
-            .write.mode("append")
-            .parquet(index_path)
-        )
+        kept_ths.write.mode("append").parquet(index_path)
     return out

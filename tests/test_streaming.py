@@ -10,6 +10,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from faexport_db_spark.datamodel.schemas import USER_SNAPSHOTS
+from faexport_db_spark.datamodel.table_format import (
+    ManifestParquetFormat,
+    ParquetFormat,
+)
 from faexport_db_spark.datamodel.testdata import load_table
 from faexport_db_spark.operators.merge import merged_users
 from faexport_db_spark.streaming import (
@@ -19,6 +23,11 @@ from faexport_db_spark.streaming import (
 )
 
 SCAN_T = "2024-03-01 12:00:00"
+
+# Dedup-stream store strategies: every dedup-stream case runs over
+# both, like the storage-equivalence tests — the store seam must hold
+# for transactional manifest stores too (VERDICT r04 item 5).
+STORE_FORMATS = {"parquet": ParquetFormat, "manifest": ManifestParquetFormat}
 
 
 def _payload(sub_id: int, title: str) -> str:
@@ -291,7 +300,10 @@ def test_failed_batch_redelivery_then_dedup_is_exactly_once(spark, tmp_path):
         assert got_rows == want_rows, f"{n}: crash+redeliver+cleanup != single delivery"
 
 
-def test_streaming_dedup_filters_within_and_across_batches(spark, sf_small, tmp_path):
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_dedup_filters_within_and_across_batches(
+    spark, sf_small, tmp_path, fmt_name
+):
     """foreachBatch dedup against the growing band index: batch 1 drops
     its internal near-dup; batch 2's near-dup of a batch-1 doc is
     caught by the INDEX probe (no corpus re-signing), while its fresh
@@ -303,6 +315,7 @@ def test_streaming_dedup_filters_within_and_across_batches(spark, sf_small, tmp_
     a, b, c = (r["text"] for r in rows)
     mut = lambda t: "zzz " + t.split(" ", 1)[1]  # noqa: E731 — first word swapped
 
+    fmt = STORE_FORMATS[fmt_name]()
     src = tmp_path / "incoming"
     store = str(tmp_path / "store")
     index = str(tmp_path / "index")
@@ -321,11 +334,11 @@ def test_streaming_dedup_filters_within_and_across_batches(spark, sf_small, tmp_
         stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
         q = start_streaming_dedup(
             spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
-            trigger={"availableNow": True},
+            trigger={"availableNow": True}, fmt=fmt,
         )
         q.awaitTermination(120)
 
-    kept = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    kept = sorted(r["doc_id"] for r in fmt.read(spark, store).collect())
     assert kept == [1, 2, 12]
     # the index holds band rows for exactly the surviving docs
     idx_ids = {r["doc_id"] for r in spark.read.parquet(index).select("doc_id").distinct().collect()}
@@ -349,8 +362,9 @@ def test_streaming_dedup_recovers_from_footerless_store(spark, sf_small, tmp_pat
     assert spark.read.parquet(str(store)).count() == 2
 
 
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
 def test_streaming_embed_dedup_filters_within_and_across_batches(
-    spark, sf_small, tmp_path
+    spark, sf_small, tmp_path, fmt_name
 ):
     """Embedding analog of the streaming dedup: batch 1 drops its
     internal scaled twin; batch 2's twin of a batch-1 vector is caught
@@ -366,6 +380,7 @@ def test_streaming_embed_dedup_filters_within_and_across_batches(
     va, vb, vc = (list(r["embedding"]) for r in rows)
     twin = lambda v: [x * 2.0 for x in v]  # noqa: E731 — cosine exactly 1
 
+    fmt = STORE_FORMATS[fmt_name]()
     src = tmp_path / "incoming"
     store = str(tmp_path / "store")
     index = str(tmp_path / "index")
@@ -384,11 +399,11 @@ def test_streaming_embed_dedup_filters_within_and_across_batches(
         stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
         q = start_streaming_embed_dedup(
             spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
-            trigger={"availableNow": True},
+            trigger={"availableNow": True}, fmt=fmt,
         )
         q.awaitTermination(120)
 
-    kept = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    kept = sorted(r["vec_id"] for r in fmt.read(spark, store).collect())
     assert kept == [1, 2, 12]
     idx_ids = {r["vid"] for r in spark.read.parquet(index).select("vid").distinct().collect()}
     assert idx_ids == {1, 2, 12}
@@ -436,7 +451,8 @@ def test_batch_commit_marker_skips_redelivered_batch(spark, tmp_path):
     assert spark.read.parquet(store).count() == n_store + 1
 
 
-def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path, fmt_name):
     """Passage-level streaming dedup: batch 2's passages that repeat
     batch 1's are cut via the growing tile index; cleaned docs land in
     the store; fully-duplicated docs never do."""
@@ -444,6 +460,7 @@ def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path):
         start_streaming_passage_dedup,
     )
 
+    fmt = STORE_FORMATS[fmt_name]()
     src = tmp_path / "src"
     store = str(tmp_path / "store")
     index = str(tmp_path / "index")
@@ -463,12 +480,67 @@ def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path):
         stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
         q = start_streaming_passage_dedup(
             spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
-            trigger={"availableNow": True}, tile_tokens=5,
+            trigger={"availableNow": True}, tile_tokens=5, fmt=fmt,
         )
         q.awaitTermination(120)
 
-    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(store).collect()}
+    rows = {r["doc_id"]: r["text"] for r in fmt.read(spark, store).collect()}
     assert set(rows) == {1, 2, 10}
     assert rows[1].startswith(shared)       # first occurrence kept whole
     assert rows[10] == "c1 c2 c3 c4 c5"     # repeat of batch 1's tile cut
     # doc 11 was entirely duplicated passages → cleaned empty, not stored
+
+
+def test_passage_dedup_retry_windows_never_lose_text(spark, tmp_path):
+    """ADVICE r04 (high): the passage stream must append survivors to
+    the STORE before their tile digests hit the index — the digest
+    index has no doc ids to self-exclude, so a digest-first crash
+    window would make the retry re-clean the whole batch to empty and
+    silently lose its text. Simulate both crash windows and assert the
+    store converges to exactly one surviving copy."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        passage_dedup_batch_against_store,
+    )
+    from faexport_db_spark.training.text import (
+        build_passage_index,
+        passage_dedup_probe,
+    )
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    schema = "doc_id bigint, text string"
+    batch = spark.createDataFrame(
+        [(1, "p1 p2 p3 p4 p5 q1 q2 q3 q4 q5")], schema
+    )
+
+    # --- window A: crash AFTER the store append, BEFORE the digest
+    # append (first attempt done manually up to the crash point).
+    build_passage_index(batch.filter(F.lit(False)), index, 5)
+    cleaned, _kept = passage_dedup_probe(batch, index, 5)
+    survived = cleaned.filter(F.length("clean_text") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    survived.write.mode("append").parquet(store)  # ...then "crash"
+
+    # Retry runs the full step: survivors recompute identically (index
+    # unchanged), the store re-append is an exact duplicate the
+    # maintenance dedup collapses, digests land, batch marks.
+    out = passage_dedup_batch_against_store(
+        batch, store, index, tile_tokens=5, batch_id=3, stream_id="w"
+    )
+    assert out.count() == 1
+    stored = spark.read.parquet(store)
+    assert stored.count() == 2  # exact-duplicate re-append, by contract
+    assert stored.distinct().count() == 1
+    assert stored.distinct().collect()[0]["text"].startswith("p1")
+
+    # --- window B: crash AFTER both appends, BEFORE the marker. The
+    # retry re-cleans against the batch's own digests -> everything
+    # empties -> nothing appended; the marker completes. The store must
+    # NOT lose the text that is already there (the old digest-first
+    # ordering lost it on window A instead).
+    out2 = passage_dedup_batch_against_store(
+        batch, store, index, tile_tokens=5, batch_id=3, stream_id="w2"
+    )
+    assert out2.count() == 0  # all tiles already indexed
+    assert spark.read.parquet(store).distinct().count() == 1
