@@ -63,6 +63,8 @@ _REWRITTEN = [
     "st_session_windows",
     "t_sequence_pack",
     "t_pack_manifest",
+    # r05: max_group star-edge cap on identical-signature clusters
+    "t_simhash_checked",
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory

@@ -382,6 +382,7 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    max_group: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -417,6 +418,22 @@ def simhash_dedup_pairs(
     broadcast joins against the dropped-bucket set, VERDICT r03's
     SimHash history): pairs whose first shared chunk was guard-dropped
     simply dedup through whichever surviving chunk emitted them.
+
+    ``max_group`` bounds identical-signature clusters the way
+    ``max_bucket`` bounds LSH buckets (ADVICE r04): the one dup-dense
+    scenario this rewrite targets — millions of copies of one
+    boilerplate doc — would otherwise emit C(n,2) intra pairs from a
+    single group row (10M copies ≈ 5e13 pairs). Groups of ≤ max_group
+    members keep the EXACT all-pairs emission; larger groups degrade
+    to star edges (group-min id → each other member, still hamming 0)
+    — linear in cluster size and equivalent for the downstream
+    connected-components clustering — expressed as the same
+    posexplode pair expansion restricted to the left index 0, so the
+    cap costs no extra branch, join, or exchange. Oversized groups
+    also contribute only their ``max_group`` lowest ids to cross-group
+    banding members (their root is always among them, so cross
+    connectivity survives transitively through the intra stars).
+    ``max_group=None`` disables the cap entirely.
     """
     sigs = simhash_signatures(docs, text_col, id_col)
     groups = sigs.groupBy("simhash").agg(
@@ -426,6 +443,12 @@ def simhash_dedup_pairs(
     lefts = groups.filter(F.size("ids") > 1).select(
         "ids", F.posexplode("ids").alias("i", "id_a")
     )
+    if max_group is not None:
+        # Over the cap, only the i=0 (group-min) row expands — its
+        # slice spans the whole tail, which IS the star-edge set.
+        lefts = lefts.filter(
+            (F.size("ids") <= max_group) | (F.col("i") == 0)
+        )
     intra = lefts.select(
         F.col("id_a"),
         F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
@@ -443,7 +466,12 @@ def simhash_dedup_pairs(
         F.col("ids"),
         F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val"),
     )
-    member = F.struct(F.col("simhash").alias("sig"), F.col("ids").alias("ids"))
+    capped_ids = (
+        F.col("ids")
+        if max_group is None
+        else F.slice("ids", 1, max_group)  # group-min id always survives
+    )
+    member = F.struct(F.col("simhash").alias("sig"), capped_ids.alias("ids"))
     cand = _bucket_pairs(banded, ["chunk_idx", "chunk_val"], member, max_bucket)
     hamming = F.bit_count(F.col("ma.sig").bitwiseXOR(F.col("mb.sig")))
     # Hamming-verify map-side BEFORE the dedup exchange and the id

@@ -604,3 +604,48 @@ def test_ivfpq_persisted_matches_inline_and_prunes(spark, sf_small, tmp_path):
     # partition pruning: only the probed cid= directories are read
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan, plan
+
+
+def test_simhash_max_group_caps_identical_signature_clusters(spark):
+    """ADVICE r04 (medium): an identical-doc mega-cluster must not
+    emit C(n,2) intra pairs. Above ``max_group`` the group degrades to
+    star edges (group-min id -> each member, hamming 0) — linear, and
+    equivalent for connected-components clustering; below the cap the
+    emission stays exact all-pairs."""
+    from faexport_db_spark.training.dedup import (
+        dedup_clusters,
+        simhash_dedup_pairs,
+    )
+
+    n = 8
+    text = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, n + 1)] + [(99, "zz1 zz2 zz3 zz4 zz5")],
+        "doc_id bigint, text string",
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(docs, max_group=None).collect()
+    }
+    assert {(a, b) for a, b, _ in exact} == {
+        (a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)
+    }
+
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(docs, max_group=5).collect()
+    }
+    # star edges only: 1 -> {2..8}, every edge hamming 0
+    assert capped == {(1, b, 0) for b in range(2, n + 1)}
+
+    # a cap comfortably above every group size changes nothing
+    assert exact == {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(docs, max_group=10**9).collect()
+    }
+
+    # the degraded edge set still collapses the cluster to one keeper
+    clusters = dedup_clusters(simhash_dedup_pairs(docs, max_group=5))
+    roots = {r[0]: r[1] for r in clusters.collect()}
+    assert len({roots[i] for i in range(1, n + 1)}) == 1
