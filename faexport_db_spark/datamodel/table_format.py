@@ -536,9 +536,14 @@ class ManifestParquetFormat(TableFormat):
         unreferenced AND older than ``grace_seconds``, so a concurrent
         committer's freshly-written files — not yet published when the
         live set was read — are never touched; newer manifests and
-        in-flight ``.tmp`` files are never deleted. Time-travel before
-        the latest version ends here — run only when no reader needs an
-        old version. Returns the deleted relative paths."""
+        in-flight ``.tmp`` files are never deleted. Superseded
+        manifests get the SAME mtime grace as the data files they
+        reference (ADVICE r04): a reader that listed versions just
+        before a concurrent commit+vacuum can still resolve its
+        snapshot, and time-travel retention degrades with the grace
+        window instead of all-or-nothing. Time-travel older than the
+        window ends here — run only when no reader needs those
+        versions. Returns the deleted relative paths."""
         import re
         import time
 
@@ -551,11 +556,23 @@ class ManifestParquetFormat(TableFormat):
             if f"data/{rel}" not in live and mtime_ms < cutoff_ms:
                 fs.delete(f"{path.rstrip('/')}/data/{rel}")
                 deleted.append(f"data/{rel}")
+        # Commit dirs this run just emptied hold only placeholders
+        # (_SUCCESS) now; on dir-ful filesystems they would otherwise
+        # accumulate forever with the same listing cost the file
+        # vacuum exists to bound. Only dirs with zero parquet LEFT are
+        # touched, so a concurrent committer's dir — which still has
+        # (or is about to get) its files — is never removed.
+        for base in {r.split("/")[1] for r in deleted}:
+            bpath = f"{path.rstrip('/')}/data/{base}"
+            if not fs.list_parquet(bpath):
+                fs.delete(bpath, recursive=True)
         mdir = f"{path.rstrip('/')}/{self.MANIFEST_DIR}"
         for name in fs.list_names(mdir):
             m = re.fullmatch(r"v(\d+)\.json", name)
             if m and int(m.group(1)) < version:
-                fs.delete(f"{mdir}/{name}")
+                st = fs.fs.getFileStatus(fs.jpath(f"{mdir}/{name}"))
+                if st.getModificationTime() < cutoff_ms:
+                    fs.delete(f"{mdir}/{name}")
             elif ".json.tmp-" in name:
                 # crash-orphaned commit tmp (writer died between
                 # write_text and rename): reclaim once it is safely

