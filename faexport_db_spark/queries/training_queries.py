@@ -981,6 +981,55 @@ def t_ann_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_ann_ivfpq_residual_checked",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS copy_is_min
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def t_ann_ivfpq_residual_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVFADC (Jégou et al. 2011 §III — codes
+    quantize v − centroid[cid], ADC tables come from each probed
+    query's own cell residual): same identical-copy invariant as
+    ``t_ann_ivfpq_checked``. The copy assigns to the query's cell
+    (identical vector → same argmax centroid → same residual → same
+    codes), so its ADC distance is the global minimum any corpus
+    vector can achieve — rank-1 adc_dist must equal the copy's for
+    every query. Pins residual codebook training, residual encoding,
+    and the per-cell residual ADC tables end-to-end."""
+    from faexport_db_spark.training.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_train_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    cents = ivf_centroids(corpus, n_centroids=8)
+    books = pq_train_residual(corpus, cents, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top1 = ivfpq_topk(
+        corpus, queries, k=1, nprobe=2, centroids=cents, codebooks=books,
+        residual=True,
+    ).select("query_id", F.col("adc_dist").alias("best"))
+    copy_best = ivfpq_topk(
+        corpus.filter(F.col("vec_id") >= 1000000),
+        queries,
+        k=1,
+        nprobe=2,
+        centroids=cents,
+        codebooks=books,
+        residual=True,
+    ).select("query_id", F.col("adc_dist").alias("copy_d"))
+    return top1.join(copy_best, "query_id").select(
+        "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
+    )
+
+
+@register(
     "t_passage_dedup",
     oracle=r"""
     WITH corpus AS (

@@ -815,6 +815,46 @@ def pq_topk_df(
     )
 
 
+def _residual_expr(
+    vec: Column, cid: Column, centroids: list[list[float]]
+) -> Column:
+    """``vec − centroids[cid]`` as a pure expression (the centroid
+    table is a bounded driver-side list, shipped as one literal)."""
+    cent = F.element_at(
+        F.lit(centroids).cast("array<array<double>>"), cid + 1
+    )
+    return F.zip_with(_as_double(vec), cent, lambda x, y: x - y)
+
+
+def pq_train_residual(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on CELL RESIDUALS (v − its coarse
+    centroid) — the standard IVFADC refinement (Jégou et al. 2011
+    §III): residuals concentrate around the origin with far less
+    variance than raw vectors, so the same m×k codebook budget spends
+    its centroids on the part of the vector the coarse quantizer
+    hasn't already explained. One codebook set POOLED across cells
+    (not per-cell) keeps the probe the same single ``cid`` equi-join."""
+    assigned = fan_out(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    residuals = assigned.select(
+        F.col(id_col),
+        _residual_expr(F.col(vec_col), F.col("cid"), centroids).alias(vec_col),
+    )
+    return pq_train(residuals, m, k, iters, id_col, vec_col,
+                    dim=len(centroids[0]))
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -828,6 +868,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed — the standard billion-scale ANN layout
     (IVFADC, Jégou/Douze/Schmid PAMI 2011): coarse centroids route
@@ -835,37 +876,60 @@ def ivfpq_topk(
     distances come from PQ codes via ADC lookups, so a probe reads
     ~nprobe/n_centroids of the CODE bytes and no vectors at all.
 
-    Codebooks are trained on the raw vectors (not cell residuals —
-    one shared codebook table keeps the probe a single equi-join;
-    residual encoding is a documented accuracy upgrade, not a
-    different plan shape). Queries travel as a DataFrame: cell
-    routing (``_probed_queries``'s argmax expression) and ADC tables
-    are pure per-row expressions, the probed-query panel broadcasts,
-    and candidates come from an equi-join on ``cid`` against the coded
-    corpus — with a ``cid=``-partitioned persisted code table this is
-    partition pruning, exactly like ``ivf_topk_persisted``.
+    With ``residual=False`` codebooks quantize the raw vectors; with
+    ``residual=True`` they quantize cell residuals (v − centroid[cid],
+    trained via ``pq_train_residual`` when not supplied) and each
+    probed query row computes its ADC tables from its own residual
+    against THAT cell — a pure per-row expression, so the plan shape
+    (broadcast probed-query panel, single ``cid`` equi-join, skinny
+    id/dist rows downstream) is IDENTICAL; only the expressions feeding
+    the lookup tables change. Caller-supplied ``codebooks`` must match
+    the flag (trained on residuals iff ``residual``).
+
+    Queries travel as a DataFrame: cell routing (``_probed_queries``'s
+    argmax expression) and ADC tables are pure per-row expressions,
+    the probed-query panel broadcasts, and candidates come from an
+    equi-join on ``cid`` against the coded corpus — with a
+    ``cid=``-partitioned persisted code table this is partition
+    pruning, exactly like ``ivf_topk_persisted``.
 
     Output: (query_id, neighbor_id, adc_dist, rank), ties by
     neighbor id."""
     if centroids is None:
         centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
     if codebooks is None:
-        codebooks = pq_train(corpus, m, codebook_k, iters, id_col, vec_col,
-                             dim=len(centroids[0]))
+        codebooks = (
+            pq_train_residual(corpus, centroids, m, codebook_k, iters,
+                              id_col, vec_col)
+            if residual
+            else pq_train(corpus, m, codebook_k, iters, id_col, vec_col,
+                          dim=len(centroids[0]))
+        )
     # Codes and cell id in ONE map-side projection — never a
     # corpus×corpus join (both are pure expressions over the vector).
     sub = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
-    codes = F.array(
-        *[_nearest_l2(F.slice(v, j * sub + 1, sub), codebooks[j]) for j in range(len(codebooks))]
-    )
-    coded = fan_out(corpus).select(
+    assigned = fan_out(corpus).select(
         F.col(id_col).alias("nid"),
-        codes.alias("codes"),
+        F.col(vec_col),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
     )
-    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col).select(
-        "query_id", "cid", _adc_tables(F.col("q_vec"), codebooks).alias("__adc")
+    enc = (
+        _residual_expr(F.col(vec_col), F.col("cid"), centroids)
+        if residual
+        else _as_double(F.col(vec_col))
+    )
+    codes = F.array(
+        *[_nearest_l2(F.slice(enc, j * sub + 1, sub), codebooks[j]) for j in range(len(codebooks))]
+    )
+    coded = assigned.select("nid", codes.alias("codes"), "cid")
+    probed = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    q_enc = (
+        _residual_expr(F.col("q_vec"), F.col("cid"), centroids)
+        if residual
+        else F.col("q_vec")
+    )
+    q = probed.select(
+        "query_id", "cid", _adc_tables(q_enc, codebooks).alias("__adc")
     )
     nm = len(codebooks)
     scored = (
@@ -897,39 +961,52 @@ def ivfpq_build(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Persist the IVFADC layout: the corpus as PQ CODES (m small ints
     per vector — no vector bytes) written once as ``cid``-partitioned
     parquet, plus the coarse centroids and per-subspace codebooks as a
     JSON sidecar. At 100 TB this is THE billion-scale ANN artifact: a
     probe partition-prunes to ~nprobe/n_centroids of the code table
-    and ADC-scans bytes, never vectors. Returns (centroids,
+    and ADC-scans bytes, never vectors. With ``residual`` the codes
+    quantize cell residuals (``pq_train_residual``) — the flag is
+    recorded in the sidecar so ``ivfpq_topk_persisted`` probes
+    correctly with no caller coordination. Returns (centroids,
     codebooks) for callers that keep probing in-process."""
     from faexport_db_spark.training.indexmeta import write_model_sidecar
 
     centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
-    codebooks = pq_train(
-        corpus, m, codebook_k, iters, id_col, vec_col, dim=len(centroids[0])
+    codebooks = (
+        pq_train_residual(corpus, centroids, m, codebook_k, iters, id_col, vec_col)
+        if residual
+        else pq_train(
+            corpus, m, codebook_k, iters, id_col, vec_col, dim=len(centroids[0])
+        )
     )
     sub = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
+    assigned = fan_out(corpus).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    enc = (
+        _residual_expr(F.col(vec_col), F.col("cid"), centroids)
+        if residual
+        else _as_double(F.col(vec_col))
+    )
     codes = F.array(
         *[
-            _nearest_l2(F.slice(v, j * sub + 1, sub), codebooks[j])
+            _nearest_l2(F.slice(enc, j * sub + 1, sub), codebooks[j])
             for j in range(len(codebooks))
         ]
     )
-    coded = fan_out(corpus).select(
-        F.col(id_col).alias("nid"),
-        codes.alias("codes"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
-    )
+    coded = assigned.select("nid", codes.alias("codes"), "cid")
     coded.write.mode("overwrite").partitionBy("cid").parquet(path)
     write_model_sidecar(
         corpus.sparkSession,
         path,
         "_ivfpq_model.json",
-        {"centroids": centroids, "codebooks": codebooks},
+        {"centroids": centroids, "codebooks": codebooks, "residual": residual},
     )
     return centroids, codebooks
 
@@ -952,8 +1029,15 @@ def ivfpq_topk_persisted(
 
     model = read_model_sidecar(spark, path, "_ivfpq_model.json")
     centroids, codebooks = model["centroids"], model["codebooks"]
+    # Pre-residual sidecars carry no flag — their codes quantize raw
+    # vectors, which is exactly what .get's default probes.
+    q_enc = (
+        _residual_expr(F.col("q_vec"), F.col("cid"), centroids)
+        if model.get("residual", False)
+        else F.col("q_vec")
+    )
     q = _probed_queries(queries, centroids, nprobe, id_col, vec_col).select(
-        "query_id", "cid", _adc_tables(F.col("q_vec"), codebooks).alias("__adc")
+        "query_id", "cid", _adc_tables(q_enc, codebooks).alias("__adc")
     )
     probed_cids = [r["cid"] for r in q.select("cid").distinct().collect()]
     coded = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))

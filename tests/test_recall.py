@@ -120,3 +120,59 @@ def test_embedding_lsh_recall_floor(spark):
     # 12 bits x 6 tables at cosine 0.99 (theta ~ 8 deg, p ~ 0.955):
     # expected recall 1-(1-p^12)^6 ~ 0.97 at the boundary.
     assert stats["recall"] >= 0.93
+
+
+def test_ivfpq_residual_recall_at_least_matches_plain(spark):
+    """VERDICT r04 item 6: residual-encoded IVFADC must not lose
+    recall vs the non-residual form. All cells are probed (nprobe =
+    n_centroids) so coarse routing loss — identical for both — is
+    removed and the comparison isolates codebook quality; ground truth
+    is exact L2 top-k. Fixture + seeded k-means are deterministic, so
+    both recalls are fixed numbers (measured 0.16 plain / 0.26
+    residual at sf0.01)."""
+    from pyspark.sql import Window
+
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.training.similarity import (
+        _as_double,
+        _l2sq_expr,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    k = 5
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _l2sq_expr(
+                _as_double(F.col("embedding")), _as_double(F.col("qv"))
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .collect()
+    }
+
+    def recall(residual: bool) -> float:
+        out = ivfpq_topk(
+            emb, queries, k=k, n_centroids=8, nprobe=8, m=8, codebook_k=16,
+            residual=residual,
+        )
+        got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+        return len(got & truth) / len(truth)
+
+    plain, residual = recall(False), recall(True)
+    print("ivfpq recall plain:", plain, "residual:", residual)
+    assert residual >= plain
+    assert residual >= 0.2  # regression floor under the measured 0.26

@@ -681,6 +681,34 @@ def test_ann_model_sidecars_go_through_hadoop_fs(spark, sf_small, tmp_path):
     out2 = ivfpq_topk_persisted(spark, pq_uri, queries, k=2, nprobe=2)
     assert out2.count() == queries.count() * 2
 
+    # residual build: the sidecar flag makes the persisted probe use
+    # residual ADC tables with no caller coordination, and the result
+    # matches the in-process residual probe exactly
+    from faexport_db_spark.training.similarity import ivfpq_topk
+
+    res_uri = f"file://{tmp_path}/ivfpq_res_idx"
+    cents, books = ivfpq_build(
+        emb, res_uri, n_centroids=4, m=8, iters=2, residual=True
+    )
+    import json as _json
+
+    model = _json.loads((tmp_path / "ivfpq_res_idx" / "_ivfpq_model.json").read_text())
+    assert model["residual"] is True
+    got = {
+        tuple(r)
+        for r in ivfpq_topk_persisted(
+            spark, res_uri, queries, k=2, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, queries, k=2, nprobe=2, centroids=cents, codebooks=books,
+            residual=True,
+        ).collect()
+    }
+    assert got == want
+
     # a foreign/unbuilt index fails loud, not with a stray local read
     import pytest
 
