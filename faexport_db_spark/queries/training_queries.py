@@ -127,9 +127,7 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t_dedup_clusters",
-    oracle="""
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
@@ -164,8 +162,10 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
     FROM reach GROUP BY src
-    """,
-)
+"""
+
+
+@register("t_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup CLUSTERS: connected components over the
     exact bigram-Jaccard pair graph, each clustered doc labeled with
@@ -175,6 +175,20 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the identical edge set."""
     pairs = t_ngram_jaccard_pairs(spark, sf_dir)
     return dedup_clusters(pairs)
+
+
+@register("t_dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def t_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same connected-components labeling through the large-star/
+    small-star backend (Kiveris et al. SoCC 2014,
+    training/dedup.py::dedup_clusters_star) — O(log n) rounds
+    regardless of component diameter, no per-node neighbor arrays.
+    Identical oracle as t_dedup_clusters: both backends compute the
+    same fixpoint, and the driver check pins them to it independently."""
+    from faexport_db_spark.training.dedup import dedup_clusters_star
+
+    pairs = t_ngram_jaccard_pairs(spark, sf_dir)
+    return dedup_clusters_star(pairs)
 
 
 @register("t_minhash_lsh_dedup")  # xxhash64 signatures aren't DuckDB-reproducible

@@ -714,3 +714,60 @@ def test_ann_model_sidecars_go_through_hadoop_fs(spark, sf_small, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="model sidecar"):
         ivf_topk_persisted(spark, f"file://{tmp_path}/nope", queries)
+
+
+def test_star_clusters_match_propagation_backend(spark, sf_small):
+    """dedup_clusters_star (Kiveris et al. large-star/small-star) must
+    produce the identical (doc_id, cluster_rep) labeling as the
+    min-label propagation backend on a real near-dup pair set and on a
+    seeded random graph."""
+    import random
+
+    from faexport_db_spark.queries.training_queries import _mutated_corpus
+    from faexport_db_spark.training.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+        simhash_dedup_pairs,
+    )
+
+    def labels(df):
+        return {(r["doc_id"], r["cluster_rep"]) for r in df.collect()}
+
+    docs = _mutated_corpus(
+        load_table(spark, sf_small, "documents").select("doc_id", "text")
+    )
+    pairs = simhash_dedup_pairs(docs, max_hamming=3).localCheckpoint()
+    assert labels(dedup_clusters_star(pairs)) == labels(dedup_clusters(pairs))
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(400)
+    ]
+    rand = spark.createDataFrame(
+        [(a, b) for a, b in rand_edges if a != b], "id_a bigint, id_b bigint"
+    )
+    assert labels(dedup_clusters_star(rand)) == labels(dedup_clusters(rand))
+
+
+def test_star_clusters_converge_on_deep_chains(spark):
+    """The star backend's reason to exist: a 200-node path graph —
+    diameter 199 — converges in O(log n) star rounds where min-label
+    propagation needs 199 rounds and fails loudly at its default
+    budget."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dedup_clusters_star(chain, max_iters=12).collect()
+    }
+    assert out == {(i, 1) for i in range(1, 201)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=12)
