@@ -1043,6 +1043,88 @@ def t_ann_ivfpq_residual_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(len(toks)) AS avgdl FROM d),
+    post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tfs AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY 1, 2, 3),
+    dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+    q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS term
+      FROM d WHERE doc_id < 5
+    ),
+    contribs AS (
+      SELECT q.query_id, tfs.doc_id, q.term,
+             ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+               * tfs.tf * 2.2
+               / (tfs.tf + 1.2 * (0.25 + 0.75 * tfs.dl / s.avgdl)) AS c
+      FROM q JOIN tfs USING (term) JOIN dfs USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(list_aggregate(list_transform(
+               list_sort(list(struct_pack(t := term, c := c))), x -> x.c),
+               'sum'), 6) AS score
+      FROM contribs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+def _bm25_queries(docs: DataFrame) -> DataFrame:
+    """query_id = doc_id < 5, query text = the doc's first four
+    tokens — guaranteed hits, reproducible in the oracle."""
+    return docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 4)
+        ).alias("query"),
+    )
+
+
+@register("t_bm25_topk", oracle=_BM25_ORACLE)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 keyword retrieval (training/retrieval.py):
+    postings inverted-index equi-join, Lucene-style non-negative idf,
+    deterministic sorted-term contribution fold, rounded-score
+    ranking. The oracle replays the identical formula in SQL."""
+    from faexport_db_spark.training.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bm25_topk(docs, _bm25_queries(docs), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("t_bm25_persisted", oracle=_BM25_ORACLE)
+def t_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same retrieval through the PERSISTED term-hash-bucketed
+    postings index: build once, probe with partition pruning to the
+    query terms' ``tb=`` buckets; scores must be identical to the
+    in-process form (and the oracle)."""
+    import tempfile
+
+    from faexport_db_spark.training.retrieval import (
+        bm25_build_index,
+        bm25_topk_persisted,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="faexport_spark_bm25_") + "/index"
+    bm25_build_index(docs, path)
+    out = bm25_topk_persisted(spark, path, _bm25_queries(docs), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @register(
     "t_passage_dedup",
     oracle=r"""

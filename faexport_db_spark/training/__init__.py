@@ -20,6 +20,11 @@ from faexport_db_spark.training.dedup import (  # noqa: F401
     simhash_dedup_pairs,
     word_shingles,
 )
+from faexport_db_spark.training.retrieval import (  # noqa: F401
+    bm25_build_index,
+    bm25_topk,
+    bm25_topk_persisted,
+)
 from faexport_db_spark.training.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_expr,

@@ -1,0 +1,259 @@
+"""Okapi BM25 keyword retrieval over an inverted index.
+
+Training-data pipelines need keyword search as much as embedding ANN —
+quality auditing ("show me docs matching X"), targeted decontamination,
+and hard-negative mining all reduce to scoring a query's terms against
+a corpus-wide inverted index. This module is the lexical sibling of
+``training/similarity.py``: same DataFrame-first economics (the corpus
+is exploded to postings ONCE; every query after that is an equi-join),
+same persisted-index layout discipline (term-hash-bucketed parquet +
+parameter sidecar), same bounded-driver-state rule (only the corpus
+stats — two numbers — ever leave the executors).
+
+Scoring is classic BM25 (Robertson & Spärck Jones lineage; the
+idf form is Lucene's non-negative variant):
+
+    idf(t)      = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Determinism: per-(query, doc) contributions are summed in SORTED term
+order via an ``aggregate`` fold — never a shuffle-order-dependent
+``sum()`` — and ranking uses the ROUNDED score, so Spark and a SQL
+oracle produce identical rows.
+
+100 TB shape: postings are (term, doc_id, dl, tf) — one shuffle to
+build, equi-joined by term at query time with the (small, distinct)
+query-term set broadcast. The quadratic hazard (a stop word matching
+every doc) is bounded by ``max_df_ratio``, the IDF analog of the LSH
+stop-bucket guard: terms in more than that fraction of docs are
+dropped from scoring on BOTH sides with a documented semantic (their
+idf is near zero, so the top-k barely moves while the candidate set
+shrinks by orders of magnitude). The persisted layout buckets postings
+by ``pmod(xxhash64(term), n_buckets)`` so a query's probe prunes to
+the buckets its terms hash into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from faexport_db_spark.operators.partitioning import fan_out
+
+
+def _terms(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — deliberately
+    reproducible in ANSI SQL (``string_split_regex(lower(trim(x)))``)
+    so every consumer can be oracle-checked."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, dl, tf) — the inverted index. One explode + one
+    groupBy; ``dl`` (doc token count) rides along so scoring never
+    joins back to the corpus."""
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"), _terms(F.col(text_col)).alias("__toks")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _corpus_stats(postings: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) frame — broadcast, never collected."""
+    return postings.select("doc_id", "dl").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def _score_matches(
+    matched: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(query_id, term, tf, dl, idf, n_docs, avgdl) rows → ranked
+    top-k. Contributions fold in sorted term order (deterministic fp
+    summation); ranking uses the rounded score so an oracle replays
+    the exact same ordering."""
+    contrib = F.col("idf") * (
+        F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_pair = matched.withColumn("__c", contrib).groupBy(
+        "query_id", "doc_id"
+    ).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("__c")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__c"],
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _idf_table(postings: DataFrame, max_df_ratio: float | None) -> DataFrame:
+    """(term, idf) with the stop-term guard applied: terms in more
+    than ``max_df_ratio`` of docs are DROPPED (their postings would
+    touch nearly every doc for near-zero idf — the lexical analog of
+    the LSH stop-bucket)."""
+    stats = _corpus_stats(postings)
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfs = dfs.crossJoin(F.broadcast(stats))
+    if max_df_ratio is not None:
+        dfs = dfs.filter(F.col("df") <= F.col("n_docs") * max_df_ratio)
+    return dfs.select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        ).alias("idf"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "query",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k BM25 hits per query row: (query_id, doc_id, score, rank),
+    ties broken by doc_id. The corpus becomes postings once; query
+    terms (distinct per query) broadcast into an equi-join on term —
+    candidates are docs sharing ≥1 term, never a cross join."""
+    postings = bm25_postings(docs, text_col, id_col)
+    idfs = _idf_table(postings, max_df_ratio)
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
+    )
+    matched = postings.join(idfs, "term").join(F.broadcast(qterms), "term")
+    return _score_matches(matched, k, k1, b)
+
+
+# -- persisted index ---------------------------------------------------------
+
+N_TERM_BUCKETS = 64
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Persist postings bucketed by ``tb = pmod(xxhash64(term),
+    n_buckets)`` with the corpus stats and idf inputs inline: probing
+    reads only the buckets the query's terms hash into (partition
+    pruning), and scoring needs no second corpus pass. Parameters live
+    in the standard ``_index_meta.json`` sidecar and are validated on
+    probe."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    postings = bm25_postings(docs, text_col, id_col)
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    (
+        postings.join(dfs, "term")
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    stats = _corpus_stats(postings).collect()[0]
+    write_index_meta(
+        docs.sparkSession,
+        path,
+        "bm25_postings",
+        {"n_buckets": n_buckets, "tokenizer": "ws_lower1"},
+    )
+    from faexport_db_spark.training.indexmeta import write_model_sidecar
+
+    write_model_sidecar(
+        docs.sparkSession,
+        path,
+        "_bm25_stats.json",
+        {"n_docs": stats["n_docs"], "avgdl": stats["avgdl"]},
+    )
+
+
+def bm25_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+    query_text_col: str = "query",
+    query_id_col: str = "query_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """Probe a persisted BM25 index: the query terms' hash buckets
+    become an ``isin`` partition filter (bounded — ≤ one bucket per
+    distinct query term), so only matching ``tb=`` directories are
+    listed or scanned; scoring is identical to ``bm25_topk``."""
+    from faexport_db_spark.training.indexmeta import (
+        check_index_meta,
+        read_model_sidecar,
+    )
+
+    check_index_meta(
+        spark, path, "bm25_postings",
+        {"n_buckets": n_buckets, "tokenizer": "ws_lower1"},
+    )
+    stats = read_model_sidecar(spark, path, "_bm25_stats.json")
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
+    ).withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    probed_tbs = [r["tb"] for r in qterms.select("tb").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("tb").isin(probed_tbs))
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    if max_df_ratio is not None:
+        index = index.filter(F.col("df") <= n_docs * max_df_ratio)
+    matched = (
+        index.join(F.broadcast(qterms.drop("tb")), "term")
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn(
+            "idf",
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+        )
+    )
+    return _score_matches(matched, k, k1, b)

