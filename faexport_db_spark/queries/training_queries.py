@@ -394,6 +394,53 @@ def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_quality_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS nt,
+             nc * 1.0 / len(toks) AS mean_tok,
+             (nc - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+               * 1.0 / nc AS non_alnum,
+             len(list_intersect(list_distinct(toks),
+                 ['the','a','of','and','to','in','is','it','for','on'])) AS ds,
+             list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks)
+               AS top_share
+      FROM t
+    )
+    SELECT doc_id,
+           (nt >= 10 AND nt <= 100000) AS tokens_ok,
+           (mean_tok >= 3.0 AND mean_tok <= 10.0) AS mean_token_ok,
+           (non_alnum <= 0.3) AS symbols_ok,
+           (ds >= 1) AS stopwords_ok,
+           (top_share <= 0.12) AS repetition_ok,
+           ((nt >= 10 AND nt <= 100000) AND (mean_tok >= 3.0 AND mean_tok <= 10.0)
+            AND (non_alnum <= 0.3) AND (ds >= 1) AND (top_share <= 0.12)) AS kept
+    FROM f
+    """,
+)
+def t_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard filter rules (training/text.py::quality_rules)
+    with per-rule verdict columns — thresholds tuned so the fixture
+    produces a MIX of passes and failures on the repetition screen,
+    pinning every rule's boundary arithmetic against the oracle."""
+    from faexport_db_spark.training.text import quality_rules
+
+    return quality_rules(
+        _docs(spark, sf_dir),
+        min_tokens=10,
+        min_distinct_stop=1,
+        max_top_share=0.12,
+    )
+
+
+@register(
     "t_token_count",
     oracle="""
     SELECT doc_id,

@@ -34,5 +34,6 @@ from faexport_db_spark.training.text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_features,
+    quality_rules,
     token_counts,
 )

@@ -102,6 +102,79 @@ def quality_features(
     )
 
 
+def quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_tok: float = 3.0,
+    max_mean_tok: float = 10.0,
+    max_non_alnum: float = 0.3,
+    min_distinct_stop: int = 2,
+    max_top_share: float = 0.2,
+) -> DataFrame:
+    """Gopher-style hard filter rules (Rae et al. 2021 §A1.1 shape):
+    per-doc boolean verdict PER RULE plus the conjunction — the
+    auditable form a production corpus filter needs (you keep the rule
+    columns so "why was this dropped" is a filter, not a re-run).
+
+    Rules: token count in [min_tokens, max_tokens]; mean token length
+    in [min_mean_tok, max_mean_tok]; non-alphanumeric character ratio
+    ≤ max_non_alnum; ≥ min_distinct_stop distinct stopwords (the
+    gibberish screen); top-token share ≤ max_top_share (the repetition
+    screen — max multiplicity over the sorted token array via one
+    fold, no per-doc shuffle). All pure codegen expressions — the op
+    is a map-only projection at any corpus size."""
+    toks = tokens_expr(text_col)
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_tok = n_chars.cast("double") / n_toks
+    non_alnum = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    ).cast("double") / n_chars
+    distinct_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.lit(list(STOPWORDS)))
+    )
+    # max token multiplicity: sort, then fold counting the longest
+    # adjacent-equal run (equal tokens are adjacent once sorted)
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_share = run_state.cast("double") / n_toks
+    tokens_ok = (n_toks >= min_tokens) & (n_toks <= max_tokens)
+    mean_ok = (mean_tok >= min_mean_tok) & (mean_tok <= max_mean_tok)
+    symbols_ok = non_alnum <= max_non_alnum
+    stopwords_ok = distinct_stop >= min_distinct_stop
+    repetition_ok = top_share <= max_top_share
+    return docs.select(
+        F.col(id_col),
+        tokens_ok.alias("tokens_ok"),
+        mean_ok.alias("mean_token_ok"),
+        symbols_ok.alias("symbols_ok"),
+        stopwords_ok.alias("stopwords_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (tokens_ok & mean_ok & symbols_ok & stopwords_ok & repetition_ok).alias(
+            "kept"
+        ),
+    )
+
+
 def token_counts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -282,3 +282,23 @@ def test_dedup_pipeline_shuffle_ceilings(spark, sf_small):
     assert shuffle_count(QUERIES["t_simhash_dedup"](spark, sf_small)) <= 4
     assert shuffle_count(QUERIES["t_passage_dedup"](spark, sf_small)) <= 2
     assert shuffle_count(QUERIES["t_minhash_lsh_dedup"](spark, sf_small)) <= 9
+
+
+def test_bm25_shuffle_ceilings(spark, sf_small):
+    """BM25 exchange-count regression ceilings: in-process = postings
+    agg + df agg + doclens-stats agg + score agg + top-k window (6,
+    with the single BNLJ being the broadcast 1-row stats frame);
+    persisted probe = score agg + top-k window only (2) — the postings
+    and df work was paid at build time, and stats come from the
+    sidecar as literals, so not even the stats BNLJ remains. No
+    cartesian or sort-merge join anywhere."""
+    for name, ceiling, max_bnlj in (
+        ("t_bm25_topk", 6, 1),
+        ("t_bm25_persisted", 3, 0),
+    ):
+        df = QUERIES[name](spark, sf_small)
+        assert shuffle_count(df) <= ceiling, name
+        strategies = join_strategies(df)
+        assert strategies["CartesianProduct"] == 0, (name, strategies)
+        assert strategies["SortMergeJoin"] == 0, (name, strategies)
+        assert strategies["BroadcastNestedLoopJoin"] <= max_bnlj, (name, strategies)

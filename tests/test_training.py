@@ -810,3 +810,31 @@ def test_bm25_retrieval_properties(spark, sf_small, tmp_path):
     assert {tuple(r) for r in same.collect()} == rows
     guarded = bm25_topk(docs, queries, k=3, max_df_ratio=0.01)
     assert guarded.count() <= out.count() + 5 * 5
+
+
+def test_quality_rules_boundaries(spark):
+    """Each quality rule flips at its documented boundary; kept is the
+    conjunction; the op is a zero-exchange projection."""
+    from faexport_db_spark.training.text import quality_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown foxes jumped over lazy dogs near riverbanks today"),  # clean
+            (2, "the cat"),                              # too few tokens
+            (3, "the " + "zz " * 19),                    # repetition: 'zz' share 0.95
+            (4, "the ?? !! ## $$ %% ^^ && ** (( ))"),    # symbol-heavy
+            (5, "qq ww ee rr tt yy uu ii oo pp"),        # no stopwords
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_rules(
+            docs, min_tokens=5, min_distinct_stop=1, max_top_share=0.5
+        ).collect()
+    }
+    assert out[1]["kept"] is True
+    assert out[2]["tokens_ok"] is False and out[2]["kept"] is False
+    assert out[3]["repetition_ok"] is False and out[3]["kept"] is False
+    assert out[4]["symbols_ok"] is False and out[4]["kept"] is False
+    assert out[5]["stopwords_ok"] is False and out[5]["kept"] is False
