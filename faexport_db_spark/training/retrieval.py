@@ -171,6 +171,61 @@ def bm25_topk(
 N_TERM_BUCKETS = 64
 
 
+def _write_stats_partial(
+    spark: SparkSession, path: str, name: str, n_docs: float, total_dl: float
+) -> None:
+    import json
+
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    fs = HadoopFs(spark, path)
+    fs.mkdirs(f"{path.rstrip('/')}/_bm25_stats")
+    fs.write_text(
+        f"{path.rstrip('/')}/_bm25_stats/{name}.json",
+        json.dumps({"n_docs": n_docs, "total_dl": total_dl}),
+    )
+
+
+def _read_stats(spark: SparkSession, path: str) -> tuple[float, float]:
+    """(n_docs, avgdl) summed over the per-commit stats partials."""
+    import json
+
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    fs = HadoopFs(spark, path)
+    sdir = f"{path.rstrip('/')}/_bm25_stats"
+    names = [n for n in fs.list_names(sdir) if n.endswith(".json")]
+    if not names:
+        raise FileNotFoundError(
+            f"BM25 index at {path} has no _bm25_stats partials — not built "
+            f"by bm25_build_index."
+        )
+    n_docs = total_dl = 0.0
+    for n in names:
+        doc = json.loads(fs.read_text(f"{sdir}/{n}"))
+        n_docs += doc["n_docs"]
+        total_dl += doc["total_dl"]
+    return n_docs, total_dl / n_docs
+
+
+def _append_postings(
+    docs: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    mode: str,
+) -> DataFrame:
+    postings = bm25_postings(docs, text_col, id_col).localCheckpoint(eager=True)
+    (
+        postings.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode(mode)
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    return postings
+
+
 def bm25_build_index(
     docs: DataFrame,
     path: str,
@@ -179,37 +234,118 @@ def bm25_build_index(
     n_buckets: int = N_TERM_BUCKETS,
 ) -> None:
     """Persist postings bucketed by ``tb = pmod(xxhash64(term),
-    n_buckets)`` with the corpus stats and idf inputs inline: probing
-    reads only the buckets the query's terms hash into (partition
-    pruning), and scoring needs no second corpus pass. Parameters live
-    in the standard ``_index_meta.json`` sidecar and are validated on
+    n_buckets)``: probing reads only the buckets the query's terms
+    hash into (partition pruning). Document frequencies are NOT
+    stored — the probe derives df from the (pruned) postings it scans
+    anyway, so incremental appends can never leave stale idf inputs
+    behind. Corpus stats live as additive per-commit partials under
+    ``_bm25_stats/`` (the build writes ``base``; each append adds its
+    own file), summed at probe time — a bounded directory listing, and
+    idempotent under append retries because a retry OVERWRITES its own
+    partial instead of double-counting. Parameters live in the
+    standard ``_index_meta.json`` sidecar and are validated on
     probe."""
     from faexport_db_spark.training.indexmeta import write_index_meta
 
-    postings = bm25_postings(docs, text_col, id_col)
-    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    (
-        postings.join(dfs, "term")
-        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(path)
+    postings = _append_postings(
+        docs, path, text_col, id_col, n_buckets, "overwrite"
     )
-    stats = _corpus_stats(postings).collect()[0]
+    stats = _corpus_stats(postings).withColumn(
+        "total", F.col("avgdl") * F.col("n_docs")
+    ).collect()[0]
     write_index_meta(
         docs.sparkSession,
         path,
         "bm25_postings",
         {"n_buckets": n_buckets, "tokenizer": "ws_lower1"},
     )
-    from faexport_db_spark.training.indexmeta import write_model_sidecar
+    _write_stats_partial(
+        docs.sparkSession, path, "base", stats["n_docs"], stats["total"]
+    )
 
-    write_model_sidecar(
+
+def bm25_append_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+    commit_name: str | None = None,
+) -> None:
+    """Incrementally index a batch of NEW docs: append their postings
+    to the bucketed layout and write one additive stats partial —
+    batch-sized work only, the corpus is never re-tokenized, and the
+    probe's derived-df design means no stored idf input goes stale.
+
+    At-least-once safe: ``commit_name`` names the stats partial (the
+    streaming wrapper passes its stream/batch identity), so a retried
+    batch overwrites its own partial rather than double-counting,
+    and its re-appended posting rows are exact duplicates the probe's
+    per-(term, doc) collapse removes. Doc ids must be new to the
+    index — re-indexing a changed doc needs a rebuild."""
+    import uuid
+
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    check_index_meta(
+        docs.sparkSession, path, "bm25_postings",
+        {"n_buckets": n_buckets, "tokenizer": "ws_lower1"},
+    )
+    postings = _append_postings(docs, path, text_col, id_col, n_buckets, "append")
+    stats = _corpus_stats(postings).withColumn(
+        "total", F.col("avgdl") * F.col("n_docs")
+    ).collect()
+    if not stats or not stats[0]["n_docs"]:
+        return  # empty batch: nothing appended, no partial to write
+    _write_stats_partial(
         docs.sparkSession,
         path,
-        "_bm25_stats.json",
-        {"n_docs": stats["n_docs"], "avgdl": stats["avgdl"]},
+        commit_name or f"append-{uuid.uuid4().hex}",
+        stats[0]["n_docs"],
+        stats[0]["total"],
     )
+
+
+def start_streaming_bm25_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **index_kwargs,
+):
+    """Maintain a BM25 index from a document stream via foreachBatch:
+    each micro-batch appends its postings + one idempotently-named
+    stats partial (stream-token + batch id, same namespacing rule as
+    the dedup streams), so redelivery never double-counts. ``source``
+    is any streaming DataFrame with (doc_id, text) columns; the first
+    batch bootstraps the index."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.streaming.dedup_stream import _stream_id
+
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        fs = HadoopFs(spark, index_path)
+        if not fs.exists(f"{index_path.rstrip('/')}/_index_meta.json"):
+            bm25_build_index(batch_df, index_path, **index_kwargs)
+            # rename the base partial to this batch's identity so a
+            # redelivered batch 0 overwrites instead of adding
+            fs.rename(
+                f"{index_path.rstrip('/')}/_bm25_stats/base.json",
+                f"{index_path.rstrip('/')}/_bm25_stats/{sid}-{batch_id}.json",
+            )
+            return
+        bm25_append_index(
+            batch_df, index_path, commit_name=f"{sid}-{batch_id}", **index_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 def bm25_topk_persisted(
@@ -227,28 +363,34 @@ def bm25_topk_persisted(
     """Probe a persisted BM25 index: the query terms' hash buckets
     become an ``isin`` partition filter (bounded — ≤ one bucket per
     distinct query term), so only matching ``tb=`` directories are
-    listed or scanned; scoring is identical to ``bm25_topk``."""
-    from faexport_db_spark.training.indexmeta import (
-        check_index_meta,
-        read_model_sidecar,
-    )
+    listed or scanned. Document frequencies are derived from the
+    pruned scan (each probed term's postings are fully inside its
+    bucket), so appends since the build are automatically reflected;
+    a per-(term, doc) collapse first makes at-least-once re-appended
+    rows harmless. Scoring is identical to ``bm25_topk``."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
 
     check_index_meta(
         spark, path, "bm25_postings",
         {"n_buckets": n_buckets, "tokenizer": "ws_lower1"},
     )
-    stats = read_model_sidecar(spark, path, "_bm25_stats.json")
+    n_docs, avgdl = _read_stats(spark, path)
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
     ).withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     probed_tbs = [r["tb"] for r in qterms.select("tb").distinct().collect()]
-    index = spark.read.parquet(path).filter(F.col("tb").isin(probed_tbs))
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("tb").isin(probed_tbs))
+        .dropDuplicates(["term", "doc_id"])
+    )
+    dfs = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df_ratio is not None:
-        index = index.filter(F.col("df") <= n_docs * max_df_ratio)
+        dfs = dfs.filter(F.col("df") <= n_docs * max_df_ratio)
     matched = (
-        index.join(F.broadcast(qterms.drop("tb")), "term")
+        index.join(dfs, "term")
+        .join(F.broadcast(qterms.drop("tb")), "term")
         .withColumn("n_docs", F.lit(n_docs))
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn(

@@ -288,13 +288,14 @@ def test_bm25_shuffle_ceilings(spark, sf_small):
     """BM25 exchange-count regression ceilings: in-process = postings
     agg + df agg + doclens-stats agg + score agg + top-k window (6,
     with the single BNLJ being the broadcast 1-row stats frame);
-    persisted probe = score agg + top-k window only (2) — the postings
-    and df work was paid at build time, and stats come from the
-    sidecar as literals, so not even the stats BNLJ remains. No
+    persisted probe = per-(term,doc) collapse + derived-df agg +
+    score agg + top-k window (5) — all over the PRUNED buckets only;
+    postings tokenization was paid at build time and stats come from
+    the sidecar partials as literals, so no stats BNLJ remains. No
     cartesian or sort-merge join anywhere."""
     for name, ceiling, max_bnlj in (
         ("t_bm25_topk", 6, 1),
-        ("t_bm25_persisted", 3, 0),
+        ("t_bm25_persisted", 5, 0),
     ):
         df = QUERIES[name](spark, sf_small)
         assert shuffle_count(df) <= ceiling, name

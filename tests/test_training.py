@@ -838,3 +838,86 @@ def test_quality_rules_boundaries(spark):
     assert out[3]["repetition_ok"] is False and out[3]["kept"] is False
     assert out[4]["symbols_ok"] is False and out[4]["kept"] is False
     assert out[5]["stopwords_ok"] is False and out[5]["kept"] is False
+
+
+def test_bm25_incremental_append_matches_full_rebuild(spark, sf_small, tmp_path):
+    """Appending a batch to a persisted BM25 index must yield the
+    exact probe results of a full rebuild over the union: derived-df
+    never goes stale, stats partials sum additively, and a RETRIED
+    append (same commit name) changes nothing — the probe's
+    per-(term, doc) collapse plus partial overwrite make the append
+    idempotent."""
+    from faexport_db_spark.queries.training_queries import _bm25_queries
+    from faexport_db_spark.training.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_topk_persisted,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    queries = _bm25_queries(docs)
+
+    full_idx = str(tmp_path / "full")
+    bm25_build_index(docs, full_idx)
+    want = {
+        tuple(r) for r in bm25_topk_persisted(spark, full_idx, queries, k=3).collect()
+    }
+
+    inc_idx = str(tmp_path / "inc")
+    bm25_build_index(first, inc_idx)
+    bm25_append_index(second, inc_idx, commit_name="b1")
+    got = {
+        tuple(r) for r in bm25_topk_persisted(spark, inc_idx, queries, k=3).collect()
+    }
+    assert got == want
+
+    # redelivered batch: same commit name, duplicate postings rows
+    bm25_append_index(second, inc_idx, commit_name="b1")
+    again = {
+        tuple(r) for r in bm25_topk_persisted(spark, inc_idx, queries, k=3).collect()
+    }
+    assert again == want
+
+
+def test_streaming_bm25_index_maintenance(spark, sf_small, tmp_path):
+    """foreachBatch BM25 maintenance: batch 1 bootstraps the index,
+    batch 2 appends; the final probe equals a batch build over
+    everything."""
+    from faexport_db_spark.queries.training_queries import _bm25_queries
+    from faexport_db_spark.training.retrieval import (
+        bm25_build_index,
+        bm25_topk_persisted,
+        start_streaming_bm25_index,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    half = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    src = tmp_path / "src"
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    for i, batch in enumerate(half, 1):
+        batch.write.mode("overwrite").parquet(str(src / f"b{i}"))
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(src / f"b{i}")
+        )
+        q = start_streaming_bm25_index(
+            spark, stream, idx, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    queries = _bm25_queries(docs)
+    ref_idx = str(tmp_path / "ref")
+    bm25_build_index(docs, ref_idx)
+    want = {
+        tuple(r) for r in bm25_topk_persisted(spark, ref_idx, queries, k=3).collect()
+    }
+    got = {
+        tuple(r) for r in bm25_topk_persisted(spark, idx, queries, k=3).collect()
+    }
+    assert got == want
