@@ -253,6 +253,13 @@ def bm25_build_index(
     stats = _corpus_stats(postings).withColumn(
         "total", F.col("avgdl") * F.col("n_docs")
     ).collect()[0]
+    if not stats["n_docs"]:
+        raise ValueError(
+            f"bm25_build_index at {path}: the corpus has no documents with "
+            f"at least one token — an empty index would make every later "
+            f"probe divide by zero; build from a non-empty corpus (the "
+            f"streaming wrapper bootstraps from its first non-empty batch)."
+        )
     write_index_meta(
         docs.sparkSession,
         path,
@@ -328,6 +335,8 @@ def start_streaming_bm25_index(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         fs = HadoopFs(spark, index_path)
         if not fs.exists(f"{index_path.rstrip('/')}/_index_meta.json"):
+            if batch_df.isEmpty():
+                return  # nothing to bootstrap from yet
             bm25_build_index(batch_df, index_path, **index_kwargs)
             # rename the base partial to this batch's identity so a
             # redelivered batch 0 overwrites instead of adding
