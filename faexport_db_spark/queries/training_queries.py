@@ -593,6 +593,46 @@ def t_embed_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
 
 
+@register("t_semantic_dedup")  # k-means candidate cells → rows-only raw op
+def t_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup survivors: k-means clusters the
+    planted corpus, within-cluster exact-cosine pairs at ≥0.95 mark
+    the higher id of each pair removed. Deterministic (xxhash64-seeded
+    Lloyd's) but a k-means replica is not SQL-expressible, so this raw
+    op is rows-only; ``t_semantic_dedup_checked`` pins the structural
+    guarantee against an exact oracle."""
+    from faexport_db_spark.training.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(_planted_embeddings(emb), threshold=0.95, n_centroids=16)
+
+
+@register(
+    "t_semantic_dedup_checked",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+             {_PLANTED_COSINE_SQL} AS cosine
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+)
+def t_semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of semantic dedup: cosine k-means
+    assignment is scale-invariant, so a 2×-scaled copy lands in the
+    SAME cluster as its original in every possible trained model, and
+    the within-cluster expansion + exact verify MUST emit every
+    planted pair at cosine 1.0. Pins clustering-as-candidate-generator,
+    the max_cluster-guarded pair expansion, and the single-scan
+    verify — everything except the (unoracleable) centroid values."""
+    from faexport_db_spark.training.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_pairs(_planted_embeddings(emb), threshold=0.95, n_centroids=16)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
 @register(
     "t_embed_incremental_checked",
     oracle=f"""
@@ -1098,7 +1138,7 @@ _BM25_ORACLE = r"""
       FROM documents
     ),
     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                     avg(len(toks)) AS avgdl FROM d),
+                     CAST(avg(len(toks)) AS DOUBLE) AS avgdl FROM d),
     post AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
     tfs AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY 1, 2, 3),
     dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),

@@ -364,6 +364,93 @@ def ivf_centroids(
     return centroids
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = 10_000,
+) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters the embedding space, candidate
+    pairs come ONLY from within a cluster, exact cosine verifies at
+    ``threshold``. Output (id_a, id_b, cosine), id_a < id_b.
+
+    The third embedding-dedup candidate generator next to the exact
+    baseline (``cosine_near_dup_pairs``) and the LSH path
+    (``cosine_near_dup_pairs_lsh``): clustering concentrates
+    semantically-close vectors into the same cell, so for corpora
+    whose duplicate mass sits inside semantic modes (the SemDeDup
+    observation about web-scale text) a few hundred cells replace
+    thousands of hash buckets, and the cluster model doubles as the
+    IVF coarse quantizer already used for ANN (``ivf_centroids`` —
+    pass ``centroids`` to share one trained model across dedup and
+    search).
+
+    Scale shape: assignment is a map-only pass (``_nearest_centroid``
+    is a literal-centroid expression, no join); within-cell pair
+    expansion reuses ``_bucket_pairs`` keyed by ``cid``, so no row
+    materializes a cell² array and ``max_cluster`` bounds the
+    degenerate giant-cluster case exactly like LSH's ``max_bucket``
+    (at 100 TB raise ``n_centroids`` so expected cell size stays
+    bounded — the SemDeDup paper runs ~50k clusters for LAION-scale);
+    only id pairs leave the expansion, vectors rejoin in
+    ``_pair_cosines``'s single corpus scan. Assignment is
+    scale-invariant (cosine argmax), so renormalized or scaled copies
+    can never straddle cells and recall at cosine≈1.0 is structural,
+    not probabilistic.
+    """
+    from faexport_db_spark.training.dedup import _bucket_pairs
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    assign = fan_out(corpus).select(
+        F.col(id_col).alias("m"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    cand = _bucket_pairs(assign, ["cid"], F.col("m"), max_cluster).select(
+        F.col("ma").alias("id_a"), F.col("mb").alias("id_b")
+    )
+    return _pair_cosines(corpus, cand, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = 10_000,
+) -> DataFrame:
+    """Corpus rows surviving semantic dedup: a row is removed iff it
+    has a LOWER-id near-dup partner (cosine ≥ threshold in the same
+    cluster) — the deterministic keep-lowest-id policy every dedup op
+    in this package uses. The removed-id set is a skinny id column;
+    survivors come from a left-anti join, so full rows are scanned
+    once and never shuffled by value."""
+    pairs = semantic_dedup_pairs(
+        corpus,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        max_cluster=max_cluster,
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(removed, id_col, "left_anti")
+
+
 def _probed_queries(
     queries: DataFrame, centroids: list[list[float]], nprobe: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -284,6 +284,18 @@ def test_dedup_pipeline_shuffle_ceilings(spark, sf_small):
     assert shuffle_count(QUERIES["t_minhash_lsh_dedup"](spark, sf_small)) <= 9
 
 
+def test_semantic_dedup_shuffle_ceilings(spark, sf_small):
+    """SemDeDup exchange ceilings: pairs = cell-bucket agg + candidate
+    distinct + member groupBy + per-pair groupBy (4); survivors re-derive
+    the pair subtree and add the removed-id distinct plus a sort-merge
+    anti join (both sides exchange — deliberately NOT broadcast: at
+    corpus scale the removed set is corpus-sized). K-means training
+    collects only centroid-sized rows and never appears in the final
+    plan."""
+    assert shuffle_count(QUERIES["t_semantic_dedup_checked"](spark, sf_small)) <= 4
+    assert shuffle_count(QUERIES["t_semantic_dedup"](spark, sf_small)) <= 10
+
+
 def test_bm25_shuffle_ceilings(spark, sf_small):
     """BM25 exchange-count regression ceilings: in-process = postings
     agg + df agg + doclens-stats agg + score agg + top-k window (6,

@@ -120,6 +120,40 @@ def test_embed_cosine_dedup_lsh_recovers_planted_pairs(spark, sf_small):
     assert planted <= approx
 
 
+def test_semantic_dedup_recovers_planted_pairs(spark, sf_small):
+    from faexport_db_spark.queries.training_queries import _planted_embeddings
+    from faexport_db_spark.training.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    corpus = _planted_embeddings(load_table(spark, sf_small, "embeddings"))
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(corpus).collect()}
+    sem = {(r["id_a"], r["id_b"]) for r in semantic_dedup_pairs(corpus).collect()}
+    n = corpus.count() // 2
+    planted = {(i, i + 1000000) for i in range(n)}
+    assert sem <= exact  # clustering never invents a pair (verify is exact)
+    # scale-invariant assignment: a scaled copy shares its original's
+    # cluster in EVERY trained model, so planted recall is structural
+    assert planted <= sem
+    survivors = {r["vec_id"] for r in semantic_dedup(corpus).collect()}
+    assert survivors.isdisjoint({i + 1000000 for i in range(n)})
+    # removal only ever targets the higher id of a pair: an id with no
+    # lower-id partner must survive
+    lowest = min(r for pair in exact for r in pair)
+    assert lowest in survivors
+
+
+def test_semantic_dedup_max_cluster_guard(spark, sf_small):
+    from faexport_db_spark.queries.training_queries import _planted_embeddings
+    from faexport_db_spark.training.similarity import semantic_dedup_pairs
+
+    corpus = _planted_embeddings(load_table(spark, sf_small, "embeddings"))
+    # a 1-member ceiling drops every cluster: the degenerate-cell guard
+    assert semantic_dedup_pairs(corpus, max_cluster=1).count() == 0
+
+
 def test_ivf_topk_finds_planted_twins(spark, sf_small):
     from faexport_db_spark.training.similarity import brute_force_topk, ivf_topk
 
