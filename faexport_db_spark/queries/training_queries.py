@@ -440,6 +440,93 @@ def t_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCORED_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    tr AS (SELECT * FROM d WHERE doc_id % 10 < 8),
+    uni AS (SELECT unnest(toks) AS tok FROM tr),
+    u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens,
+                     CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM uni),
+    bi_src AS (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tr
+    ),
+    b AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM bi_src)
+      GROUP BY 1, 2
+    ),
+    ev_src AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM d WHERE doc_id % 10 >= 8
+    ),
+    ev AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM ev_src),
+    lps AS (
+      SELECT ev.doc_id,
+             CASE WHEN b.c2 IS NOT NULL
+                  THEN ln(b.c2::DOUBLE / u1.c1::DOUBLE)
+                  ELSE ln(0.4 * (COALESCE(u2.c1, 0)::DOUBLE + 1.0)
+                          / (s.n_tokens + s.vocab))
+             END AS lp
+      FROM ev
+      LEFT JOIN b ON ev.w1 = b.w1 AND ev.w2 = b.w2
+      LEFT JOIN u u1 ON ev.w1 = u1.tok
+      LEFT JOIN u u2 ON ev.w2 = u2.tok
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-CAST(avg(lp) AS DOUBLE), 6) AS nll,
+             round(exp(-CAST(avg(lp) AS DOUBLE)), 4) AS ppl
+      FROM lps GROUP BY 1
+    )
+"""
+
+
+def _lm_heldout_split(docs):
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    evals = docs.filter(F.col("doc_id") % 10 >= 8)
+    return train, evals
+
+
+@register(
+    "t_lm_perplexity",
+    oracle=_LM_SCORED_SQL + "SELECT doc_id, n_bigrams, nll, ppl FROM scored",
+)
+def t_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality scoring: a bigram stupid-backoff model
+    trained on the 80% split scores the held-out 20% — per-document
+    negative mean log-prob and perplexity, exactly reproduced by the
+    oracle's count CTEs (training/lm.py)."""
+    from faexport_db_spark.training.lm import lm_score, lm_train
+
+    train, evals = _lm_heldout_split(_docs(spark, sf_dir))
+    return lm_score(evals, lm_train(train))
+
+
+@register(
+    "t_lm_ppl_filter",
+    oracle=_LM_SCORED_SQL
+    + """
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM d JOIN scored s ON d.doc_id = s.doc_id
+    WHERE s.ppl <= 30.0
+    """,
+)
+def t_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet keep-the-head filter composed end-to-end: survivors of
+    the held-out slice whose bigram-LM perplexity is ≤ 30 (the fixture
+    corpus scores ~28–31, so the threshold genuinely splits it)."""
+    from faexport_db_spark.training.lm import lm_perplexity_filter, lm_train
+
+    train, evals = _lm_heldout_split(_docs(spark, sf_dir))
+    out = lm_perplexity_filter(evals, lm_train(train), max_ppl=30.0)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 @register(
     "t_token_count",
     oracle="""

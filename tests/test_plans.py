@@ -296,6 +296,22 @@ def test_semantic_dedup_shuffle_ceilings(spark, sf_small):
     assert shuffle_count(QUERIES["t_semantic_dedup"](spark, sf_small)) <= 10
 
 
+def test_lm_perplexity_shuffle_ceilings(spark, sf_small):
+    """Bigram-LM scoring exchange ceilings: unigram agg + two-phase
+    countDistinct + bigram agg + per-doc score agg (+1 filter rejoin
+    for the composed op). The only BNLJ is the broadcast 1-row stats
+    frame; count-table joins must never go cartesian. The unigram
+    broadcasts are hints, not requirements — at a vocab that can't
+    broadcast they degrade to equi-shuffles, which these ceilings
+    still admit."""
+    for name, ceiling in (("t_lm_perplexity", 6), ("t_lm_ppl_filter", 7)):
+        df = QUERIES[name](spark, sf_small)
+        assert shuffle_count(df) <= ceiling, name
+        strategies = join_strategies(df)
+        assert strategies["CartesianProduct"] == 0, (name, strategies)
+        assert strategies["BroadcastNestedLoopJoin"] <= 1, (name, strategies)
+
+
 def test_bm25_shuffle_ceilings(spark, sf_small):
     """BM25 exchange-count regression ceilings: in-process = postings
     agg + df agg + doclens-stats agg + score agg + top-k window (6,

@@ -145,6 +145,49 @@ def test_semantic_dedup_recovers_planted_pairs(spark, sf_small):
     assert lowest in survivors
 
 
+def test_lm_score_backoff_and_short_docs(spark):
+    from faexport_db_spark.training.lm import lm_score, lm_train
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    model = lm_train(train)
+    evals = spark.createDataFrame(
+        [
+            (10, "a b"),        # seen bigram: ln(c2(a,b)=3 / c1(a)=3) = 0
+            (11, "zz qq"),      # fully OOV: smoothed backoff, finite
+            (12, "a"),          # one token: no bigrams → absent
+            (13, "   "),        # whitespace only → absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_score(evals, model).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["nll"] == 0.0 and rows[10]["ppl"] == 1.0
+    # backoff: 0.4 * (0+1) / (N=7 + V=3) = 0.04 → nll = -ln(0.04)
+    import math
+
+    assert abs(rows[11]["nll"] - (-math.log(0.04))) < 1e-6
+    assert rows[11]["n_bigrams"] == 1
+
+
+def test_lm_perplexity_filter_keeps_low_ppl(spark, sf_small):
+    from faexport_db_spark.queries.training_queries import _lm_heldout_split
+    from faexport_db_spark.training.lm import lm_perplexity_filter, lm_score, lm_train
+
+    from faexport_db_spark.queries.training_queries import _docs
+
+    train, evals = _lm_heldout_split(_docs(spark, sf_small))
+    model = lm_train(train)
+    scored = {r["doc_id"]: r["ppl"] for r in lm_score(evals, model).collect()}
+    kept = {
+        r["doc_id"]
+        for r in lm_perplexity_filter(evals, model, max_ppl=30.0).collect()
+    }
+    assert kept == {d for d, p in scored.items() if p <= 30.0}
+    assert 0 < len(kept) < len(scored)  # the threshold genuinely splits
+
+
 def test_semantic_dedup_max_cluster_guard(spark, sf_small):
     from faexport_db_spark.queries.training_queries import _planted_embeddings
     from faexport_db_spark.training.similarity import semantic_dedup_pairs
