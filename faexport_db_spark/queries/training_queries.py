@@ -527,6 +527,77 @@ def t_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+@register(
+    "t_pii_scrub",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up'
+               WHEN 2 THEN ' call +1 415 555 ' || CAST(1000 + doc_id % 1000 AS VARCHAR) || ' today'
+               ELSE '' END AS t0
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT) AS c1,
+                  regexp_replace(t0, '{_PII_EMAIL}', '<email>', 'g') AS t1 FROM p),
+    s2 AS (SELECT doc_id, c1,
+                  CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS c2,
+                  regexp_replace(t1, '{_PII_IP}', '<ip>', 'g') AS t2 FROM s1),
+    s3 AS (SELECT doc_id, c1, c2,
+                  CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS c3,
+                  regexp_replace(t2, '{_PII_PHONE}', '<phone>', 'g') AS t3 FROM s2)
+    SELECT doc_id, t3 AS scrubbed, c1 + c2 + c3 AS n_redactions FROM s3
+    """,
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (training/text.py::pii_scrub) over the corpus with
+    deterministically planted emails / IPv4s / phone numbers (the
+    fixture text itself is clean, so the plant makes every pattern and
+    the untouched case all hit). The oracle re-runs the identical
+    stepwise redaction in RE2 — pinning both the shared-regex-subset
+    choice and the count-then-replace ordering."""
+    from faexport_db_spark.training.text import pii_scrub
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" reach user"), d.cast("string"), F.lit("@example.com now")
+                ),
+            )
+            .when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit(" server 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit(".7 up"),
+                ),
+            )
+            .when(
+                d % 4 == 2,
+                F.concat(
+                    F.lit(" call +1 415 555 "),
+                    (d % 1000 + 1000).cast("string"),
+                    F.lit(" today"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
 @register(
     "t_token_count",
     oracle="""

@@ -175,6 +175,37 @@ def quality_rules(
     )
 
 
+# PII patterns chosen for cross-engine regex parity: no lookarounds,
+# no backrefs, ASCII \b — the shared subset of Java regex (Spark) and
+# RE2 (DuckDB/object stores' scanners), so the scrub is oracle-exact
+# and portable to pushdown-capable readers.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<phone>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses and phone-shaped digit runs with
+    typed placeholders — the standard pre-training PII scrub pass.
+    Patterns apply in order ON THE PREVIOUS STEP'S OUTPUT (an email's
+    host can't also match as a phone once it is ``<email>``), and
+    ``n_redactions`` counts matches at each step the same way, so the
+    count is exactly the number of placeholder insertions. Pure
+    column expressions — whole-stage codegen, map-only, no shuffle."""
+    cur = F.col(text_col)
+    n = F.lit(0).cast("bigint")
+    for _, pat, repl in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(
+        F.col(id_col), cur.alias("scrubbed"), n.alias("n_redactions")
+    )
+
+
 def token_counts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -188,6 +188,26 @@ def test_lm_perplexity_filter_keeps_low_ppl(spark, sf_small):
     assert 0 < len(kept) < len(scored)  # the threshold genuinely splits
 
 
+def test_pii_scrub_order_and_counts(spark):
+    from faexport_db_spark.training.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@host.co and 10.1.2.3 then +44 20 7946 0958 done"),
+            (2, "clean words only"),
+            (3, "ip 255.255.255.255 twice 1.2.3.4"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["scrubbed"] == "mail <email> and <ip> then <phone> done"
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2]["scrubbed"] == "clean words only"
+    assert rows[2]["n_redactions"] == 0
+    assert rows[3]["scrubbed"] == "ip <ip> twice <ip>"
+    assert rows[3]["n_redactions"] == 2
+
+
 def test_semantic_dedup_max_cluster_guard(spark, sf_small):
     from faexport_db_spark.queries.training_queries import _planted_embeddings
     from faexport_db_spark.training.similarity import semantic_dedup_pairs
