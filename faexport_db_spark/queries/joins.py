@@ -217,3 +217,42 @@ def j8_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks"), F.any_value("c_name").alias("c_name"))
     )
+
+
+@register(
+    "j9_asof_attribution",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.ts, l.event_id, l.purchase_value,
+           r.ts AS asof_ts, r.click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j9_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — as-of join (operators/asof.py): each purchase attributed to
+    the user's most recent at-or-before click. Spark has no native
+    ASOF; the union-and-carry window implements it in ONE key-hash
+    shuffle, and DuckDB's native ASOF LEFT JOIN is the oracle — an
+    independent implementation of the full semantics (inclusive ties,
+    unmatched → null). The right side pre-dedups (user_id, ts) with
+    max_by(event_id) per the operator's determinism contract."""
+    from faexport_db_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(purchases, clicks, on="user_id")
