@@ -256,3 +256,48 @@ def j9_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", "event_id").alias("click_value"))
     )
     return asof_join(purchases, clicks, on="user_id")
+
+
+@register(
+    "j10_interval_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts, event_type, value AS event_value
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    r AS (
+      SELECT event_id AS purchase_id, user_id, ts AS win_start,
+             ts + INTERVAL 1 HOUR AS win_end, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.event_type, l.event_value,
+           r.purchase_id, r.win_start, r.win_end, r.purchase_value
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND r.win_start <= l.ts AND l.ts <= r.win_end
+    """,
+)
+def j10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — interval (range) join (operators/rangejoin.py): every
+    non-purchase event inside a same-user 1-hour post-purchase window.
+    Spark would plan the raw inequality as a per-key cartesian; the
+    operator time-buckets both sides and equi-joins on (key, bin), so
+    the oracle's plain range predicate checks the bucketing + exact
+    filter reproduce the theta-join exactly (inclusive endpoints,
+    bin-edge collisions filtered)."""
+    from faexport_db_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type", F.col("value").alias("event_value")
+    )
+    right = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        F.col("value").alias("purchase_value"),
+    )
+    return interval_join(
+        left, right, on="user_id", left_ts="ts",
+        right_start="win_start", right_end="win_end", bucket_width=3600,
+    )
