@@ -144,3 +144,32 @@ def a1s_salted_skew_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("max_price").cast("double").alias("max_price"),
     )
+
+
+@register(
+    "a8_grouped_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 6) AS p90,
+           round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — exact grouped quantiles via ``percentile`` (linear
+    interpolation at index p·(n−1), the same continuous-quantile
+    definition DuckDB's quantile_cont implements — checked value-exact,
+    not approximately). Scale note: exact percentile buffers each
+    group's values in the reduce state; this is fine for bounded-group
+    reporting, while corpus-scale distributions should use the
+    ``approx_percentile`` (t-digest) form whose plan is identical but
+    whose values are estimator-dependent and therefore not
+    oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)
+            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )

@@ -96,3 +96,42 @@ def st_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "st_asof_enrich",
+    oracle="""
+    WITH l AS (
+      SELECT user_id AS key, ts, value FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT user_id AS key, ts, arg_max(value, event_id) AS ref_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT l.key, l.ts, l.value, r.ts AS asof_ts, r.ref_value
+    FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts
+    """,
+)
+def st_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming as-of enrichment (streaming/
+    stateful.py::asof_enrich — applyInPandasWithState carrying one
+    (ts, value) reference pair per key): every 'view' event enriched
+    with the latest at-or-before 'click' value. In batch the contract
+    is exactly operators/asof.py::asof_join, which the streaming test
+    reconciles against the stateful operator batch-for-batch; the
+    DuckDB ASOF JOIN is the independent oracle for both."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    )
+    return asof_join(views, clicks, on="key")

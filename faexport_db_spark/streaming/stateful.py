@@ -55,6 +55,101 @@ def _first_seen_fn(
     )
 
 
+ASOF_OUTPUT_SCHEMA = (
+    "key string, ts timestamp, value double, asof_ts timestamp, ref_value double"
+)
+ASOF_STATE_SCHEMA = "asof_ns long, ref_value double"
+_ASOF_IDLE_TIMEOUT_MS = 24 * 3600 * 1000
+
+
+def _asof_enrich_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if not len(batch):
+        return
+    carried_ns, carried_val = state.get if state.exists else (None, None)
+
+    refs = batch[batch["side"] == "ref"].sort_values("ts", kind="stable")
+    evts = batch[batch["side"] != "ref"].sort_values("ts", kind="stable")
+    # seed the in-batch merge_asof with the carried cross-batch state so
+    # events before this batch's first ref still enrich from history
+    ref_tbl = pd.DataFrame(
+        {"asof_ts": refs["ts"].to_numpy(), "ref_value": refs["value"].to_numpy()}
+    )
+    if carried_ns is not None:
+        seed = pd.DataFrame(
+            {"asof_ts": [pd.Timestamp(carried_ns)], "ref_value": [carried_val]}
+        )
+        ref_tbl = pd.concat([seed, ref_tbl], ignore_index=True)
+
+    if len(refs):
+        last = refs.iloc[-1]
+        state.update((int(pd.Timestamp(last["ts"]).value), float(last["value"])))
+        state.setTimeoutDuration(_ASOF_IDLE_TIMEOUT_MS)
+    elif state.exists:
+        state.setTimeoutDuration(_ASOF_IDLE_TIMEOUT_MS)  # re-arm idle eviction
+
+    if not len(evts):
+        return
+    evt_tbl = evts[["ts", "value"]].reset_index(drop=True)
+    if len(ref_tbl):
+        merged = pd.merge_asof(
+            evt_tbl,
+            ref_tbl.astype({"asof_ts": "datetime64[ns]", "ref_value": "float64"}),
+            left_on="ts",
+            right_on="asof_ts",
+            direction="backward",  # inclusive ties, like the batch operator
+        )
+    else:
+        merged = evt_tbl.assign(asof_ts=pd.NaT, ref_value=float("nan"))
+    merged.insert(0, "key", key[0])
+    yield merged[["key", "ts", "value", "asof_ts", "ref_value"]]
+
+
+def asof_enrich(
+    stream: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    side_col: str = "side",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming as-of enrichment — the stateful analog of
+    ``operators/asof.py::asof_join`` for ONE interleaved stream: rows
+    with ``side == 'ref'`` update the per-key carried reference (value
+    at its timestamp); every other row emits enriched with the most
+    recent at-or-before reference. Per-key state is exactly one
+    (timestamp, value) pair in the checkpointed state store, evicted
+    after a day idle.
+
+    In-batch ordering is event-time correct (a vectorized
+    ``pd.merge_asof`` inside the state function, the carried state as
+    its seed row); ACROSS batches enrichment uses the reference state
+    as of the prior batch boundary — i.e. the usual processing-order
+    caveat for stateful streams: a ref row arriving batches late is
+    not retroactively applied. Feed by ts-ordered sources (or accept
+    boundary staleness), exactly like Spark's own streaming
+    dropDuplicates."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(side_col).alias("side"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _asof_enrich_fn,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def first_seen(stream: DataFrame, key_col: str = "key", value_col: str = "value") -> DataFrame:
     """Emit each key's first-observed row exactly once across batches.
 

@@ -205,6 +205,106 @@ def test_first_seen_stateful_across_batches(spark, tmp_path):
     assert got2["u3"]["first_value"] == "first-u3"
 
 
+def test_asof_enrich_stateful_across_batches(spark, tmp_path):
+    """Streaming as-of: refs update per-key carried state, events
+    enrich from the latest at-or-before ref — in-batch via merge_asof
+    (ties inclusive, pre-ref events null) and across batches via the
+    checkpointed state."""
+    from faexport_db_spark.streaming import asof_enrich
+
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "asof_ckpt")
+    schema = "key string, ts timestamp, side string, value double"
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = asof_enrich(stream)
+        emitted = []
+
+        def collect(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {(r["key"], r["value"]): r for r in emitted}
+
+    (src / "b1.jsonl").write_text(
+        '{"key":"u1","ts":"2024-01-01T00:00:05","side":"evt","value":1.0}\n'
+        '{"key":"u1","ts":"2024-01-01T00:00:10","side":"ref","value":100.0}\n'
+        '{"key":"u1","ts":"2024-01-01T00:00:10","side":"evt","value":2.0}\n'
+        '{"key":"u1","ts":"2024-01-01T00:00:20","side":"ref","value":200.0}\n'
+        '{"key":"u2","ts":"2024-01-01T00:00:01","side":"evt","value":3.0}\n'
+    )
+    got1 = drain()
+    assert got1[("u1", 1.0)]["ref_value"] is None  # before any ref
+    assert got1[("u1", 2.0)]["ref_value"] == 100.0  # tie is inclusive
+    assert got1[("u2", 3.0)]["ref_value"] is None  # other key isolated
+    assert len(got1) == 3
+
+    (src / "b2.jsonl").write_text(
+        '{"key":"u1","ts":"2024-01-01T00:01:00","side":"evt","value":4.0}\n'
+        '{"key":"u2","ts":"2024-01-01T00:01:00","side":"evt","value":5.0}\n'
+    )
+    got2 = drain()
+    # u1 enriches from batch-1's last ref via persisted state; u2 has
+    # still never seen a ref
+    assert got2[("u1", 4.0)]["ref_value"] == 200.0
+    assert got2[("u1", 4.0)]["asof_ts"] is not None
+    assert got2[("u2", 5.0)]["ref_value"] is None
+    assert len(got2) == 2
+
+
+def test_asof_enrich_stream_matches_batch_operator(spark, sf_small, tmp_path):
+    """The stateful streaming as-of and the batch asof_join agree on
+    the fixture: views enriched with the latest at-or-before click.
+    Single micro-batch, so cross-batch staleness can't differ."""
+    from faexport_db_spark.queries import QUERIES
+    from faexport_db_spark.streaming import asof_enrich
+
+    ev = load_table(spark, sf_small, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    src = str(tmp_path / "asof_parity_src")
+    ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts",
+        F.when(F.col("event_type") == "click", "ref").otherwise("evt").alias("side"),
+        "value",
+    ).coalesce(1).write.parquet(src)  # one file → one micro-batch; µs-exact
+
+    stream = spark.readStream.schema(
+        "key string, ts timestamp, side string, value double"
+    ).parquet(src)
+    emitted = []
+    q = (
+        asof_enrich(stream)
+        .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_parity_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = QUERIES["st_asof_enrich"](spark, sf_small).collect()
+    # clicks can tie with multiple view values per (key, ts): compare as
+    # multisets of full rows
+    def canon(rows, key_is_str):
+        return sorted(
+            (str(r["key"]) if not key_is_str else r["key"], r["ts"], r["value"],
+             r["asof_ts"], r["ref_value"])
+            for r in rows
+        )
+
+    assert canon(emitted, True) == canon(batch, False)
+    assert len(emitted) > 0
+
+
 def test_first_seen_rearms_timeout_for_active_keys():
     """An existing key's idle timeout is re-armed on every arrival —
     a key that stays active is never evicted and re-emitted."""
