@@ -1,0 +1,92 @@
+"""Z-order (Morton) layout for multi-column data skipping — the
+OPTIMIZE ZORDER BY analog for the plain-parquet stores here: map each
+row's chosen columns onto one interleaved curve value, range-partition
+and sort files by it, and every file's per-column min/max footer
+becomes a tight bounding box, so ANY single-column or conjunctive
+predicate prunes files (a plain sort only prunes its leading column).
+
+Pieces:
+
+- ``z_value`` — a pure column expression: each column quantized to
+  ``bits`` equal-width buckets between provided (min, max) bounds,
+  bucket bits interleaved column-major (Morton). Equal-width (not
+  quantile) quantization keeps the mapping a closed-form expression —
+  deterministic, engine-portable (the DuckDB oracle reproduces it bit
+  for bit), and computable in one map pass. Skewed columns get fewer
+  effective buckets than rank-based curves give; at 100 TB feed the
+  bounds from a cheap global min/max agg and accept the skew, or
+  pre-transform (log, clip) the column — the expression doesn't care.
+- ``zorder_write`` — computes the curve value, ``repartitionByRange``
+  on it (one range exchange with a sampled-boundary pass, Spark's
+  standard total-order machinery), sorts within partitions, drops the
+  helper column, writes parquet. Each output file then covers a
+  contiguous curve segment ≈ a small hyper-rectangle of the key space.
+
+The win is measurable, not aesthetic: tests compare the sum of
+per-file bounding-box volumes (parquet footer min/max) against an
+unordered write of the same rows and assert the z-layout shrinks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_expr(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Equal-width bucket id in [0, 2**bits): closed-form, null→0."""
+    n = 1 << bits
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    raw = F.floor(scaled * F.lit(n))
+    return F.coalesce(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)), F.lit(0)
+    ).cast("long")
+
+
+def z_value(cols: list[tuple[Column, float, float]], bits: int = 8) -> Column:
+    """Morton-interleave the bucket bits of each (col, lo, hi) triple:
+    bit ``i`` of column ``c`` lands at curve bit ``i*len(cols) + c``,
+    so all columns share significance evenly. Pure integer expression —
+    whole-stage codegen, no UDF, no shuffle."""
+    k = len(cols)
+    if not 1 <= k * bits <= 63:
+        raise ValueError(f"{k} cols × {bits} bits must fit a signed long")
+    buckets = [bucket_expr(c, lo, hi, bits) for c, lo, hi in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for c, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + c
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> None:
+    """Write ``df`` as parquet laid out along the z-curve of ``cols``.
+    ``bounds`` supplies per-column (min, max); when omitted one global
+    min/max aggregate computes them (a single cheap reduction — fine to
+    skip by passing known domain bounds at scale)."""
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    z = z_value([(F.col(c), *bounds[c]) for c in cols], bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -173,3 +173,55 @@ def a8_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
         ]
     )
+
+
+@register(
+    "a9_rollup_totals",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — hierarchical subtotals via ``rollup`` (GROUPING SETS):
+    per-(flag, status), per-flag, and grand-total rows in ONE pass —
+    Catalyst expands the sets into a single aggregate whose map-side
+    partials are shared, where the naive form is three scans + a
+    union. Subtotal rows carry NULL group keys exactly like SQL
+    ROLLUP, which the DuckDB oracle checks value-for-value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "a10_pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def a10_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — pivot to a per-user event-type count matrix. The value
+    list is EXPLICIT (the five fixture types): without it Spark runs an
+    extra distinct scan to discover columns, and at scale an unbounded
+    category domain would explode the schema — pivots at 100 TB must
+    pin their columns. One aggregate pass; absent combinations
+    back-fill 0 like the oracle's FILTER form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

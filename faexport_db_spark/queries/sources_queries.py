@@ -290,3 +290,65 @@ def v1_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_shipdate": F.col("l_shipdate").isNull(),
         },
     )
+
+
+def _zvalue_oracle(bits: int = 8) -> str:
+    """Generate the DuckDB replica of z_value over events(user_id,
+    value): equal-width buckets from in-query min/max, then the Morton
+    interleave expanded as explicit shift/mask arithmetic — the same
+    closed-form integer expression the Spark side compiles."""
+    n = 1 << bits
+    interleave = " + ".join(
+        f"(((b{c} >> {i}) & 1) << {i * 2 + c})"
+        for i in range(bits)
+        for c in (0, 1)
+    )
+
+    def bucket(expr: str, lo: str, hi: str) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(FLOOR((CAST({expr} AS DOUBLE) - {lo}) "
+            f"/ ({hi} - {lo}) * {n}) AS BIGINT), 0), {n - 1})"
+        )
+
+    return f"""
+    WITH stats AS (
+      SELECT CAST(min(user_id) AS DOUBLE) AS lo0, CAST(max(user_id) AS DOUBLE) AS hi0,
+             CAST(min(value) AS DOUBLE) AS lo1, CAST(max(value) AS DOUBLE) AS hi1
+      FROM events
+    ),
+    b AS (
+      SELECT event_id,
+             {bucket("user_id", "lo0", "hi0")} AS b0,
+             {bucket("value", "lo1", "hi1")} AS b1
+      FROM events, stats
+    )
+    SELECT event_id, CAST({interleave} AS BIGINT) AS zval FROM b
+    """
+
+
+@register("k5_zorder_curve", oracle=_zvalue_oracle())
+def k5_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — the z-order curve value behind ``zorder_write``
+    (operators/zorder.py): events mapped onto the Morton interleave of
+    equal-width-bucketed (user_id, value). The oracle regenerates the
+    identical shift/mask arithmetic in SQL, pinning quantization edges
+    (clamp, floor, null→0) and bit placement — layout correctness is
+    exactly this expression; the file-locality effect is asserted in
+    tests/test_zorder.py against an unordered write."""
+    from faexport_db_spark.operators.zorder import z_value
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.min("user_id").cast("double").alias("lo0"),
+        F.max("user_id").cast("double").alias("hi0"),
+        F.min("value").cast("double").alias("lo1"),
+        F.max("value").cast("double").alias("hi1"),
+    ).collect()[0]
+    z = z_value(
+        [
+            (F.col("user_id"), row["lo0"], row["hi0"]),
+            (F.col("value"), row["lo1"], row["hi1"]),
+        ],
+        bits=8,
+    )
+    return ev.select("event_id", z.alias("zval"))

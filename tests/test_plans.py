@@ -312,6 +312,27 @@ def test_lm_perplexity_shuffle_ceilings(spark, sf_small):
         assert strategies["BroadcastNestedLoopJoin"] <= 1, (name, strategies)
 
 
+def test_new_join_and_agg_op_plans(spark, sf_small):
+    """Plan-shape pins for the r05 operator additions: the as-of forms
+    stay within union + window + right-dedup exchanges; the interval
+    join NEVER degenerates to nested-loop/cartesian (the physical shape
+    it exists to avoid — at fixture scale the (key, bin) equi-join may
+    broadcast, at scale it hash-shuffles, both fine); rollup expands
+    grouping sets inside ONE aggregate (+ its expand exchange); pivot
+    is a single pinned-column aggregate pass."""
+    for name, ceiling in (
+        ("j9_asof_attribution", 3),
+        ("st_asof_enrich", 3),
+        ("a9_rollup_totals", 2),
+        ("a10_pivot_event_matrix", 2),
+    ):
+        assert shuffle_count(QUERIES[name](spark, sf_small)) <= ceiling, name
+    for name in ("j9_asof_attribution", "j10_interval_join", "st_asof_enrich"):
+        strategies = join_strategies(QUERIES[name](spark, sf_small))
+        assert strategies["CartesianProduct"] == 0, (name, strategies)
+        assert strategies["BroadcastNestedLoopJoin"] == 0, (name, strategies)
+
+
 def test_bm25_shuffle_ceilings(spark, sf_small):
     """BM25 exchange-count regression ceilings: in-process = postings
     agg + df agg + doclens-stats agg + score agg + top-k window (6,
