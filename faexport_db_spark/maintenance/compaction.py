@@ -140,11 +140,23 @@ def compact_path(
     path: str,
     partition_by: list[str] | None = None,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    cluster_by: list[str] | None = None,
+    cluster_bits: int = 8,
 ) -> dict:
     """Rewrite ``path``'s current parquet files into ~``target_bytes``
     files, keeping the hive partition columns in ``partition_by`` (pass
     the same columns the writers used, e.g. ``["band_idx"]`` for the
     MinHash index, ``["website_id"]`` for store tables).
+
+    ``cluster_by`` additionally lays the rewrite out along the z-curve
+    of the named numeric columns (operators/zorder.py) — compaction is
+    exactly when clustering is free, since the data is being rewritten
+    anyway (the OPTIMIZE … ZORDER BY shape): each output file then
+    covers a tight bounding box of the clustered columns and parquet
+    min/max skipping prunes multi-column predicates. Mutually exclusive
+    with ``partition_by`` (a z-range task would straddle hive
+    partitions and fragment the output — cluster within one partition
+    path at a time instead).
 
     Concurrent appenders are safe: only the files present in the entry
     snapshot are rewritten and deleted; anything appended later is left
@@ -152,6 +164,11 @@ def compact_path(
     two-phase swap and its crash-recovery story). Returns the plan
     stats plus the file count actually written.
     """
+    if cluster_by and partition_by:
+        raise ValueError(
+            "cluster_by and partition_by are mutually exclusive; compact "
+            "each hive partition path separately to cluster within it"
+        )
     live = path.rstrip("/")
     recover_compaction(spark, live)
     fs = _Fs(spark, live)
@@ -177,6 +194,26 @@ def compact_path(
             df.repartition(stats["target_files"], *partition_by)
             .write.mode("overwrite")
             .partitionBy(*partition_by)
+        )
+    elif cluster_by:
+        from pyspark.sql import functions as F
+
+        from faexport_db_spark.operators.zorder import z_value
+
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cluster_by],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cluster_by],
+        ).collect()[0]
+        z = z_value(
+            [(F.col(c), row[f"lo_{c}"], row[f"hi_{c}"]) for c in cluster_by],
+            bits=cluster_bits,
+        )
+        writer = (
+            df.withColumn("_z", z)
+            .repartitionByRange(stats["target_files"], "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
         )
     else:
         writer = df.coalesce(stats["target_files"]).write.mode("overwrite")

@@ -67,6 +67,51 @@ def test_zorder_write_tightens_file_bounding_boxes(spark, sf_small, tmp_path):
     )
 
 
+def test_compact_with_clustering(spark, sf_small, tmp_path):
+    """compact_path(cluster_by=...) = OPTIMIZE + ZORDER: many small
+    appends collapse into few files AND the files are curve-clustered
+    (tighter boxes than a plain compaction of the same appends)."""
+    import pytest
+
+    from faexport_db_spark.maintenance.compaction import compact_path
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    row = ev.agg(
+        (F.max("user_id") - F.min("user_id")).cast("double").alias("su"),
+        (F.max("value") - F.min("value")).cast("double").alias("sv"),
+    ).collect()[0]
+    spans = {"user_id": row["su"], "value": row["sv"]}
+
+    paths = {"plain": str(tmp_path / "p"), "clustered": str(tmp_path / "c")}
+    for p in paths.values():
+        for i in range(6):  # six appends = six+ small files
+            ev.filter(F.col("event_id") % 6 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(p)
+
+    stats_p = compact_path(spark, paths["plain"], target_bytes=1 << 14)
+    stats_c = compact_path(
+        spark, paths["clustered"], cluster_by=["user_id", "value"],
+        target_bytes=1 << 14,
+    )
+    assert stats_p["n_files"] >= 6 and stats_c["n_files"] >= 6
+    assert stats_c["files_after"] < 6
+
+    if stats_c["files_after"] > 1:  # volume comparison needs >1 box
+        v_p = _box_volume_sum(paths["plain"], ["user_id", "value"], spans)
+        v_c = _box_volume_sum(paths["clustered"], ["user_id", "value"], spans)
+        assert v_c < v_p, (v_c, v_p)
+
+    got = spark.read.parquet(paths["clustered"]).orderBy("event_id").collect()
+    assert got == ev.orderBy("event_id").collect()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_path(
+            spark, paths["clustered"], partition_by=["user_id"],
+            cluster_by=["value"],
+        )
+
+
 def test_z_value_validates_width(spark):
     import pytest
 
