@@ -427,3 +427,120 @@ def test_format_strategies_agree_on_random_mutation_sequences(spark, tmp_path):
                     keys=keys,
                 )
         assert table("pq") == table("mf"), f"diverged at step {step} after {op}"
+
+
+# --- r05 join operators vs independent references --------------------------
+
+_join_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                 # key
+        st.integers(0, 50),                # ts offset (seconds)
+        st.integers(-99, 99),              # payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _mk_ts(off):
+    return datetime(2024, 1, 1) + timedelta(seconds=off)
+
+
+@given(left=_join_rows, right=_join_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join ≡ pandas merge_asof (backward, inclusive) per key —
+    an independent third implementation next to the DuckDB ASOF oracle.
+    Right rows are deduped per (key, ts) as the operator contract
+    requires; left rows get unique ids so multisets compare exactly."""
+    from faexport_db_spark.operators.asof import asof_join
+
+    rdedup = {}
+    for k, off, v in right:
+        rdedup[(k, off)] = max(v, rdedup.get((k, off), -(10**9)))
+    l_pd = pd.DataFrame(
+        [
+            {"k": k, "ts": _mk_ts(off), "lid": i, "lv": float(v)}
+            for i, (k, off, v) in enumerate(left)
+        ]
+    )
+    r_pd = pd.DataFrame(
+        [
+            {"k": k, "ts": _mk_ts(off), "rv": float(v)}
+            for (k, off), v in sorted(rdedup.items())
+        ]
+    )
+
+    ldf = spark.createDataFrame(l_pd) if len(l_pd) else spark.createDataFrame(
+        [], "k long, ts timestamp, lid long, lv double"
+    )
+    rdf = spark.createDataFrame(r_pd) if len(r_pd) else spark.createDataFrame(
+        [], "k long, ts timestamp, rv double"
+    )
+    got = {
+        r["lid"]: (r["rv"], r["asof_ts"])
+        for r in asof_join(ldf, rdf, on="k").collect()
+    }
+
+    if len(l_pd):
+        if len(r_pd):
+            exp_df = pd.merge_asof(
+                l_pd.sort_values("ts", kind="stable"),
+                r_pd.sort_values("ts", kind="stable").rename(
+                    columns={"ts": "asof_ts"}
+                ),
+                left_on="ts",
+                right_on="asof_ts",
+                by="k",
+                direction="backward",
+            )
+        else:
+            exp_df = l_pd.assign(rv=float("nan"), asof_ts=pd.NaT)
+        expected = {
+            int(r.lid): (
+                None if pd.isna(r.rv) else r.rv,
+                None if pd.isna(r.asof_ts) else r.asof_ts.to_pydatetime(),
+            )
+            for r in exp_df.itertuples()
+        }
+    else:
+        expected = {}
+    assert got == expected
+
+
+@given(left=_join_rows, right=_join_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_join_matches_naive_theta_join(spark, left, right):
+    """interval_join ≡ the naive theta join it replaces, for every
+    bucket width — bin-edge alignment, degenerate intervals, and
+    inverted intervals all land on hypothesis-generated data."""
+    from faexport_db_spark.operators.rangejoin import interval_join
+
+    l_rows = [
+        (k, _mk_ts(off), i) for i, (k, off, _v) in enumerate(left)
+    ]
+    r_rows = [
+        (k, _mk_ts(off), _mk_ts(off + span), 1000 + i)
+        for i, (k, off, span) in enumerate(right)
+    ]
+    expected = {
+        (lid, rid)
+        for (lk, lts, lid) in l_rows
+        for (rk, ws, we, rid) in r_rows
+        if lk == rk and ws <= lts <= we
+    }
+    ldf = spark.createDataFrame(
+        l_rows or [], "k long, ts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(
+        r_rows or [], "k long, ws timestamp, we timestamp, rid long"
+    )
+    for width in (3, 17):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                ldf, rdf, on="k", left_ts="ts",
+                right_start="ws", right_end="we", bucket_width=width,
+            ).collect()
+        }
+        assert got == expected, width
