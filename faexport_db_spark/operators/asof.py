@@ -58,6 +58,16 @@ def asof_join(
             "rename before asof_join"
         )
 
+    reserved = {"_ts", "_is_left", "asof_ts"}
+    bad = reserved & (set(left.columns) | set(right.columns))
+    if bad - {right_ts}:
+        raise ValueError(f"columns {sorted(bad)} are reserved by asof_join")
+
+    # a NULL right timestamp can never satisfy ts >= r.ts — drop such
+    # rows, or they would sort first and their payload would be carried
+    # into every left row
+    right = right.filter(F.col(right_ts).isNotNull())
+
     l_pass = [c for c in left.columns if c not in keys and c != left_ts]
     l_tag = left.select(
         *keys,

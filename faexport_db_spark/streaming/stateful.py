@@ -84,11 +84,18 @@ def _asof_enrich_fn(
         seed = pd.DataFrame(
             {"asof_ts": [pd.Timestamp(carried_ns)], "ref_value": [carried_val]}
         )
-        ref_tbl = pd.concat([seed, ref_tbl], ignore_index=True)
+        # the carried ref may be NEWER than refs arriving late in this
+        # batch — merge_asof requires the right side sorted, and the
+        # best-match semantics want it anyway
+        ref_tbl = pd.concat([seed, ref_tbl], ignore_index=True).sort_values(
+            "asof_ts", kind="stable", ignore_index=True
+        )
 
     if len(refs):
         last = refs.iloc[-1]
-        state.update((int(pd.Timestamp(last["ts"]).value), float(last["value"])))
+        last_ns = int(pd.Timestamp(last["ts"]).value)
+        if carried_ns is None or last_ns >= carried_ns:
+            state.update((last_ns, float(last["value"])))
         state.setTimeoutDuration(_ASOF_IDLE_TIMEOUT_MS)
     elif state.exists:
         state.setTimeoutDuration(_ASOF_IDLE_TIMEOUT_MS)  # re-arm idle eviction

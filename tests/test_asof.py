@@ -59,6 +59,22 @@ def test_asof_forward_inclusive(spark, frames):
     assert out[40.0]["rv"] is None
 
 
+def test_asof_ignores_null_right_timestamps(spark, frames):
+    left, right = frames
+    poisoned = right.unionByName(
+        right.limit(1).select(
+            "k", F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(-1.0).alias("rv"),
+        )
+    )
+    # a NULL-ts right row can never satisfy ts >= r.ts — results must be
+    # identical to the clean right side (not carried into every row)
+    base = {(r["lv"], r["rv"]) for r in asof_join(left, right, on="k").collect()}
+    got = {(r["lv"], r["rv"]) for r in asof_join(left, poisoned, on="k").collect()}
+    assert got == base
+    assert -1.0 not in {rv for _lv, rv in got}
+
+
 def test_asof_rejects_colliding_payload(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):

@@ -305,6 +305,57 @@ def test_asof_enrich_stream_matches_batch_operator(spark, sf_small, tmp_path):
     assert len(emitted) > 0
 
 
+def test_asof_enrich_carried_state_newer_than_batch_refs():
+    """A carried ref NEWER than every ref in the next batch (late refs)
+    must not break merge_asof's sorted-right requirement, must win the
+    enrichment for events after it, and must stay in state (max-ts
+    retention, not last-batch-row)."""
+    import pandas as pd
+
+    from faexport_db_spark.streaming.stateful import _asof_enrich_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, value):
+            self.value = value
+            self.exists = value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        def remove(self):
+            self.value = None
+            self.exists = False
+
+    carried_ts = pd.Timestamp("2024-01-01T00:10:00")
+    st = FakeState((int(carried_ts.value), 999.0))
+    batch = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2024-01-01T00:05:00"),  # LATE ref, older
+                pd.Timestamp("2024-01-01T00:07:00"),  # evt before carried
+                pd.Timestamp("2024-01-01T00:11:00"),  # evt after carried
+            ],
+            "side": ["ref", "evt", "evt"],
+            "value": [5.0, 1.0, 2.0],
+        }
+    )
+    out = pd.concat(list(_asof_enrich_fn(("k",), iter([batch]), st)))
+    by_val = {r.value: r for r in out.itertuples()}
+    assert by_val[1.0].ref_value == 5.0  # late ref is best at 00:07
+    assert by_val[2.0].ref_value == 999.0  # carried still wins at 00:11
+    assert st.value == (int(carried_ts.value), 999.0)  # max-ts retained
+
+
 def test_first_seen_rearms_timeout_for_active_keys():
     """An existing key's idle timeout is re-armed on every arrival —
     a key that stays active is never evicted and re-emitted."""
