@@ -1507,3 +1507,149 @@ def t_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.join(copy1, "query_id").select(
         "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
     )
+
+
+@register(
+    "t_line_dedup",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    raw AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(0, CAST(greatest(ceil(len(toks)/5.0) - 1, 0) AS BIGINT)),
+        i -> struct_pack(line_no := i,
+                         line := array_to_string(toks[i*5+1 : i*5+5], ' '))
+      )) AS l
+      FROM t
+    ),
+    lines AS (
+      SELECT doc_id, l.line_no AS line_no, l.line AS line,
+             md5(regexp_replace(lower(l.line), '[^a-z ]+', '', 'g')) AS lh
+      FROM raw
+    ),
+    w AS (SELECT *, count(*) OVER (PARTITION BY lh) AS cnt FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN cnt <= 1 THEN line END,
+                               ' ' ORDER BY line_no), '') AS clean_text,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN cnt <= 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lines_removed
+    FROM w GROUP BY doc_id
+    """,
+)
+def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb / CCNet shape):
+    every occurrence of a 5-token line repeated anywhere in the corpus
+    is cut — first occurrences included, unlike passage_dedup's
+    keep-first. The fixture corpus has naturally repeated 5-grams
+    (~6% of lines at sf0.01), so removal is non-trivial without
+    planting. Frequency is counted on CCNet-normalized lines
+    (lowercase, non-letter stripped); reassembly emits originals."""
+    from faexport_db_spark.training.text import line_dedup
+
+    return line_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        line_tokens=5,
+        max_freq=1,
+    )
+
+
+@register(
+    "t_heavy_hitters",
+    oracle=r"""
+    WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / total, 9) AS frac
+    FROM c, tot WHERE cnt > 0.03 * total
+    """,
+)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (>3% of token mass) — the frequent-
+    items question, answered exactly: map-side combine reduces each
+    partition to its local vocabulary before the exchange, so a hot
+    token is one row per map task and the shuffle is vocab-sized.
+    Surfaces stopword floods / boilerplate vocabulary pre-filtering."""
+    from faexport_db_spark.training.text import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs(spark, sf_dir), threshold_frac=0.03)
+
+
+@register(
+    "t_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                             AS BIGINT),
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def t_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb per-domain frequency cap: each source keeps its
+    10 best-md5-ranked docs, deterministically — no content farm
+    dominates the mix and reruns pick the SAME rows. Two-phase
+    bucketed top-k (training/pipeline.py group_cap) so a hot domain
+    sorts in 64 tasks, not one; the oracle is the single-window form
+    the two phases provably equal."""
+    from faexport_db_spark.training.pipeline import group_cap
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return group_cap(docs, key_cols=["source"], cap=10, id_col="doc_id", seed=42)
+
+
+@register(
+    "t_quality_classifier",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(
+             CAST(coalesce(list_sum(list_transform(toks,
+                    tok -> (('0x' || substr(md5(tok), 1, 6))::BIGINT % 2001) - 1000)),
+                  0) AS BIGINT)
+             / (1000.0 * greatest(len(toks), 1))))), 9) AS score
+    FROM t
+    """,
+)
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape linear quality classifier, hash-weight path:
+    score = sigmoid(mean token weight) folded over the token array as
+    ONE pure expression — zero exchanges, zero UDFs, weight sum kept
+    integer until the final division so DuckDB reproduces it
+    bit-for-bit. The learned-weights path (broadcast weight table) is
+    exercised in tests/test_training.py."""
+    from faexport_db_spark.training.text import linear_quality_score
+
+    return linear_quality_score(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@register(
+    "t_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                           AS BIGINT),
+                      doc_id) - 1 AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def t_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global example shuffle: every doc gets a
+    contiguous position in md5-rank order via the distributed
+    prefix-sum (chunked row_number + offset map — NO Exchange
+    SinglePartition, asserted in tests/test_plans.py), where the
+    oracle's naive row_number() OVER (ORDER BY ...) form funnels the
+    corpus through one task. Epoch order is reproducible across
+    retries, unlike rand()."""
+    from faexport_db_spark.training.pipeline import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir).select("doc_id"), seed=42)

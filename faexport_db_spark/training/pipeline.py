@@ -252,3 +252,102 @@ def mix_corpus(
         docs, rates, default_rate=0.0, stratum_col=stratum_col,
         id_col=id_col, salt=salt,
     )
+
+
+def _rank_key(id_col: str, seed: int) -> Column:
+    """Deterministic uniform rank key: low 48 bits of md5(seed:id) as
+    a bigint — engine-portable (DuckDB parses the same hex) and
+    reproducible across runs, unlike rand(seed) whose stream depends
+    on physical partitioning."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+
+
+def group_cap(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Cap each group at ``cap`` rows, chosen by deterministic hash
+    rank — the C4/RefinedWeb per-domain frequency cap: no single
+    domain (content farm, mirror network) may dominate the training
+    mix, and the SAME rows win on every run (md5 rank, not rand()).
+
+    Two-phase so a hot group never funnels through one task: rows
+    first split into ``n_buckets`` hash sub-buckets per group and each
+    sub-bucket keeps its ``cap`` best-ranked rows (window partitions
+    are group/n_buckets wide), then the ≤ cap·n_buckets survivors per
+    group — cap-sized, tiny — take the true top-``cap``.  Phase 1 can
+    never evict a global top-``cap`` row (a row's group rank only
+    improves when others are removed), so the result is exactly the
+    single-window answer while the widest window partition shrinks by
+    n_buckets.  At 100 TB this is the difference between the hottest
+    domain (1e8 docs) sorting in one task vs 64.
+    """
+    rk = _rank_key(id_col, seed).alias("__rk")
+    bucket = (F.xxhash64(F.col(id_col), F.lit(seed)) % n_buckets).alias("__b")
+    w1 = Window.partitionBy(*key_cols, "__b").orderBy("__rk", id_col)
+    w2 = Window.partitionBy(*key_cols).orderBy("__rk", id_col)
+    phase1 = (
+        df.select("*", rk, bucket)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= cap)
+    )
+    return (
+        phase1.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= cap)
+        .drop("__rk", "__b", "__rn1", "__rn2")
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Assign every doc a contiguous position 0..n-1 in a
+    deterministic pseudo-random order — the global example shuffle a
+    training run needs before sequence packing (epoch order must be
+    reproducible across retries, so rand() is out).
+
+    Order key is the md5 rank key; positions come from the same
+    distributed prefix-sum shape as ``sequence_pack``: quantile chunk
+    bounds on the rank key, per-chunk window row_number, chunk offsets
+    collected (n_chunks rows) and re-broadcast as a literal map.  The
+    naive ``row_number() OVER (ORDER BY key)`` plans an Exchange
+    SinglePartition — the whole corpus through one task; this never
+    does.  Ties on the 48-bit key break by id, so the permutation is
+    total and exact.
+
+    Output: input columns + ``pos`` (bigint).  Writers that need the
+    physical layout to match can ``repartitionByRange(pos)`` +
+    ``sortWithinPartitions(pos)`` on the result.
+    """
+    keyed = docs.withColumn("__rk", _rank_key(id_col, seed))
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = sorted(set(keyed.approxQuantile("__rk", probs, 0.001)))
+    chunked = keyed.withColumn("__pid", _chunk_pid("__rk", bounds))
+    w = Window.partitionBy("__pid").orderBy("__rk", id_col)
+    local = chunked.withColumn("__rn", F.row_number().over(w))
+    counts = {
+        r["__pid"]: r["c"]
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    pos = (
+        F.element_at(offset_map, F.col("__pid")).cast("bigint")
+        + F.col("__rn")
+        - 1
+    )
+    return local.select(*docs.columns, pos.alias("pos"))

@@ -537,3 +537,181 @@ def passage_dedup_against_index(
         out = out.localCheckpoint(eager=True)  # pin before the index mutates
         kept_ths.write.mode("append").parquet(index_path)
     return out
+
+
+def line_dedup(
+    docs: DataFrame,
+    line_tokens: int = 5,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    max_removed_frac: float | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal, the RefinedWeb / CCNet shape:
+    EVERY occurrence of a line whose corpus-wide frequency exceeds
+    ``max_freq`` is cut — including the first.  This is deliberately
+    different from ``passage_dedup`` (which keeps the first occurrence
+    of each repeated tile): repeated lines are navigation chrome,
+    cookie banners and license footers, and the published pipelines
+    (Penedo et al. 2023 §3.2; Wenzek et al. 2020 §4.1) drop them
+    everywhere they appear rather than electing a keeper.
+
+    Corpora with newline-delimited text would split on ``\\n``; this
+    corpus is single-line, so "lines" are fixed ``line_tokens`` token
+    windows (the same tiling primitive passage_dedup uses).  Frequency
+    is counted over a NORMALIZED form (lowercased, non-letter/space
+    characters stripped) when ``normalize`` — CCNet hashes normalized
+    lines so case/punctuation variants of the same banner collapse —
+    while reassembly always emits the ORIGINAL line text.
+
+    With ``max_removed_frac`` set, documents whose removed-line
+    fraction exceeds it are dropped entirely (RefinedWeb drops docs
+    that are mostly duplicated chrome).
+
+    Shape at 100 TB: identical economics to ``passage_dedup`` — the
+    frequency aggregate is a map-side-combining groupBy on the line
+    digest (a banner repeated millions of times collapses to ONE row
+    per map partition before the exchange), the join back is a skinny
+    digest-keyed equi-join AQE handles for skew, and the rebuild
+    groupBy is doc-keyed.  Nothing corpus-sized broadcasts; no
+    windows over skewed partitions.
+
+    Output: (id, clean_text, n_lines, n_lines_removed) per surviving
+    input doc; fully-boilerplate docs come back empty (or dropped,
+    under ``max_removed_frac``), never silently lost.
+    """
+    lines = _tiled(docs, line_tokens, text_col, id_col).withColumnRenamed(
+        "th", "__raw_h"
+    )
+    norm = (
+        F.regexp_replace(F.lower(F.col("tile_txt")), "[^a-z ]+", "")
+        if normalize
+        else F.col("tile_txt")
+    )
+    lines = lines.select(
+        F.col(id_col), "tile_idx", "tile_txt", F.md5(norm).alias("lh")
+    )
+    freq = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("__cnt"))
+    flagged = lines.join(freq, "lh").withColumn(
+        "__kept", F.col("__cnt") <= F.lit(max_freq)
+    )
+    out = (
+        _rebuild_docs(flagged, id_col)
+        .withColumnRenamed("n_tiles", "n_lines")
+        .withColumnRenamed("n_tiles_removed", "n_lines_removed")
+    )
+    if max_removed_frac is not None:
+        out = out.filter(
+            F.col("n_lines_removed").cast("double") / F.col("n_lines")
+            <= F.lit(max_removed_frac)
+        )
+    return out
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame,
+    threshold_frac: float = 0.01,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide heavy hitters: every token whose share of total
+    token mass exceeds ``threshold_frac`` — the exact form of the
+    frequent-items question sketches (Misra-Gries / SpaceSaving)
+    answer approximately.  On Spark the EXACT answer has the same
+    asymptotic cost as the sketch: the groupBy's map-side combine
+    reduces each partition to its local distinct tokens (vocabulary-
+    sized, not corpus-sized) before the exchange, so the shuffle
+    carries |vocab| rows per partition and a hot token is ONE row per
+    map task — skew-proof by construction.  Used to surface stopword
+    floods and boilerplate vocabulary before filtering.
+
+    Output: (token, cnt, frac) for hitters, frac = cnt/total rounded
+    to 9 places (integer-exact until the final division).
+    """
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.lit(threshold_frac) * F.col("__total"))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("__total"), 9).alias("frac"),
+        )
+    )
+
+
+def _hash_weight(tok: Column) -> Column:
+    """Deterministic per-token weight in [-1, 1] scaled to integer
+    thousandths: (md5 low 24 bits mod 2001) - 1000.  Integer until the
+    caller's final division so accumulation order can't change the
+    result (DuckDB-reproducible bit-for-bit)."""
+    h = F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("bigint")
+    return (h % 2001) - 1000
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """fastText-shape linear document classifier: score =
+    sigmoid(mean token weight), the architecture of the CCNet /
+    GPT-3-era quality classifiers (a bag-of-words linear model over
+    token features).  Two execution paths:
+
+    - default (``weights=None``): weights derive from the token's md5
+      (``_hash_weight``) and the whole scorer is ONE pure expression —
+      ``aggregate`` folds the token array JVM-side, zero exchanges,
+      zero UDFs, fully whole-stage-codegen.  The weight sum stays
+      INTEGER (thousandths) until the final division, so left-fold
+      order is irrelevant and DuckDB reproduces it exactly.
+    - ``weights`` (token, weight) DataFrame: real learned weights —
+      explode + broadcast-join the weight table (vocabulary-sized,
+      always broadcastable) + per-doc sum.  Same economics as lang_id.
+
+    With ``threshold``, rows scoring below it are dropped (the filter
+    use); otherwise all docs return with their score.  Output:
+    (id, n_tokens, score) — score rounded to 9 places after the one
+    floating division.
+    """
+    toks = tokens_expr(text_col)
+    n = F.size(toks).cast("bigint")
+    if weights is None:
+        wsum = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + _hash_weight(t).cast("bigint"),
+        )
+        scored = docs.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            wsum.alias("__wsum"),
+        )
+    else:
+        per_tok = docs.select(
+            F.col(id_col), n.alias("n_tokens"), F.explode(toks).alias("token")
+        )
+        scored = (
+            per_tok.join(F.broadcast(weights), "token", "left")
+            .groupBy(id_col, "n_tokens")
+            .agg(
+                F.round(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))), 6).alias(
+                    "__wsum"
+                )
+            )
+        )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    scale = F.lit(1000.0) if weights is None else F.lit(1.0)
+    logit = F.col("__wsum").cast("double") / (scale * denom)
+    out = scored.select(
+        id_col,
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 9).alias("score"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("score") >= F.lit(threshold))
+    return out

@@ -352,3 +352,34 @@ def test_bm25_shuffle_ceilings(spark, sf_small):
         assert strategies["CartesianProduct"] == 0, (name, strategies)
         assert strategies["SortMergeJoin"] == 0, (name, strategies)
         assert strategies["BroadcastNestedLoopJoin"] <= max_bnlj, (name, strategies)
+
+
+def test_line_dedup_shuffle_ceiling(spark, sf_small):
+    """Line dedup = frequency agg on the line digest (whose exchange
+    the join back reuses) + per-doc rebuild: same 2-exchange economics
+    as passage dedup. More exchanges = scale regression."""
+    assert shuffle_count(QUERIES["t_line_dedup"](spark, sf_small)) <= 2
+
+
+def test_global_shuffle_never_single_partitions(spark, sf_small):
+    """Deterministic global shuffle must use the chunked prefix sum,
+    never row_number() over a global ORDER BY (Exchange
+    SinglePartition = whole corpus through one task)."""
+    from faexport_db_spark.plans.audit import _physical_plan
+    from faexport_db_spark.training.pipeline import global_shuffle
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    df = global_shuffle(docs, seed=7)
+    assert "SinglePartition" not in _physical_plan(df)
+    assert_plan(df, max_python_evals=0)
+
+
+def test_quality_classifier_zero_exchange(spark, sf_small):
+    """Hash-weight path is one pure expression: no exchange at all,
+    no Python evals — the whole scorer runs inside the scan stage."""
+    from faexport_db_spark.training.text import linear_quality_score
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    df = linear_quality_score(docs)
+    assert shuffle_count(df) == 0
+    assert_plan(df, max_python_evals=0)

@@ -1018,3 +1018,142 @@ def test_streaming_bm25_index_maintenance(spark, sf_small, tmp_path):
         tuple(r) for r in bm25_topk_persisted(spark, idx, queries, k=3).collect()
     }
     assert got == want
+
+
+def test_line_dedup_drops_all_occurrences_of_frequent_lines(spark):
+    """RefinedWeb semantics: a repeated line vanishes EVERYWHERE —
+    including its first occurrence — unlike passage_dedup's
+    keep-first; unique lines survive verbatim."""
+    from faexport_db_spark.training.text import line_dedup
+
+    banner = "accept cookies to continue here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner} alpha beta gamma delta eps"),
+            (2, f"{banner} zeta eta theta iota kappa"),
+            (3, "unique words only in this doc here fine words ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=5).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta eps"
+    assert out[1]["n_lines_removed"] == 1  # first occurrence cut too
+    assert out[2]["clean_text"] == "zeta eta theta iota kappa"
+    assert out[3]["n_lines_removed"] == 0
+    assert out[3]["clean_text"] == docs.filter("doc_id=3").first()["text"]
+
+
+def test_line_dedup_normalization_collapses_variants(spark):
+    """CCNet-normalized hashing: case/punctuation variants of the
+    same line count as one line; raw mode keeps them distinct."""
+    from faexport_db_spark.training.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Accept ALL Cookies!! now ok"), (2, "accept all cookies now ok")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=5).collect()}
+    assert out[1]["n_lines_removed"] == 1 and out[2]["n_lines_removed"] == 1
+    assert out[1]["clean_text"] == "" and out[2]["clean_text"] == ""
+    raw = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, line_tokens=5, normalize=False).collect()
+    }
+    assert raw[1]["n_lines_removed"] == 0 and raw[2]["n_lines_removed"] == 0
+
+
+def test_line_dedup_max_removed_frac_drops_chrome_docs(spark):
+    """Docs that are mostly duplicated chrome are dropped entirely
+    under max_removed_frac; lightly-affected docs survive cleaned."""
+    from faexport_db_spark.training.text import line_dedup
+
+    chrome = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{chrome} a b c d e f g h i j k l m n o"),  # 1/4 removed
+            (2, chrome),  # 100% removed
+            (3, chrome),  # 100% removed
+        ],
+        "doc_id bigint, text string",
+    )
+    out = line_dedup(docs, line_tokens=5, max_removed_frac=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1}
+    # without the threshold all three come back (2/3 emptied)
+    assert line_dedup(docs, line_tokens=5).count() == 3
+
+
+def test_linear_quality_score_learned_weights_path(spark):
+    """The broadcast-weight-table path scores known docs exactly:
+    mean weight -> sigmoid, unknown tokens contribute 0."""
+    import math
+
+    from faexport_db_spark.training.text import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "junk junk junk junk")],
+        "doc_id bigint, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.0), ("bad", -1.0)], "token string, weight double"
+    )
+    out = {r["doc_id"]: r for r in linear_quality_score(docs, weights=weights).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["score"] - 1 / (1 + math.exp(-(2 + 2 - 1) / 3))) < 1e-6
+    assert abs(out[2]["score"] - 0.5) < 1e-9  # all-unknown -> logit 0
+    kept = linear_quality_score(docs, weights=weights, threshold=0.6).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_group_cap_matches_single_window_and_is_deterministic(spark, sf_small):
+    """Two-phase bucketed cap == the naive one-window top-cap, and
+    reruns pick identical rows (hash rank, not rand)."""
+    from pyspark.sql.window import Window as W
+
+    from faexport_db_spark.training.pipeline import _rank_key, group_cap
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "source")
+    capped = group_cap(docs, ["source"], cap=7, id_col="doc_id", seed=9)
+    w = W.partitionBy("source").orderBy(_rank_key("doc_id", 9), "doc_id")
+    naive = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .drop("rn")
+    )
+    mine = {(r["source"], r["doc_id"]) for r in capped.collect()}
+    ref = {(r["source"], r["doc_id"]) for r in naive.collect()}
+    assert mine == ref
+    again = {
+        (r["source"], r["doc_id"])
+        for r in group_cap(docs, ["source"], cap=7, id_col="doc_id", seed=9).collect()
+    }
+    assert again == mine
+    assert capped.groupBy("source").count().agg(F.max("count")).first()[0] <= 7
+
+
+def test_global_shuffle_is_total_permutation(spark, sf_small):
+    """Positions are exactly 0..n-1 with no collisions, and follow
+    the md5 rank order."""
+    from faexport_db_spark.training.pipeline import global_shuffle
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    out = global_shuffle(docs, seed=3)
+    n = docs.count()
+    rows = out.collect()
+    assert sorted(r["pos"] for r in rows) == list(range(n))
+    # different seed -> different permutation (overwhelmingly)
+    other = {r["doc_id"]: r["pos"] for r in global_shuffle(docs, seed=4).collect()}
+    mine = {r["doc_id"]: r["pos"] for r in rows}
+    assert mine != other
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    from faexport_db_spark.training.text import heavy_hitter_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a a b c")], "doc_id bigint, text string"
+    )
+    out = {r["token"]: r for r in heavy_hitter_tokens(docs, 0.15).collect()}
+    # a: 7/10, b: 2/10, c: 1/10 -> only a and b clear 15%
+    assert set(out) == {"a", "b"}
+    assert out["a"]["cnt"] == 7 and abs(out["a"]["frac"] - 0.7) < 1e-9
