@@ -207,3 +207,43 @@ def merged_submission_web_json(merged: DataFrame) -> DataFrame:
             )
         ).alias("web_json"),
     )
+
+
+def scd2_collapse(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Collapse an ordered snapshot stream into SCD-type-2 validity
+    intervals: consecutive snapshots of the same entity carrying the
+    SAME value fold into one (value, valid_from, valid_to, n_snapshots)
+    row; every value CHANGE opens a new interval.  The
+    gaps-and-islands formulation — island id = global row_number minus
+    per-value row_number, both over the same (key, order) — needs two
+    window passes over ONE partitioning (a single exchange on the
+    entity key; Catalyst plans both windows in the same stage), then a
+    doc-keyed aggregate.  No self-joins, no lag-chain loops: the naive
+    lag()-then-cumulative-flag form is an extra window pass and
+    expresses the identical island id.
+
+    At 100 TB the partition key is the entity — uniform by
+    construction for snapshot streams (each entity contributes its own
+    history) — and the island aggregate reuses the window's
+    partitioning.  Deterministic given a deterministic ``order_cols``
+    (callers must include a unique tiebreaker when the timestamp can
+    tie, same contract as W1-W4).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    wv = Window.partitionBy(*key_cols, value_col).orderBy(*order_cols)
+    first_order = order_cols[0]
+    islanded = snapshots.withColumn(
+        "__island", F.row_number().over(w) - F.row_number().over(wv)
+    )
+    return islanded.groupBy(*key_cols, value_col, "__island").agg(
+        F.min(first_order).alias("valid_from"),
+        F.max(first_order).alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_snapshots"),
+    ).drop("__island")

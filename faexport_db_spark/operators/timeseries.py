@@ -1,0 +1,65 @@
+"""Time-series regularization operators: gap-filled resampling with
+last-observation-carried-forward.
+
+The reference serves irregular snapshot streams (scan_datetime rows
+arrive whenever a crawler ran — website_states / submission snapshots,
+faexport_db/models.py); consumers asking "what was the state on day X"
+need a regular grid. Spark has no native ``time_bucket`` gap-fill, so
+this composes one from ``sequence`` + explode + an ignore-nulls
+``last`` window — all JVM expressions, no UDFs.
+
+Scale shape: the grid explode is linear in (entity x days-in-span) and
+happens AFTER the per-day aggregate, so the exploded frame is already
+reduced; the fill window partitions by entity — uniform for snapshot
+streams — and the left join back to observations is an equi-join on
+(entity, bucket) that AQE plans. Nothing global; no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_locf(
+    observed: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Regularize a per-(key, bucket) frame onto each key's full
+    contiguous daily bucket range, carrying the last observed value
+    forward into gap buckets.
+
+    ``observed`` must hold ONE row per (key, bucket) — aggregate
+    first (the per-day reduce is what keeps the grid explode small).
+    ``bucket_col`` must be a date column. Output: one row per (key,
+    every day between that key's min and max bucket), each
+    ``value_cols`` entry filled LOCF, plus ``observed`` marking real
+    rows. Leading gaps cannot exist (the span starts at the first
+    observation), so filled values are never null.
+    """
+    spans = observed.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__d0"), F.max(bucket_col).alias("__d1")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias(bucket_col),
+    )
+    joined = grid.join(observed, [*key_cols, bucket_col], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    flag = F.lit(False)
+    for vc in value_cols:
+        flag = flag | F.col(vc).isNotNull()
+    out = out.withColumn("observed", flag)
+    for vc in value_cols:
+        out = out.withColumn(vc, F.last(vc, ignorenulls=True).over(w))
+    return out

@@ -40,6 +40,7 @@ from faexport_db_spark.queries import (  # noqa: F401
     sorts,
     sources_queries,
     streaming_queries,
+    timeseries,
     training_queries,
     windows,
 )

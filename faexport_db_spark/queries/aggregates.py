@@ -225,3 +225,31 @@ def a10_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@register(
+    "a11_cube_matrix",
+    oracle="""
+    WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM e GROUP BY CUBE (event_type, day)
+    """,
+)
+def a11_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — full CUBE over (event_type, day): every marginal — per
+    cell, per type, per day, grand total — in ONE aggregate pass.
+    Like ``rollup`` (A9) this compiles to GROUPING SETS inside a
+    single Expand + aggregate, sharing map-side partials across all
+    2^k set combinations instead of 4 scans + union; at 100 TB the
+    Expand multiplies rows 4x BEFORE the exchange, so the map-side
+    combine is what keeps the shuffle proportional to group count,
+    not input size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -388,3 +388,41 @@ def m8_entity_web_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("web_json")
         )
     )
+
+
+@register(
+    "m9_scd2_history",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+           - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey) AS island
+      FROM orders
+    )
+    SELECT o_custkey, o_orderstatus,
+           min(o_orderdate) AS valid_from,
+           max(o_orderdate) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_snapshots
+    FROM w GROUP BY o_custkey, o_orderstatus, island
+    """,
+)
+def m9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — snapshot stream -> SCD2 validity intervals
+    (gaps-and-islands): per customer, consecutive orders with the same
+    status collapse into one interval; a status change opens a new
+    one. The merge-engine shape for "what did this entity look like
+    over time" history tables, complementing M1-M8's latest-state
+    merges. Both windows share one entity-keyed exchange."""
+    from faexport_db_spark.operators.merge import scd2_collapse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    return scd2_collapse(
+        orders,
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        value_col="o_orderstatus",
+    ).drop("o_orderkey")

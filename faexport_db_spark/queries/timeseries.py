@@ -1,0 +1,174 @@
+"""Time-series regularization queries (TS1+): the irregular
+snapshot-stream -> regular-grid shapes downstream dashboards and
+state-on-day-X lookups need over the reference's scan_datetime
+streams (faexport_db/models.py website_states / submission
+snapshots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.timeseries import resample_locf
+from faexport_db_spark.queries.registry import register
+
+
+@register(
+    "ts1_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(CAST(sum(value) AS DOUBLE), 2) AS day_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, d.day_value,
+             d.day_value IS NOT NULL AS observed
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+           observed
+    FROM joined
+    """,
+)
+def ts1_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1 — daily resample with LOCF gap fill: per-user daily value
+    totals regularized onto each user's full day span; days with no
+    events repeat the last observed total and are flagged
+    ``observed=false``. sequence+explode grid, one entity-keyed fill
+    window, zero UDFs — see operators/timeseries.py for the 100 TB
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    filled = resample_locf(
+        daily, key_cols=["user_id"], bucket_col="day", value_cols=["day_value"]
+    )
+    # computed DATEs round-trip differently through the two engines'
+    # pandas bridges (datetime64 vs datetime.date), so the driver
+    # surface renders the bucket as a string — same convention as A4.
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        "observed",
+    )
+
+
+@register(
+    "ts2_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.d0, a.d) AS INT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ts2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2 — cohort retention triangle: users bucket into cohorts by
+    first-seen day; each later active day counts toward (cohort,
+    day-offset). Two aggregates + one equi-join on user_id — the
+    firsts side is user-cardinality (large at scale), so it stays a
+    shuffle join AQE plans rather than a broadcast; the distinct
+    pre-aggregate shrinks the activity side to user×day before the
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "ts3_funnel_stages",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+       AND e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def ts3_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS3 — ordered funnel (signup -> click -> purchase): how deep
+    each user progressed, where each stage must STRICTLY follow the
+    previous stage's first completion. The oracle is the textbook
+    3-pass self-join; the Spark side folds each user's time-sorted
+    event array with ONE aggregate expression (collect -> array_sort
+    -> higher-order fold) — a single exchange instead of three
+    aggregate+join rounds, and the fold is whole-stage-codegen, no
+    UDFs. Greedy-first semantics are equivalent: the fold advances at
+    exactly the earliest qualifying event per stage."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+    needed = {1: "signup", 2: "click", 3: "purchase"}
+
+    def step(acc, ev_s):
+        advance = F.lit(False)
+        for stage, etype in needed.items():
+            advance = advance | (
+                (acc["stage"] == stage - 1)
+                & (ev_s["event_type"] == etype)
+                & (acc["t"].isNull() | (ev_s["ts"] > acc["t"]))
+            )
+        return F.when(
+            advance,
+            F.struct((acc["stage"] + 1).alias("stage"), ev_s["ts"].alias("t")),
+        ).otherwise(acc)
+
+    folded = ev.groupBy("user_id").agg(
+        F.aggregate(arr, init, step).alias("__f")
+    )
+    return folded.select(
+        "user_id", F.col("__f.stage").cast("int").alias("funnel_stage")
+    )

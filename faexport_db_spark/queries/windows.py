@@ -122,3 +122,31 @@ def w4_dedup_user_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day"), "event_id"
     )
     return _keep_one(ev, ["user_id", "day"], "event_id", "lowest")
+
+
+@register(
+    "w5_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, value, CAST(rn AS INT) AS rnk FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — top-k rows PER GROUP (k=3 highest-value events per user),
+    the per-entity leaderboard shape. One window pass; row_number
+    (not rank) with an id tiebreak keeps the result deterministic.
+    At scale the partition key is the group key, so skew = hottest
+    group; for pathological groups the two-phase bucketed variant
+    (training/pipeline.py group_cap) bounds partition width —
+    this query demonstrates the direct form on a uniform key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
