@@ -189,7 +189,7 @@ def s8_preresolved_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k1_bulk_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 — bulk insert sink (db.py:102-127's chunked multi-VALUES →
     a single distributed parquet append). Writes the table out, reads
-    it back, aggregates — so写-path fidelity is value-checked."""
+    it back, aggregates — so write-path fidelity is value-checked."""
     out = _tmp("k1")
     load_table(spark, sf_dir, "lineitem").write.mode("append").parquet(out)
     return (
@@ -352,3 +352,59 @@ def k5_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=8,
     )
     return ev.select("event_id", z.alias("zval"))
+
+
+@register(
+    "s9_orc_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — ORC format adapter: write the events table as ORC, read
+    it back through the vectorized ORC reader, aggregate. ORC is the
+    second columnar format Spark ships natively (predicate pushdown,
+    column pruning and vectorized decode all apply, same as parquet);
+    interchange with Hive-era warehouses is read/write-symmetric.
+    Value-checking the aggregate pins the whole write-read path —
+    timestamp/decimal round-trip included."""
+    out = _tmp("s9")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "k6_partitioned_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def k6_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — hive-partitioned sink + partition-pruned scan: events
+    land as event_type= directories; the reader's IN-filter prunes to
+    2 of 5 partitions BEFORE any IO (asserted on the physical plan in
+    tests/test_plans.py). This is the layout contract every persisted
+    index in this engine builds on (band_idx=/tbl=/cid= dirs): at
+    100 TB the difference between scanning 2/5 and 5/5 partitions IS
+    the query budget."""
+    out = _tmp("k6")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -383,3 +383,19 @@ def test_quality_classifier_zero_exchange(spark, sf_small):
     df = linear_quality_score(docs)
     assert shuffle_count(df) == 0
     assert_plan(df, max_python_evals=0)
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf_small):
+    """K6: the IN-filter on the partition column must become a
+    PartitionFilters entry on the scan (pruned BEFORE IO), not a
+    post-scan Filter over all partitions."""
+    from faexport_db_spark.plans.audit import formatted_plan
+    from faexport_db_spark.queries import QUERIES
+
+    df = QUERIES["k6_partitioned_sink"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
