@@ -1653,3 +1653,102 @@ def t_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.pipeline import global_shuffle
 
     return global_shuffle(_docs(spark, sf_dir).select("doc_id"), seed=42)
+
+
+@register(
+    "t_compression_checked",
+    oracle="""
+    SELECT doc_id, TRUE AS repeat_compresses_better FROM documents
+    """,
+)
+def t_compression_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-property check for the zlib compression-ratio signal
+    (training/text.py compression_ratio): concatenating a document
+    with itself 4x MUST strictly lower its compression ratio (the
+    repeats are free for LZ77), for every doc. Runs the real Arrow-
+    batched scorer on corpus + 4x variants and reduces to the boolean
+    the oracle pins — the deterministic projection of a signal whose
+    raw float values no SQL engine reproduces."""
+    from faexport_db_spark.training.text import compression_ratio
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = docs.select(
+        "doc_id",
+        F.concat_ws(" ", "text", "text", "text", "text").alias("text"),
+    )
+    base = compression_ratio(docs).select("doc_id", F.col("ratio").alias("r0"))
+    reps = compression_ratio(rep).select("doc_id", F.col("ratio").alias("r4"))
+    return base.join(reps, "doc_id").select(
+        "doc_id", (F.col("r4") < F.col("r0")).alias("repeat_compresses_better")
+    )
+
+
+@register("t_compression_ratio")
+def t_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw zlib compression-ratio signal (rows-only: no SQL engine
+    reproduces zlib output sizes; pinned by t_compression_checked's
+    planted-property oracle + golden tests)."""
+    from faexport_db_spark.training.text import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@register(
+    "t_line_incremental_checked",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    counts AS (SELECT doc_id,
+                      CAST(greatest(ceil(len(toks)/5.0), 1) AS BIGINT) AS n
+               FROM t),
+    letters AS (SELECT doc_id,
+                       'nv' || translate(CAST(doc_id AS VARCHAR),
+                                         '0123456789', 'abcdefghij') AS stem
+                FROM documents)
+    SELECT doc_id + 1000000 AS doc_id, '' AS clean_text,
+           n AS n_lines, n AS n_lines_removed
+    FROM counts
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           stem || 'a' || ' ' || stem || 'b' || ' ' || stem || 'c' || ' ' ||
+           stem || 'd' || ' ' || stem || 'e' || ' ' || stem || 'f' || ' ' ||
+           stem || 'g' || ' ' || stem || 'h' || ' ' || stem || 'i' || ' ' ||
+           stem || 'j' || ' ' || stem || 'k' || ' ' || stem || 'l' AS clean_text,
+           CAST(3 AS BIGINT) AS n_lines, CAST(0 AS BIGINT) AS n_lines_removed
+    FROM letters
+    """,
+)
+def t_line_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line dedup against the persisted line-COUNT index:
+    the index holds the corpus' per-line frequencies; the arriving
+    batch is exact copies (every line's corpus-count+batch-count >= 2
+    > max_freq -> fully emptied, drop-all has no keeper) plus per-doc
+    novel all-letter 12-token texts (3 five-token lines, never seen,
+    unique in batch -> pass verbatim). Letter-only novel tokens
+    because the CCNet normalization strips digits/underscores — a
+    digit-bearing stem would collapse every novel line to the same
+    digest and falsely remove them."""
+    import tempfile
+
+    from faexport_db_spark.training.text import (
+        build_line_index,
+        line_dedup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="faexport_spark_lcounts_") + "/index"
+    build_line_index(docs, path, line_tokens=5)
+    copies = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    stem = F.concat(
+        F.lit("nv"),
+        F.translate(F.col("doc_id").cast("string"), "0123456789", "abcdefghij"),
+    )
+    novel = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(stem, F.lit(c)) for c in "abcdefghijkl"]
+        ).alias("text"),
+    )
+    return line_dedup_against_index(
+        copies.unionByName(novel), path, line_tokens=5, max_freq=1, append=False
+    )

@@ -24,4 +24,8 @@ from faexport_db_spark.streaming.ingest_stream import (  # noqa: F401
 from faexport_db_spark.streaming.merged_view_stream import (  # noqa: F401
     start_incremental_merged_users,
 )
-from faexport_db_spark.streaming.stateful import asof_enrich, first_seen  # noqa: F401
+from faexport_db_spark.streaming.stateful import (  # noqa: F401
+    asof_enrich,
+    first_seen,
+    funnel_track,
+)

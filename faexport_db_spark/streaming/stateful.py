@@ -175,3 +175,68 @@ def first_seen(stream: DataFrame, key_col: str = "key", value_col: str = "value"
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, funnel_stage int, stage_ts timestamp"
+FUNNEL_STATE_SCHEMA = "stage int, t_ns long"
+_FUNNEL_IDLE_TIMEOUT_MS = 24 * 3600 * 1000
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if not len(batch):
+        return
+    stage, t_ns = state.get if state.exists else (0, None)
+    # identical tie-order to the batch fold: (ts, event_type)
+    batch = batch.sort_values(["ts", "event_type"], kind="stable")
+    out_stage, out_ts = [], []
+    for ts, et in zip(batch["ts"], batch["event_type"]):
+        if stage >= len(FUNNEL_STAGES):
+            break
+        ns = int(pd.Timestamp(ts).value)
+        if et == FUNNEL_STAGES[stage] and (t_ns is None or ns > t_ns):
+            stage += 1
+            t_ns = ns
+            out_stage.append(stage)
+            out_ts.append(ts)
+    if out_stage:
+        state.update((stage, t_ns))
+    state.setTimeoutDuration(_FUNNEL_IDLE_TIMEOUT_MS)
+    if out_stage:
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "funnel_stage": pd.Series(out_stage, dtype="int32"),
+                "stage_ts": out_ts,
+            }
+        )
+
+
+def funnel_track(stream: DataFrame) -> DataFrame:
+    """Cross-batch streaming funnel: per user, emit a changelog row
+    each time the strict-order funnel (signup -> click -> purchase)
+    advances — batch N's purchase completes a signup from batch 1 via
+    the checkpointed (stage, last_ts) state, with idle-timeout
+    eviction bounding state like the other stateful operators.
+
+    Semantics match the batch fold (queries/timeseries.py
+    ts3_funnel_stages) exactly: same (ts, event_type) tie order, same
+    strictly-after requirement — the parity test reconciles max
+    emitted stage per user against the batch answer. The per-row
+    Python loop runs inside Arrow-batched per-key groups (rows per
+    user per micro-batch — small by construction), the accepted cost
+    of an operator Structured Streaming has no built-in for.
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

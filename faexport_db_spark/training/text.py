@@ -581,17 +581,7 @@ def line_dedup(
     input doc; fully-boilerplate docs come back empty (or dropped,
     under ``max_removed_frac``), never silently lost.
     """
-    lines = _tiled(docs, line_tokens, text_col, id_col).withColumnRenamed(
-        "th", "__raw_h"
-    )
-    norm = (
-        F.regexp_replace(F.lower(F.col("tile_txt")), "[^a-z ]+", "")
-        if normalize
-        else F.col("tile_txt")
-    )
-    lines = lines.select(
-        F.col(id_col), "tile_idx", "tile_txt", F.md5(norm).alias("lh")
-    )
+    lines = _lines(docs, line_tokens, text_col, id_col, normalize)
     freq = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("__cnt"))
     flagged = lines.join(freq, "lh").withColumn(
         "__kept", F.col("__cnt") <= F.lit(max_freq)
@@ -714,4 +704,175 @@ def linear_quality_score(
     )
     if threshold is not None:
         out = out.filter(F.col("score") >= F.lit(threshold))
+    return out
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) —
+    the classic cheap quality/diversity signal: machine-generated or
+    highly repetitive text compresses far below natural prose, and
+    near-random noise barely compresses at all (used as a filter
+    bound in Gopher-descended cleaning stacks and RedPajama-v2's
+    quality signal set).
+
+    zlib lives outside the JVM, so this is the sanctioned slow path
+    done right: Arrow-batched ``mapInPandas`` (one Python roundtrip
+    per ~10k-row batch, never per row), map-only — zero exchanges,
+    partition-parallel, output skinny (id, n_bytes, ratio). At 100 TB
+    the cost is one streaming pass over text bytes with no shuffle at
+    all; the plan audit pins exactly one PythonMapInArrow/MapInPandas
+    node and zero exchanges.
+
+    Output: (id, n_bytes, ratio) — n_bytes of the UTF-8 encoding;
+    empty/null text yields ratio over max(n,1) so the column is never
+    null/inf.
+    """
+    import pandas as pd
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.apply(len)
+            comp = raw.apply(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "ratio": (comp / n.clip(lower=1)).astype("float64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} bigint, n_bytes bigint, ratio double"
+    )
+
+
+def _lines(
+    docs: DataFrame,
+    line_tokens: int,
+    text_col: str,
+    id_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """(id, tile_idx, tile_txt, lh): fixed-width token lines with the
+    CCNet-normalized (or raw) md5 digest used for frequency counting."""
+    lines = _tiled(docs, line_tokens, text_col, id_col).drop("th")
+    norm = (
+        F.regexp_replace(F.lower(F.col("tile_txt")), "[^a-z ]+", "")
+        if normalize
+        else F.col("tile_txt")
+    )
+    return lines.select(
+        F.col(id_col), "tile_idx", "tile_txt", F.md5(norm).alias("lh")
+    )
+
+
+def build_line_index(
+    docs: DataFrame,
+    index_path: str,
+    line_tokens: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> None:
+    """Persist the corpus' per-line FREQUENCY counts — unlike the
+    passage index (digest presence), line dedup's drop-all semantics
+    need how MANY times each line has been seen, so arriving batches
+    can tell 'this line existed once' (total 2 with mine -> drop)
+    from 'never seen' (total 1 -> keep). Appends are additive delta
+    rows summed on probe; one narrow (lh, cnt) pair per distinct
+    line, sorted for row-group pruning; the parameter sidecar rejects
+    probes lined/normalized differently."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    (
+        _lines(docs, line_tokens, text_col, id_col, normalize)
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .sortWithinPartitions("lh")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    write_index_meta(
+        docs.sparkSession,
+        index_path,
+        "line_counts",
+        {"line_tokens": line_tokens, "normalize": normalize},
+    )
+
+
+def line_dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    line_tokens: int = 5,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    append: bool = True,
+) -> DataFrame:
+    """Incremental line-level boilerplate removal: a NEW batch's line
+    is cut when its corpus-so-far count plus its in-batch count
+    exceeds ``max_freq`` — the drop-all semantics of
+    :func:`line_dedup` extended across batches (a banner seen once
+    historically and once now is gone, both here and in any future
+    batch). Already-emitted docs are NOT retroactively re-cleaned —
+    the standard streaming-dedup contract, same as the MinHash and
+    passage incremental paths.
+
+    Only the batch is lined; candidate counts come from ONE index
+    scan semi-filtered by the broadcast batch digest set
+    (batch-sized, never corpus-sized). With ``append``, the batch's
+    line counts land as additive delta rows (summed on the next
+    probe). Streaming wrappers must write surviving text to the store
+    BEFORE appending counts (the store-first ordering of
+    streaming/dedup_stream.py; a counts-first crash would over-clean
+    the retry).
+
+    Output: (id, clean_text, n_lines, n_lines_removed) per batch doc.
+    """
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    check_index_meta(
+        spark,
+        index_path,
+        "line_counts",
+        {"line_tokens": line_tokens, "normalize": normalize},
+    )
+    lines = _lines(batch, line_tokens, text_col, id_col, normalize).localCheckpoint(
+        eager=True
+    )
+    batch_counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("__bcnt"))
+    index = spark.read.parquet(index_path)
+    hit_counts = (
+        index.join(F.broadcast(batch_counts.select("lh")), "lh", "left_semi")
+        .groupBy("lh")
+        .agg(F.sum("cnt").cast("bigint").alias("__icnt"))
+    )
+    totals = batch_counts.join(F.broadcast(hit_counts), "lh", "left").select(
+        "lh",
+        "__bcnt",
+        (F.col("__bcnt") + F.coalesce(F.col("__icnt"), F.lit(0))).alias("__total"),
+    )
+    flagged = lines.join(F.broadcast(totals), "lh").withColumn(
+        "__kept", F.col("__total") <= F.lit(max_freq)
+    )
+    out = (
+        _rebuild_docs(flagged, id_col)
+        .withColumnRenamed("n_tiles", "n_lines")
+        .withColumnRenamed("n_tiles_removed", "n_lines_removed")
+    )
+    if append:
+        out = out.localCheckpoint(eager=True)  # pin before the index mutates
+        batch_counts.select("lh", F.col("__bcnt").alias("cnt")).write.mode(
+            "append"
+        ).parquet(index_path)
     return out

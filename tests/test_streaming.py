@@ -695,3 +695,87 @@ def test_passage_dedup_retry_windows_never_lose_text(spark, tmp_path):
     )
     assert out2.count() == 0  # all tiles already indexed
     assert spark.read.parquet(store).distinct().count() == 1
+
+
+def test_funnel_track_advances_across_batches(spark, tmp_path):
+    """Streaming funnel: stage state persists across micro-batches —
+    a purchase in batch 2 completes a click from batch 1; pre-signup
+    events never advance; each advance emits one changelog row."""
+    from faexport_db_spark.streaming import funnel_track
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "funnel_ckpt")
+    schema = "user_id bigint, ts timestamp, event_type string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = funnel_track(stream)
+        emitted = []
+
+        def collect(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    (src / "b1.jsonl").write_text(
+        '{"user_id":1,"ts":"2024-01-01T00:00:01","event_type":"click"}\n'
+        '{"user_id":1,"ts":"2024-01-01T00:00:02","event_type":"signup"}\n'
+        '{"user_id":1,"ts":"2024-01-01T00:00:03","event_type":"click"}\n'
+        '{"user_id":2,"ts":"2024-01-01T00:00:01","event_type":"purchase"}\n'
+    )
+    got1 = {(r["user_id"], r["funnel_stage"]) for r in drain()}
+    # u1: pre-signup click ignored, then signup(1) + click(2); u2: nothing
+    assert got1 == {(1, 1), (1, 2)}
+
+    (src / "b2.jsonl").write_text(
+        '{"user_id":1,"ts":"2024-01-01T00:01:00","event_type":"purchase"}\n'
+        '{"user_id":2,"ts":"2024-01-01T00:01:00","event_type":"signup"}\n'
+    )
+    got2 = {(r["user_id"], r["funnel_stage"]) for r in drain()}
+    assert got2 == {(1, 3), (2, 1)}  # cross-batch completion
+
+
+def test_funnel_track_matches_batch_fold(spark, sf_small, tmp_path):
+    """Single-batch parity: max emitted stage per user == the batch
+    ts3 funnel answer on the fixture events (users with stage 0 emit
+    nothing in the stream and must be stage 0 in batch)."""
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.queries import QUERIES
+    from faexport_db_spark.streaming import funnel_track
+
+    src = str(tmp_path / "fixture_src")
+    load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type"
+    ).write.parquet(src)  # parquet: keeps microsecond ts exact
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_type string"
+    ).parquet(src)
+    emitted = []
+
+    def collect(batch, _bid):
+        emitted.extend(batch.collect())
+
+    q = (
+        funnel_track(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fixture_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_max: dict[int, int] = {}
+    for r in emitted:
+        stream_max[r["user_id"]] = max(stream_max.get(r["user_id"], 0), r["funnel_stage"])
+    batch = {
+        r["user_id"]: r["funnel_stage"]
+        for r in QUERIES["ts3_funnel_stages"](spark, sf_small).collect()
+    }
+    assert stream_max == {u: s for u, s in batch.items() if s > 0}

@@ -1157,3 +1157,77 @@ def test_heavy_hitters_threshold_exact(spark):
     # a: 7/10, b: 2/10, c: 1/10 -> only a and b clear 15%
     assert set(out) == {"a", "b"}
     assert out["a"]["cnt"] == 7 and abs(out["a"]["frac"] - 0.7) < 1e-9
+
+
+def test_compression_ratio_signal_golden(spark):
+    """Known orderings: repetitive text compresses below prose, prose
+    below high-entropy noise; ratios are in (0, ~1.2]; empty text is
+    finite."""
+    import random
+
+    from faexport_db_spark.training.text import compression_ratio
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(chr(rng.randrange(33, 127)) for _ in range(8)) for _ in range(60)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and thinks about dinner "
+        "plans for the long cold evening ahead of everyone here"
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam " * 100), (2, prose), (3, noise), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["ratio"] < out[2]["ratio"] < out[3]["ratio"]
+    assert 0 < out[1]["ratio"] < 0.1          # pure repetition
+    assert out[3]["ratio"] > 0.7              # near-incompressible
+    assert out[4]["n_bytes"] == 0 and out[4]["ratio"] > 0  # finite, not inf
+
+
+def test_compression_ratio_plan_is_map_only(spark, sf_small):
+    from faexport_db_spark.plans.audit import shuffle_count
+    from faexport_db_spark.training.text import compression_ratio
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    df = compression_ratio(docs)
+    assert shuffle_count(df) == 0
+
+
+def test_line_incremental_batches_accumulate_counts(spark, tmp_path):
+    """Batch N+1's lines dedup against corpus counts AND batch N's
+    appended counts; a parameter-mismatched probe fails loud."""
+    import pytest
+
+    from faexport_db_spark.training.text import (
+        build_line_index,
+        line_dedup_against_index,
+    )
+
+    path = str(tmp_path / "lcounts")
+    corpus = spark.createDataFrame(
+        [(1, "corp one two three four")], "doc_id bigint, text string"
+    )
+    build_line_index(corpus, path, line_tokens=5)
+    # batch 1: one corpus-dup line + one novel line
+    b1 = spark.createDataFrame(
+        [(10, "corp one two three four novel alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    out1 = b1.sparkSession.createDataFrame(
+        line_dedup_against_index(b1, path, line_tokens=5).collect()
+    ).first()
+    assert out1["clean_text"] == "novel alpha beta gamma delta"
+    assert out1["n_lines_removed"] == 1
+    # batch 2 repeats batch 1's surviving line -> count now 2 -> cut
+    b2 = spark.createDataFrame(
+        [(20, "novel alpha beta gamma delta fresh words here again now")],
+        "doc_id bigint, text string",
+    )
+    out2 = line_dedup_against_index(b2, path, line_tokens=5).first()
+    assert out2["clean_text"] == "fresh words here again now"
+    assert out2["n_lines_removed"] == 1
+    with pytest.raises(ValueError):
+        line_dedup_against_index(b2, path, line_tokens=7)
