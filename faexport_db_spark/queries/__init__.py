@@ -136,6 +136,28 @@ _PRIORITY = [
     "t_stratified_sample",
     "t_sketch_bounds",
     "t_corpus_prep",
+    # r05 session-2 additions: §2-shaped analytics/sources first, then
+    # oracle-backed training extensions, then rows-only raw companions
+    # (whose checked twins carry the correctness evidence) — so if the
+    # window overflows, a rows-only raw op is what waits a round.
+    # t_passage_dedup leads: the r04 red row whose re-green is the
+    # round's top item (VERDICT r04 #1).
+    "t_passage_dedup",
+    "a11_cube_matrix",
+    "w5_topk_per_group",
+    "m9_scd2_history",
+    "s9_orc_roundtrip",
+    "k6_partitioned_sink",
+    "ts1_gapfill_locf",
+    "ts2_cohort_retention",
+    "ts3_funnel_stages",
+    "t_line_dedup",
+    "t_line_incremental_checked",
+    "t_heavy_hitters",
+    "t_domain_cap",
+    "t_quality_classifier",
+    "t_global_shuffle",
+    "t_compression_checked",
 ]
 
 

@@ -544,3 +544,79 @@ def test_interval_join_matches_naive_theta_join(spark, left, right):
             ).collect()
         }
         assert got == expected, width
+
+
+def test_line_dedup_idempotent_and_conserving(spark):
+    """Invariants on any corpus: (1) per-doc kept+removed == n_lines,
+    (2) drop-all really drops ALL copies (no surviving line occurs
+    twice in the cleaned corpus under the same normalization),
+    (3) a second pass over the cleaned corpus removes nothing
+    (idempotence — after drop-all every surviving line is unique)."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.training.text import line_dedup
+
+    # per-doc-unique base tokens (no accidental cross-doc lines), a
+    # banner planted in every 4th doc, and one extra shared line in
+    # docs 1/2 — so drop-all sees repeats at two frequencies while
+    # most lines survive.
+    # letter-only tokens: the CCNet normalization strips digits, so
+    # digit-bearing stems would collapse every line to one digest
+    letters = "abcdefghijklmnopqrstuvwxyz"
+
+    def enc(n):
+        return "".join(letters[int(c)] for c in str(n))
+
+    rows = []
+    for d in range(24):
+        toks = ["d%sw%s" % (enc(d), enc(k)) for k in range(20)]
+        if d % 4 == 0:
+            toks[5:10] = ["b1", "b2", "b3", "b4", "b5"]  # planted banner
+        if d in (1, 2):
+            toks[10:15] = ["s1", "s2", "s3", "s4", "s5"]  # shared pair
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = line_dedup(docs, line_tokens=5)
+    got = out.collect()
+    assert len(got) == 24
+    assert all(
+        (r["n_lines_removed"] >= 0) and (r["n_lines_removed"] <= r["n_lines"])
+        for r in got
+    )
+    # exactly the planted repeats go: 6 banner lines + the shared pair
+    assert sum(r["n_lines_removed"] for r in got) == 6 + 2
+    cleaned_rows = [(r["doc_id"], r["clean_text"]) for r in got if r["clean_text"]]
+    assert len(cleaned_rows) >= 12  # the corpus must NOT be all-duplicate
+    cleaned = spark.createDataFrame(cleaned_rows, "doc_id bigint, text string")
+    second = line_dedup(cleaned, line_tokens=5).collect()
+    assert sum(r["n_lines_removed"] for r in second) == 0
+    assert {r["doc_id"]: r["clean_text"] for r in second} == {
+        r["doc_id"]: r["clean_text"] for r in got if r["clean_text"]
+    }
+
+
+def test_scd2_collapse_partitions_history(spark):
+    """Invariants: n_snapshots sums to the input row count; intervals
+    of one entity never overlap; re-expanding intervals by snapshot
+    count reproduces the per-(key,value) row multiset."""
+    import itertools
+
+    from faexport_db_spark.operators.merge import scd2_collapse
+
+    vals = ["A", "B", "C"]
+    rows = [
+        (k, day, day * 10 + k, vals[(k * day) % 3])
+        for k, day in itertools.product(range(1, 5), range(1, 9))
+    ]
+    snaps = spark.createDataFrame(rows, "k bigint, day int, sid bigint, v string")
+    out = scd2_collapse(snaps, ["k"], ["day", "sid"], "v").collect()
+    assert sum(r["n_snapshots"] for r in out) == len(rows)
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append((r["valid_from"], r["valid_to"], r["v"]))
+    for k, ivals in by_key.items():
+        ivals.sort()
+        for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
+            assert t1 < f2 or (t1 <= f2)  # ordered
+        for f, t, _ in ivals:
+            assert f <= t
