@@ -253,3 +253,47 @@ def a11_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "a12_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT min(l_extendedprice) AS lo,
+             (max(l_extendedprice) - min(l_extendedprice)) / 10.0 AS w
+      FROM lineitem
+    )
+    SELECT CAST(least(CAST(floor((l_extendedprice - lo) / w) AS INT), 9) AS INT)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem, stats
+    GROUP BY 1
+    """,
+)
+def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — 10-bin equi-width histogram of l_extendedprice: global
+    min/width come from one stats aggregate broadcast back as a 1-row
+    frame (the sketch_bounds pattern — never a driver collect), then
+    the binning is a pure expression into a 10-group aggregate whose
+    map-side combine reduces each partition to <=10 rows before the
+    exchange. The top edge folds into bin 9 (least), matching the
+    oracle exactly because both engines run the identical IEEE double
+    ops."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        ((F.max("l_extendedprice") - F.min("l_extendedprice")) / 10.0).alias("w"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / F.col("w")).cast(
+                    "int"
+                ),
+                F.lit(9),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -410,3 +410,34 @@ def c22_duplicate_ordinal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+@register(
+    "c23_fuzzy_name_rank",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS dist
+    FROM customer
+    ORDER BY dist ASC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def c23_fuzzy_name_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 — fuzzy username candidate ranking by edit distance: the
+    reference's user lookup tries progressively fuzzier name matches
+    (fuzzysearch/user_lookup.py:120-160, exact -> canonicalized ->
+    guessed); the engine form scores the whole dimension against the
+    probe in one map-only pass (levenshtein is a codegen'd JVM
+    expression, identical unit-cost semantics to DuckDB's) and takes
+    a deterministic bounded top-20 — TakeOrderedAndProject, no full
+    sort at scale."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.levenshtein("c_name", F.lit("Customer#000000042")).alias("dist"),
+        )
+        .orderBy(F.asc("dist"), F.asc("c_custkey"))
+        .limit(20)
+    )

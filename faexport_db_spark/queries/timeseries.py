@@ -172,3 +172,53 @@ def ts3_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "user_id", F.col("__f.stage").cast("int").alias("funnel_stage")
     )
+
+
+@register(
+    "ts4_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS nw
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(CAST((value - mu) / sd AS DOUBLE), 4) AS z,
+           abs((value - mu) / sd) > 2.0 AS is_anomaly
+    FROM w WHERE nw >= 7 AND sd > 0
+    """,
+)
+def ts4_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4 — rolling z-score anomaly flag: each event scored against
+    the trailing 7-event mean/stddev of its own user (warm-up rows
+    with fewer than 7 observations are excluded, like the oracle's nw
+    filter). One entity-keyed window pass, all three aggregates
+    sharing the same frame — at scale the partition key is the
+    entity, uniform for event streams."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("nw"),
+    ).filter((F.col("nw") >= 7) & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.select(
+        "user_id",
+        "event_id",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -1752,3 +1752,32 @@ def t_line_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_against_index(
         copies.unionByName(novel), path, line_tokens=5, max_freq=1, append=False
     )
+
+
+@register(
+    "t_ann_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                              s -> s[1]::DOUBLE * s[2]::DOUBLE), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+             6) AS cosine
+      FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.6
+    """,
+)
+def t_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine range search (radius neighbors, threshold 0.6):
+    broadcast query panel + codegen fold + filter — zero exchanges,
+    no window (plan-asserted), the embarrassingly-parallel complement
+    of top-k retrieval."""
+    from faexport_db_spark.training.similarity import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return range_search(emb, queries, threshold=0.6)

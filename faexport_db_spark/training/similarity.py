@@ -1144,3 +1144,38 @@ def ivfpq_topk_persisted(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search: every corpus vector whose cosine to
+    a query meets ``threshold`` — the radius-neighbor complement of
+    :func:`brute_force_topk` (dedup wants "everything closer than X",
+    retrieval wants "the best k"; they are different contracts).
+
+    Unlike top-k there is no per-query ranking, so the whole operator
+    is broadcast-join + codegen'd fold + filter: ZERO exchanges, no
+    window, embarrassingly parallel over corpus partitions
+    (plan-asserted in tests/test_plans.py). At 100 TB the corpus scan
+    dominates and nothing shuffles; the bounded/broadcast query-panel
+    contract is the same as the PQ/ADC scorers.
+
+    Output: (query_id, neighbor_id, cosine), self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -399,3 +399,15 @@ def test_partitioned_sink_scan_prunes_partitions(spark, sf_small):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
+
+
+def test_range_search_zero_exchange(spark, sf_small):
+    """Radius search is broadcast-join + fold + filter: no window, no
+    shuffle — the whole operator runs inside the corpus scan stage."""
+    from faexport_db_spark.training.similarity import range_search
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    df = range_search(emb, q, threshold=0.6)
+    assert shuffle_count(df) == 0
+    assert_plan(df, max_python_evals=0)
