@@ -228,6 +228,29 @@ def _driver_green_keys() -> dict[str, int]:
     return green
 
 
+def _driver_checked_keys() -> set[str]:
+    """Keys with ANY archived driver row — green, red, or rows-only.
+    Used to deprioritize no-oracle raw ops whose rows-only check has
+    already been recorded once: re-running it yields an identical row,
+    so it must not displace a first-time check when the window
+    overflows."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(doc, dict):
+            seen.update(doc.keys())
+    return seen
+
+
 #: The first-50 registration order the driver's correctness harness
 #: will check this round — computed by ``_reorder`` and exposed so an
 #: unexpected window is visible (log line below + importable).
@@ -245,6 +268,7 @@ def _reorder() -> None:
     if dupes:
         raise RuntimeError(f"driver-window keys duplicated: {sorted(dupes)}")
     green = _driver_green_keys()
+    checked = _driver_checked_keys()
     pri = {k: i for i, k in enumerate(_PRIORITY)}
     reg = {k: i for i, k in enumerate(QUERIES)}
 
@@ -256,9 +280,18 @@ def _reorder() -> None:
         # never-green first, ordered by curated priority then
         # registration order; green ops sort last, OLDEST last-green
         # round first so the steady-state rotation is regression
-        # detection (VERDICT r04 item 8).
+        # detection (VERDICT r04 item 8). Within never-green,
+        # oracle-backed ops outrank no-oracle raws: a raw op can only
+        # ever earn a weak rows-only row (its *_checked companion
+        # carries the correctness evidence), so when the window
+        # overflows it must not displace an op that would earn a
+        # hash-matched green. Raws that already have SOME driver row
+        # from a past round sort after never-checked ones — re-running
+        # a rows-only check changes nothing round over round.
         if k not in green:
-            return (2, 0, pri.get(k, len(pri)), reg[k])
+            has_oracle = k in ORACLES
+            sub = 0 if has_oracle else (1 if k not in checked else 2)
+            return (2, sub, pri.get(k, len(pri)), reg[k])
         return (3, green[k], pri.get(k, len(pri)), reg[k])
 
     ordered = sorted(QUERIES, key=rank)

@@ -67,3 +67,27 @@ def u3_union_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_type") == "click").unionByName(
         ev.filter(F.col("event_type") == "view")
     )
+
+
+@register(
+    "u4_except_all",
+    oracle="""
+    SELECT user_id, event_type FROM events
+    EXCEPT ALL
+    SELECT user_id, event_type FROM events WHERE value > 100.0
+    """,
+)
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — multiset difference (EXCEPT ALL): per-row multiplicity
+    subtraction, the set op the dedup-audit queries need when "how
+    many copies remain" matters (plain EXCEPT collapses to distinct
+    and hides partial removals). Spark plans ``exceptAll`` as one
+    count-aggregate per side + a generate — two exchanges, no
+    sort-merge anti-join fan-out."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    high = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 100.0)
+        .select("user_id", "event_type")
+    )
+    return ev.exceptAll(high)

@@ -408,3 +408,41 @@ def k6_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "k7_time_travel_diff",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT o_orderkey FROM orders
+           WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1)
+    SELECT CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_v1,
+           CAST((SELECT count(*) FROM v2) AS BIGINT) AS n_v2,
+           CAST((SELECT count(*) FROM v2
+                 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1))
+                AS BIGINT) AS n_added
+    """,
+)
+def k7_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — versioned time travel through ManifestParquetFormat: two
+    appends produce manifests v1/v2; reading both versions and
+    diffing answers "what did this commit add" — the change-data-feed
+    question — from IMMUTABLE manifests alone, no log replay. The
+    oracle derives both versions from the orders table, value-checking
+    the whole commit/manifest/resolve path (counts + anti-join
+    diff)."""
+    from faexport_db_spark.datamodel.table_format import ManifestParquetFormat
+
+    fmt = ManifestParquetFormat()
+    out = _tmp("k7")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    fmt.append(orders.filter(F.col("o_orderkey") % 3 == 0), out)
+    fmt.append(orders.filter(F.col("o_orderkey") % 3 == 1), out)
+    v1 = fmt.read(spark, out, version=1)
+    v2 = fmt.read(spark, out, version=2)
+    added = v2.join(v1, "o_orderkey", "left_anti")
+    return (
+        v1.agg(F.count(F.lit(1)).alias("n_v1"))
+        .crossJoin(v2.agg(F.count(F.lit(1)).alias("n_v2")))
+        .crossJoin(added.agg(F.count(F.lit(1)).alias("n_added")))
+    )

@@ -179,7 +179,7 @@ def ts3_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT user_id, event_id, value,
-             avg(value) OVER win AS mu,
+             CAST(avg(value) OVER win AS DOUBLE) AS mu,
              stddev_samp(value) OVER win AS sd,
              count(*) OVER win AS nw
       FROM events

@@ -464,3 +464,129 @@ def start_streaming_passage_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def line_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    line_tokens: int = 5,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Line-level analog of ``passage_dedup_batch_against_store``:
+    every batch line whose historical+in-batch frequency exceeds
+    ``max_freq`` is cut (drop-all — no keeper), cleaned non-empty
+    docs append to the store, then the batch's line counts join the
+    index so batch N+1 sees them.
+
+    The count index makes naive retries WORSE than the digest index
+    (a re-appended delta double-counts and silently over-cleans
+    forever after), so appends are per-batch ``src=`` hive partitions
+    written with DYNAMIC partition overwrite: a retry overwrites its
+    own partition byte-for-byte instead of adding a second delta —
+    idempotent regardless of where the previous attempt died. Store
+    appends stay first (exact-duplicate re-appends collapse in
+    maintenance dedup, per the module contract), and the commit
+    marker still short-circuits fully-committed batches. The index
+    layout is therefore ALWAYS partitioned here; seed a corpus with
+    ``build_line_index(..., partitioned=True)``.
+
+    Changelog semantics: docs already emitted are never retroactively
+    re-cleaned when later batches push a line over the threshold —
+    the same forward-only contract as the MinHash/embed/passage
+    streams.
+    """
+    import hashlib
+
+    from faexport_db_spark.training.text import line_dedup_against_index
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
+    batch = batch.select(id_col, text_col)
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    if not HadoopFs(spark, index_path).exists(
+        f"{index_path.rstrip('/')}/_index_meta.json"
+    ):
+        # Bootstrap with a zero-count sentinel row, not an empty frame:
+        # a rowless partitioned write creates NO files, and the next
+        # probe's schema inference would fail on the empty directory.
+        # The sentinel lh can never equal a real md5 digest and its
+        # cnt=0 is additive-identity under the probe's sum.
+        from faexport_db_spark.training.indexmeta import write_index_meta
+
+        spark.createDataFrame(
+            [("__bootstrap__", 0, "bootstrap")], "lh string, cnt bigint, src string"
+        ).write.mode("overwrite").partitionBy("src").parquet(index_path)
+        write_index_meta(
+            spark,
+            index_path,
+            "line_counts",
+            {"line_tokens": line_tokens, "normalize": normalize},
+        )
+    cleaned = line_dedup_against_index(
+        batch,
+        index_path,
+        line_tokens=line_tokens,
+        max_freq=max_freq,
+        text_col=text_col,
+        id_col=id_col,
+        normalize=normalize,
+        append=False,
+    ).localCheckpoint(eager=True)  # pin before the index mutates
+    survivors = cleaned.filter(F.length("clean_text") > 0).select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    fmt.append(survivors, store_path)
+    from faexport_db_spark.training.text import _lines
+
+    ns = hashlib.md5((stream_id or "direct").encode()).hexdigest()[:8]
+    (
+        _lines(batch, line_tokens, text_col, id_col, normalize)
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("src", F.lit(f"b{ns}_{batch_id if batch_id is not None else 0}"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("src")
+        .parquet(index_path)
+    )
+    mark()
+    return survivors
+
+
+def start_streaming_line_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``line_dedup_batch_against_store`` into a streaming query
+    via foreachBatch. ``source`` is any streaming DataFrame with
+    (doc_id, text) columns."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        line_dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

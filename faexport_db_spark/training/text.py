@@ -781,6 +781,7 @@ def build_line_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    partitioned: bool = False,
 ) -> None:
     """Persist the corpus' per-line FREQUENCY counts — unlike the
     passage index (digest presence), line dedup's drop-all semantics
@@ -789,17 +790,28 @@ def build_line_index(
     from 'never seen' (total 1 -> keep). Appends are additive delta
     rows summed on probe; one narrow (lh, cnt) pair per distinct
     line, sorted for row-group pruning; the parameter sidecar rejects
-    probes lined/normalized differently."""
+    probes lined/normalized differently.
+
+    ``partitioned`` writes the counts under a ``src=corpus`` hive
+    partition — REQUIRED when the index will be appended to by the
+    streaming wrapper, whose per-batch ``src=`` partitions make
+    retries idempotent (dynamic partition overwrite); a flat layout
+    cannot be mixed with partitioned appends (Spark rejects
+    conflicting directory structures)."""
     from faexport_db_spark.training.indexmeta import write_index_meta
 
-    (
+    counts = (
         _lines(docs, line_tokens, text_col, id_col, normalize)
         .groupBy("lh")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .sortWithinPartitions("lh")
-        .write.mode("overwrite")
-        .parquet(index_path)
     )
+    if partitioned:
+        counts.withColumn("src", F.lit("corpus")).write.mode(
+            "overwrite"
+        ).partitionBy("src").parquet(index_path)
+    else:
+        counts.write.mode("overwrite").parquet(index_path)
     write_index_meta(
         docs.sparkSession,
         index_path,

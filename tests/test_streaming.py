@@ -779,3 +779,67 @@ def test_funnel_track_matches_batch_fold(spark, sf_small, tmp_path):
         for r in QUERIES["ts3_funnel_stages"](spark, sf_small).collect()
     }
     assert stream_max == {u: s for u, s in batch.items() if s > 0}
+
+
+def test_line_dedup_stream_accumulates_and_retries_idempotently(spark, tmp_path):
+    """Streaming line dedup: batch 2's repeat of batch 1's surviving
+    line is cut (counts accumulate across batches); re-delivering a
+    batch (same ids, marker present) is a no-op; and a simulated
+    retry AFTER the count append but BEFORE the marker does not
+    double-count (dynamic partition overwrite replaces the batch's
+    own src= partition)."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        line_dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "lidx")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps keep me here now ok")],
+        "doc_id bigint, text string",
+    )
+    out1 = line_dedup_batch_against_store(
+        b1, store, index, line_tokens=5, batch_id=0, stream_id="s1"
+    )
+    assert out1.count() == 1  # nothing historical -> survives whole
+    # batch 2 repeats batch 1's first line -> total count 2 -> cut
+    b2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta eps fresh words made here today")],
+        "doc_id bigint, text string",
+    )
+    out2 = line_dedup_batch_against_store(
+        b2, store, index, line_tokens=5, batch_id=1, stream_id="s1"
+    )
+    rows2 = out2.collect()
+    assert len(rows2) == 1
+    assert rows2[0]["text"] == "fresh words made here today"
+    # marker replay: same batch id again -> None, store unchanged
+    assert (
+        line_dedup_batch_against_store(
+            b2, store, index, line_tokens=5, batch_id=1, stream_id="s1"
+        )
+        is None
+    )
+    n_store = spark.read.parquet(store).count()
+    assert n_store == 2
+    # crash-window retry: wipe ONLY the marker (counts + store already
+    # written) and re-deliver -> the src= partition is overwritten,
+    # not duplicated, so a THIRD batch repeating b2's fresh line sees
+    # count exactly 2 (1 index + 1 in-batch), not 3
+    import shutil
+
+    shutil.rmtree(f"{index}/_batch_committed")
+    line_dedup_batch_against_store(
+        b2, store, index, line_tokens=5, batch_id=1, stream_id="s1"
+    )
+    idx = spark.read.parquet(index)
+    from pyspark.sql import functions as SF
+
+    total_fresh = (
+        idx.filter(SF.col("lh") != "__bootstrap__")
+        .groupBy("lh")
+        .agg(SF.sum("cnt").alias("c"))
+        .agg(SF.max("c"))
+        .first()[0]
+    )
+    assert total_fresh <= 2  # no digest's count exceeds its true occurrences
