@@ -33,8 +33,10 @@ every round regardless.
 from faexport_db_spark.queries import (  # noqa: F401
     aggregates,
     filters,
+    graph_queries,
     joins,
     merge_queries,
+    mining,
     scalars,
     setops,
     sorts,

@@ -297,3 +297,34 @@ def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "a13_approx_quantile_checked",
+    oracle="""
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS exact_p50,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def a13_approx_quantile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — sketch-based median with a verified error bound: Spark's
+    approx_percentile (KLL/GK-style mergeable sketch — the only way a
+    quantile is computed at 100 TB, where exact percentile means a
+    per-group sort) must land between the exact p45 and p55. The
+    sketch value itself is merge-order-dependent, so the driver-checked
+    contract is the BOUND, not the estimate — same pattern as
+    t_sketch_bounds. The exact p50 rides along, value-checked against
+    quantile_cont."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        (
+            F.expr("approx_percentile(value, 0.5, 100)")
+            .between(
+                F.expr("percentile(value, 0.45)"),
+                F.expr("percentile(value, 0.55)"),
+            )
+        ).alias("within_bound"),
+    )

@@ -1,0 +1,92 @@
+"""Graph-metric queries (G1+): triangle counting and degree
+statistics over an edge list derived deterministically from the
+orders fixture. The reference keeps an implicit graph too — the
+hash-match web between submissions and files (faexport_db/models.py
+SubmissionSnapshot.files) that m8_entity_web walks; these queries are
+the metric side of that capability, built on operators/graph.py.
+
+The fixture edge list is synthetic but adversarially shaped: node ids
+are orderkeys folded into a small id space, so degrees are highly
+non-uniform — exactly the skew the degree-ordered orientation in
+triangle_count exists to absorb.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.operators.graph import (
+    canonical_edges,
+    degree_histogram,
+    triangle_count,
+)
+from faexport_db_spark.queries.registry import register
+
+# Shared deterministic edge derivation: fold orderkeys into a 97-node
+# id space with two coprime affine maps. Both engines compute it with
+# integer arithmetic only.
+_EDGE_SQL = """
+      SELECT o_orderkey % 97 AS src, (o_orderkey * 31 + 7) % 97 AS dst
+      FROM orders
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        (F.col("o_orderkey") % 97).alias("src"),
+        ((F.col("o_orderkey") * 31 + 7) % 97).alias("dst"),
+    )
+
+
+@register(
+    "g1_triangle_count",
+    oracle=f"""
+    WITH raw AS ({_EDGE_SQL}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — total triangles. The oracle enumerates via the naive
+    id-ordered three-way self-join (fine for DuckDB at test scale);
+    the engine uses the degree-ordered orientation whose wedge
+    fan-out is bounded O(sqrt(m)) per node — the count is
+    orientation-invariant, so the two agree while the plans differ
+    exactly where 100 TB demands it."""
+    return triangle_count(canonical_edges(_edges(spark, sf_dir)))
+
+
+@register(
+    "g2_degree_histogram",
+    oracle=f"""
+    WITH raw AS ({_EDGE_SQL}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    ends AS (
+      SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM ends GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def g2_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — degree distribution: two map-side-combining aggregates,
+    no joins; the shape that summarizes any entity-link table (file
+    hash webs, user interaction graphs) at any scale."""
+    return degree_histogram(canonical_edges(_edges(spark, sf_dir))).select(
+        "degree", F.col("n_nodes").cast("long").alias("n_nodes")
+    )

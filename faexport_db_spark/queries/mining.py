@@ -1,0 +1,91 @@
+"""Pattern-mining queries (X1+): co-occurrence / association-rule
+shapes over the event stream — "users who do A also do B", the
+market-basket question asked of any interaction log (and of training
+corpora: which quality flags co-fire, which sources share users).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.datamodel.testdata import load_table
+from faexport_db_spark.queries.registry import register
+
+
+@register(
+    "x1_assoc_rules",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM ue),
+    singles AS (
+      SELECT event_type, count(*) AS n_a FROM ue GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS ante, b.event_type AS conseq, count(*) AS n_ab
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.conseq,
+           round(p.n_ab / n.n_users, 6) AS support,
+           round(p.n_ab / CAST(sa.n_a AS DOUBLE), 6) AS confidence,
+           round(p.n_ab * n.n_users / (sa.n_a * CAST(sb.n_a AS DOUBLE)), 6)
+             AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.ante
+    JOIN singles sb ON sb.event_type = p.conseq
+    CROSS JOIN n
+    """,
+)
+def x1_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — pairwise association rules over user event baskets:
+    support / confidence / lift for every ordered event-type pair.
+
+    Plan shape for 100 TB: the only corpus-sized work is the distinct
+    (user, type) projection and ONE self-join on user_id — and that
+    join's per-user fan-out is bounded by the event-type vocabulary
+    (tiny), not by the user's raw event count, because the distinct
+    collapses first. Singles and the user count are
+    vocabulary-cardinality frames broadcast onto the pair aggregate.
+    """
+    ue = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).distinct()
+    n_users = ue.agg(
+        F.count_distinct("user_id").cast("double").alias("n_users")
+    )
+    singles = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    a = ue.select("user_id", F.col("event_type").alias("ante"))
+    b = ue.select("user_id", F.col("event_type").alias("conseq"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") < F.col("conseq"))
+        .groupBy("ante", "conseq")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("ante"), F.col("n_a"))
+    sb = singles.select(
+        F.col("event_type").alias("conseq"), F.col("n_a").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "conseq")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "conseq",
+            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

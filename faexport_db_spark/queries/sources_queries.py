@@ -446,3 +446,80 @@ def k7_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v2.agg(F.count(F.lit(1)).alias("n_v2")))
         .crossJoin(added.agg(F.count(F.lit(1)).alias("n_added")))
     )
+
+
+@register(
+    "v2_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT), NULL, NULL
+    FROM orders
+    """,
+)
+def v2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 — one-pass column profiler (the DQ report a pipeline runs
+    on every new drop before trusting it): per column null count,
+    distinct count, numeric min/max. ONE aggregate over the table
+    computes every statistic (Catalyst plans the multi-distinct via
+    expand — still a single scan), then a constant-width stack pivots
+    the 1-row result to one row per column; the stack input is
+    1×(4·ncols), so the pivot is free at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    one = o.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        mn = f"mn_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{c}', nn_{c}, nd_{c}, {mn}, {mx}")
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) "
+            "AS (col_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )

@@ -1781,3 +1781,115 @@ def t_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return range_search(emb, queries, threshold=0.6)
+
+
+@register(
+    "t_tfidf_topk",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    post AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tfs AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+    dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+    stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tfs),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln((1.0 + s.n_docs) / (1.0 + d2.df)), 6) AS tfidf
+      FROM tfs t JOIN dfs d2 USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — keyword extraction /
+    cluster labeling over the corpus, sharing the oracle-checked BM25
+    tokenizer and postings plan (training/retrieval.py
+    tfidf_top_terms)."""
+    from faexport_db_spark.training.retrieval import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select("doc_id", "term", "tfidf", F.col("rank").cast("long"))
+
+
+@register(
+    "t_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey,
+             -ln((('0x' || substr(md5('42:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 12))::BIGINT + 1) / 281474976710656.0)
+               / (abs(c_acctbal) + 1.0) AS wk
+      FROM customer
+    )
+    SELECT c_custkey FROM keyed ORDER BY wk, c_custkey LIMIT 20
+    """,
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential race, training/pipeline.py weighted_sample): 20
+    customers drawn with probability proportional to |acctbal|+1,
+    identical draw on every run/partitioning. The oracle replays the
+    exact md5→uniform→exponential arithmetic."""
+    from faexport_db_spark.training.pipeline import weighted_sample
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.abs(F.col("c_acctbal")) + 1.0).alias("__w")
+    )
+    return weighted_sample(cust, "__w", k=20, id_col="c_custkey").select(
+        "c_custkey"
+    )
+
+
+@register(
+    "t_mixture_kl",
+    oracle="""
+    WITH halves AS (
+      SELECT doc_id % 2 AS half, lang FROM documents
+    ),
+    counts AS (
+      SELECT half, lang, count(*) AS n FROM halves GROUP BY 1, 2
+    ),
+    fracs AS (
+      SELECT half, lang,
+             n / CAST(sum(n) OVER (PARTITION BY half) AS DOUBLE) AS frac
+      FROM counts
+    )
+    SELECT round(CAST(sum(p.frac * ln(p.frac / q.frac)) AS DOUBLE), 6)
+             AS kl_divergence,
+           CAST(count(*) AS BIGINT) AS n_categories
+    FROM fracs p JOIN fracs q USING (lang)
+    WHERE p.half = 0 AND q.half = 1
+    """,
+)
+def t_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence between the language mixtures of two corpus
+    halves — the drift metric a training pipeline watches when a new
+    crawl lands (did the domain/language balance move?). Two
+    map-side-combining aggregates + one broadcast-sized join on the
+    category key; category cardinality, not corpus size, bounds every
+    post-aggregate stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        (F.col("doc_id") % 2).alias("half"), "lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("half").agg(F.sum("n").alias("tot"))
+    fracs = counts.join(tot, "half").select(
+        "half", "lang", (F.col("n") / F.col("tot").cast("double")).alias("frac")
+    )
+    p = fracs.filter(F.col("half") == 0).select("lang", F.col("frac").alias("p"))
+    q = fracs.filter(F.col("half") == 1).select("lang", F.col("frac").alias("q"))
+    return p.join(q, "lang").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_divergence"
+        ),
+        F.count(F.lit(1)).alias("n_categories"),
+    )

@@ -150,3 +150,31 @@ def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "w6_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def w6_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — relative standing within a partition: percent_rank +
+    cume_dist of order value inside its priority class (the "is this
+    order in the top decile of its class" primitive). One window sort
+    per partition key; ties share a rank in both engines, so the
+    result is deterministic without a tie-break column."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

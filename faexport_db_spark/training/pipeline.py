@@ -351,3 +351,34 @@ def global_shuffle(
         - 1
     )
     return local.select(*docs.columns, pos.alias("pos"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row races with an exponential
+    key ``-ln(u)/w`` drawn from its md5-hash uniform, and the ``k``
+    smallest keys win — inclusion probability proportional to weight,
+    yet the SAME rows win on every run and every partitioning (the
+    property ``df.sample`` and ``rand(seed)`` cannot give, and the one
+    a reproducible training-mix draw needs).
+
+    Scale: the key is a pure projection; the global top-k is
+    ``orderBy(...).limit(k)``, which Spark executes as TakeOrdered —
+    per-partition heaps merged on the driver, k-bounded, no global
+    sort shuffle."""
+    u = (_rank_key(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(2**48)
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__wk", key)
+        .orderBy("__wk", id_col)
+        .limit(k)
+        .drop("__wk")
+    )

@@ -408,3 +408,45 @@ def bm25_topk_persisted(
         )
     )
     return _score_matches(matched, k, k1, b)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword-extraction /
+    doc-vector primitive (corpus tagging, cluster labeling, quality
+    audits of what a dedup bucket actually contains).
+
+    Smooth idf ``ln((1+N)/(1+df))`` so ubiquitous terms score 0+
+    rather than blowing up; scores round to 6 before ranking so the
+    (score desc, term asc) order is engine-portable. Plan: one
+    explode + tf groupBy, a term-keyed df aggregate joined back on
+    term (both sides already term-clustered from the groupBy), and a
+    doc-partitioned top-k window — no corpus-sized broadcast, no
+    driver collection. Reuses ``bm25_postings`` so the tokenizer is
+    the oracle-checked one."""
+    postings = bm25_postings(docs, text_col, id_col)
+    stats = _corpus_stats(postings)
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
