@@ -198,12 +198,13 @@ def compact_path(
     elif cluster_by:
         from pyspark.sql import functions as F
 
-        from faexport_db_spark.operators.zorder import z_value
+        from faexport_db_spark.operators.zorder import check_bounds, z_value
 
         row = df.agg(
             *[F.min(c).cast("double").alias(f"lo_{c}") for c in cluster_by],
             *[F.max(c).cast("double").alias(f"hi_{c}") for c in cluster_by],
         ).collect()[0]
+        check_bounds({c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cluster_by})
         z = z_value(
             [(F.col(c), row[f"lo_{c}"], row[f"hi_{c}"]) for c in cluster_by],
             bits=cluster_bits,

@@ -33,8 +33,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def check_bounds(bounds: dict[str, tuple[float, float]]) -> None:
+    """Fail FAST (before any rewrite starts) when a cluster column's
+    collected min/max is None — an all-NULL or missing column would
+    otherwise surface as a bare TypeError mid-compaction-job (ADVICE
+    r05)."""
+    bad = sorted(c for c, (lo, hi) in bounds.items() if lo is None or hi is None)
+    if bad:
+        raise ValueError(
+            f"z-order bounds for column(s) {bad} are None — the column is "
+            f"all-NULL (or min/max was not computed); drop it from "
+            f"cluster_by/cols or pass explicit bounds"
+        )
+
+
 def bucket_expr(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Equal-width bucket id in [0, 2**bits): closed-form, null→0."""
+    if lo is None or hi is None:
+        raise ValueError(
+            "bucket_expr bounds must be numbers, got "
+            f"lo={lo!r} hi={hi!r} (all-NULL column? see check_bounds)"
+        )
     n = 1 << bits
     if hi <= lo:
         return F.lit(0).cast("long")
@@ -81,6 +100,7 @@ def zorder_write(
             *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
         ).collect()[0]
         bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    check_bounds(bounds)
     z = z_value([(F.col(c), *bounds[c]) for c in cols], bits=bits)
     (
         df.withColumn("_z", z)

@@ -56,18 +56,11 @@ _SENTINELS = ["merged_entity", "m5_extra_data_merge", "m7_clash_fold_checked"]
 # archived green rows, but a rewrite invalidates those as evidence, so
 # they re-enter the window right after the sentinels (VERDICT r03
 # item 6). Clear this list when a round ships no rewrites.
-_REWRITTEN = [
-    # r05: oracle SQL re-typed (CAST around sum()/avg(), dtype-strict
-    # differential) — the implementation is unchanged but the archived
-    # green rows were earned against the OLD oracle text, so re-prove
-    # under the new one. merged_entity / m5 are sentinels already.
-    "k1_bulk_append_sink",
-    "st_event_window_counts",
-    "st_session_windows",
-    "t_sequence_pack",
-    "t_pack_manifest",
-    # r05: max_group star-edge cap on identical-signature clusters
-    "t_simhash_checked",
+_REWRITTEN: list[str] = [
+    # r06: none yet — the six r05 re-proves all re-greened in
+    # CORRECTNESS_r05.json, so the list was cleared (VERDICT r05
+    # "What's wrong" #1). Add keys here only when a round rewrites an
+    # already-green implementation.
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory
@@ -292,7 +285,13 @@ def _reorder() -> None:
         # a rows-only check changes nothing round over round.
         if k not in green:
             has_oracle = k in ORACLES
-            sub = 0 if has_oracle else (1 if k not in checked else 2)
+            if not has_oracle and k in checked:
+                # A rows-only raw that already has its (only possible)
+                # driver row: re-running is a no-op, so sort it after
+                # the greens — an oldest-green re-check is regression
+                # detection, an identical rows-only row is nothing.
+                return (4, pri.get(k, len(pri)), reg[k])
+            sub = 0 if has_oracle else 1
             return (2, sub, pri.get(k, len(pri)), reg[k])
         return (3, green[k], pri.get(k, len(pri)), reg[k])
 

@@ -550,11 +550,24 @@ def line_dedup_batch_against_store(
     from faexport_db_spark.training.text import _lines
 
     ns = hashlib.md5((stream_id or "direct").encode()).hexdigest()[:8]
+    if batch_id is not None:
+        # identified retry: overwrite-by-name keeps redelivery additive
+        src = f"b{ns}_{batch_id}"
+    else:
+        # direct (non-streaming) call with no identity: a FIXED name
+        # here would make the dynamic-partition overwrite below clobber
+        # the previous direct call's counts — the frequency index would
+        # undercount and later batches under-clean (ADVICE r05). A
+        # unique src makes each direct call append additively; only
+        # identified batches get idempotent overwrite semantics.
+        import uuid
+
+        src = f"b{ns}_x{uuid.uuid4().hex[:12]}"
     (
         _lines(batch, line_tokens, text_col, id_col, normalize)
         .groupBy("lh")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("src", F.lit(f"b{ns}_{batch_id if batch_id is not None else 0}"))
+        .withColumn("src", F.lit(src))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("src")

@@ -232,6 +232,7 @@ def bm25_build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_TERM_BUCKETS,
+    stats_name: str = "base",
 ) -> None:
     """Persist postings bucketed by ``tb = pmod(xxhash64(term),
     n_buckets)``: probing reads only the buckets the query's terms
@@ -267,7 +268,7 @@ def bm25_build_index(
         {"n_buckets": n_buckets, "tokenizer": "ws_lower1"},
     )
     _write_stats_partial(
-        docs.sparkSession, path, "base", stats["n_docs"], stats["total"]
+        docs.sparkSession, path, stats_name, stats["n_docs"], stats["total"]
     )
 
 
@@ -337,12 +338,14 @@ def start_streaming_bm25_index(
         if not fs.exists(f"{index_path.rstrip('/')}/_index_meta.json"):
             if batch_df.isEmpty():
                 return  # nothing to bootstrap from yet
-            bm25_build_index(batch_df, index_path, **index_kwargs)
-            # rename the base partial to this batch's identity so a
-            # redelivered batch 0 overwrites instead of adding
-            fs.rename(
-                f"{index_path.rstrip('/')}/_bm25_stats/base.json",
-                f"{index_path.rstrip('/')}/_bm25_stats/{sid}-{batch_id}.json",
+            # the batch's idempotent identity names the stats partial
+            # DIRECTLY — a build-then-rename would leave a crash window
+            # (driver dies after build, before rename) where the
+            # redelivered batch 0 takes the append path and the base
+            # partial double-counts the corpus forever (ADVICE r05)
+            bm25_build_index(
+                batch_df, index_path,
+                stats_name=f"{sid}-{batch_id}", **index_kwargs,
             )
             return
         bm25_append_index(

@@ -682,8 +682,14 @@ def linear_quality_score(
             wsum.alias("__wsum"),
         )
     else:
+        # explode_outer, not explode: a zero-token doc must still emit
+        # its one (NULL-token) row, or the groupBy loses the doc and
+        # the two paths return different row sets for the same input
+        # (the hash-weight path is a pure projection and keeps it,
+        # scoring 0.5 — ADVICE r05). The NULL token finds no weight,
+        # coalesces to 0.0, and scores 0.5 identically.
         per_tok = docs.select(
-            F.col(id_col), n.alias("n_tokens"), F.explode(toks).alias("token")
+            F.col(id_col), n.alias("n_tokens"), F.explode_outer(toks).alias("token")
         )
         scored = (
             per_tok.join(F.broadcast(weights), "token", "left")
@@ -700,7 +706,14 @@ def linear_quality_score(
     out = scored.select(
         id_col,
         "n_tokens",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 9).alias("score"),
+        # NULL text (n_tokens NULL) scores NULL on both paths — the
+        # hash path's NULL fold propagates naturally; gate the learned
+        # path's sum (which would see one NULL-token row and emit 0.5)
+        # to match
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 9),
+        ).alias("score"),
     )
     if threshold is not None:
         out = out.filter(F.col("score") >= F.lit(threshold))

@@ -843,3 +843,46 @@ def test_line_dedup_stream_accumulates_and_retries_idempotently(spark, tmp_path)
         .first()[0]
     )
     assert total_fresh <= 2  # no digest's count exceeds its true occurrences
+
+
+def test_line_dedup_direct_calls_accumulate_counts(spark, tmp_path):
+    """Direct (non-streaming, batch_id=None) calls must ACCUMULATE
+    count deltas: a fixed src= partition name would make the second
+    call's dynamic overwrite clobber the first call's counts and the
+    index under-clean (ADVICE r05). Two direct batches sharing a line
+    must drive its total count to 2 so a third batch's repeat is cut."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        line_dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "lidx")
+    shared = "common banner line repeated across batches ok"
+    b1 = spark.createDataFrame(
+        [(1, f"{shared} alpha beta gamma delta eps")],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"{shared} zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    line_dedup_batch_against_store(b1, store, index, line_tokens=7)
+    line_dedup_batch_against_store(b2, store, index, line_tokens=7)
+    from pyspark.sql import functions as SF
+
+    idx = spark.read.parquet(index)
+    top = (
+        idx.filter(SF.col("lh") != "__bootstrap__")
+        .groupBy("lh")
+        .agg(SF.sum("cnt").alias("c"))
+        .agg(SF.max("c"))
+        .first()[0]
+    )
+    assert top == 2  # both direct deltas present, not overwritten
+    # third direct batch repeating the line: count >= 2 -> cut
+    b3 = spark.createDataFrame(
+        [(3, f"{shared} fresh words appear only here now")],
+        "doc_id bigint, text string",
+    )
+    out3 = line_dedup_batch_against_store(b3, store, index, line_tokens=7)
+    assert out3.collect()[0]["text"] == "fresh words appear only here now"

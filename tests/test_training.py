@@ -208,6 +208,66 @@ def test_pii_scrub_order_and_counts(spark):
     assert rows[3]["n_redactions"] == 2
 
 
+def test_centroid_assignment_literal_equals_arrow(spark, sf_small):
+    """The size-gated assignment paths are interchangeable: literal
+    expression and broadcast-matrix Arrow coder produce identical
+    cell ids (and identical nprobe probe lists) on the same corpus
+    and centroids — the contract that lets the gate flip at
+    LITERAL_CENTROID_MAX without changing any result (VERDICT r05
+    #5)."""
+    from faexport_db_spark.training.similarity import (
+        _cell_probes,
+        ivf_centroids,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    cents = ivf_centroids(corpus, n_centroids=32, iters=2)
+    for nprobe in (1, 3):
+        lit = corpus.select(
+            "vec_id",
+            _cell_probes(F.col("embedding"), cents, nprobe, force="literal").alias("p"),
+        )
+        arr = corpus.select(
+            "vec_id",
+            _cell_probes(F.col("embedding"), cents, nprobe, force="arrow").alias("p"),
+        )
+        a = {r["vec_id"]: list(r["p"]) for r in lit.collect()}
+        b = {r["vec_id"]: list(r["p"]) for r in arr.collect()}
+        assert a == b
+
+
+def test_semantic_dedup_at_5k_centroids_arrow_path(spark):
+    """The SemDeDup docstring's large-cluster-count regime is actually
+    executable: 5000 centroids (far past LITERAL_CENTROID_MAX, so the
+    Arrow coder is engaged by the gate itself) over a synthetic corpus
+    with planted scaled copies — every planted pair is recovered
+    (scale-invariant cosine assignment puts a scaled twin in its
+    original's cell, structurally)."""
+    import numpy as np
+
+    from faexport_db_spark.training.similarity import (
+        LITERAL_CENTROID_MAX,
+        semantic_dedup_pairs,
+    )
+
+    assert 5000 > LITERAL_CENTROID_MAX
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6000, 16)).astype(np.float64)
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    # planted: ids 1_000_000+i are 1.5× scaled copies of i (cosine 1.0)
+    planted_n = 20
+    rows += [(1_000_000 + i, (base[i] * 1.5).tolist()) for i in range(planted_n)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [base[i].tolist() for i in range(0, 5000)]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            corpus, threshold=0.999, centroids=cents
+        ).collect()
+    }
+    assert {(i, 1_000_000 + i) for i in range(planted_n)} <= pairs
+
+
 def test_semantic_dedup_max_cluster_guard(spark, sf_small):
     from faexport_db_spark.queries.training_queries import _planted_embeddings
     from faexport_db_spark.training.similarity import semantic_dedup_pairs
@@ -1103,6 +1163,69 @@ def test_linear_quality_score_learned_weights_path(spark):
     assert abs(out[2]["score"] - 0.5) < 1e-9  # all-unknown -> logit 0
     kept = linear_quality_score(docs, weights=weights, threshold=0.6).collect()
     assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_linear_quality_score_zero_token_docs_in_both_paths(spark):
+    """A zero-token doc must appear in BOTH paths' output with
+    n_tokens=0 and score 0.5 — the learned-weights path used to drop
+    it entirely (explode of an empty array yields no rows; ADVICE
+    r05), making the two paths return different row sets for the same
+    input."""
+    from faexport_db_spark.training.text import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "good words here"), (2, ""), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.0)], "token string, weight double"
+    )
+    hashed = {r["doc_id"]: r for r in linear_quality_score(docs).collect()}
+    learned = {
+        r["doc_id"]: r
+        for r in linear_quality_score(docs, weights=weights).collect()
+    }
+    # the contract under test: ONE ROW PER INPUT DOC on both paths
+    assert set(hashed) == set(learned) == {1, 2, 3, 4}
+    # whitespace-only text tokenizes to one "" token: n_tokens agrees
+    # across paths; the learned path scores it 0.5 (unknown token)
+    for d in (2, 3):
+        assert hashed[d]["n_tokens"] == learned[d]["n_tokens"] == 1
+        assert abs(learned[d]["score"] - 0.5) < 1e-9
+    # NULL text: NULL n_tokens and NULL score on BOTH paths
+    for out in (hashed, learned):
+        assert out[4]["n_tokens"] is None and out[4]["score"] is None
+
+
+def test_bm25_bootstrap_stats_name_is_idempotent(spark, tmp_path):
+    """The streaming bootstrap writes its stats partial DIRECTLY under
+    the batch's idempotent name (no build-then-rename crash window):
+    a redelivered batch 0 that takes the append path overwrites the
+    same partial, so corpus stats are never double-counted (ADVICE
+    r05)."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.retrieval import (
+        _read_stats,
+        bm25_append_index,
+        bm25_build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta eta")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    bm25_build_index(docs, idx, stats_name="sid-0")
+    fs = HadoopFs(spark, idx)
+    names = set(fs.list_names(f"{idx}/_bm25_stats"))
+    assert "sid-0.json" in names and "base.json" not in names
+    n_docs, avgdl = _read_stats(spark, idx)
+    assert n_docs == 2
+    # redelivery of batch 0 lands on the append path (meta exists) with
+    # the SAME commit name -> overwrite, not a second partial
+    bm25_append_index(docs, idx, commit_name="sid-0")
+    n_docs2, avgdl2 = _read_stats(spark, idx)
+    assert (n_docs2, avgdl2) == (n_docs, avgdl)
 
 
 def test_group_cap_matches_single_window_and_is_deterministic(spark, sf_small):

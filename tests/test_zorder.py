@@ -117,3 +117,24 @@ def test_z_value_validates_width(spark):
 
     with pytest.raises(ValueError, match="signed long"):
         z_value([(F.lit(1), 0, 1)] * 9, bits=8)  # 72 bits > 63
+
+
+def test_zorder_all_null_column_fails_fast(spark, tmp_path):
+    """An all-NULL cluster column yields None min/max; the rewrite must
+    fail BEFORE starting with a ValueError naming the column, not crash
+    mid-job with a bare TypeError (ADVICE r05)."""
+    import pytest
+
+    from faexport_db_spark.maintenance.compaction import compact_path
+    from faexport_db_spark.operators.zorder import zorder_write
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a bigint, b double"
+    )
+    with pytest.raises(ValueError, match=r"\['b'\]"):
+        zorder_write(df, str(tmp_path / "z"), cols=["a", "b"])
+
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    with pytest.raises(ValueError, match=r"\['b'\]"):
+        compact_path(spark, src, cluster_by=["a", "b"])
