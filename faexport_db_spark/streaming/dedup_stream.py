@@ -365,6 +365,131 @@ def start_streaming_embed_dedup(
     return writer.start()
 
 
+def semantic_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 3,
+    max_cluster: int | None = 10_000,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Semantic (SemDeDup) analog of ``embed_dedup_batch_against_store``:
+    the first non-empty batch trains the k-means model ONCE and seeds
+    the cid-partitioned IVF index with its survivors; every later batch
+    is assigned against the FROZEN sidecar centroids (so cell
+    membership is consistent across the stream's whole life), probed
+    against only its own cells' members (pruned scan), self-deduped
+    within the batch under the same model, and its survivors appended
+    to both the store (through the ``TableFormat`` seam, store first)
+    and the index. The frozen model is what makes the incremental path
+    equivalent to the batch path for the scale-invariant planted-copy
+    guarantee: a scaled copy of any indexed vector lands in its
+    original's cell under ANY model, so it can never escape the probe.
+    Commit markers make re-delivery a no-op, as in every stream here."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.indexmeta import write_model_sidecar
+    from faexport_db_spark.training.similarity import (
+        _nearest_centroid,
+        ivf_centroids,
+        semantic_append_index,
+        semantic_dedup_against_index,
+        semantic_dedup_pairs,
+    )
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
+    batch = batch.select(id_col, vec_col).localCheckpoint(eager=True)
+
+    sidecar = f"{index_path.rstrip('/')}/_centroids.json"
+    bootstrap = not HadoopFs(spark, index_path).exists(sidecar)
+    if bootstrap:
+        if batch.isEmpty():
+            return None  # nothing to train from yet; no marker, retry free
+        # seeds are limit(n_centroids) rows — cap by batch size or the
+        # centroid-update comprehension would index past the seed list
+        n_eff = min(n_centroids, batch.count())
+        centroids = ivf_centroids(batch, n_eff, iters, id_col, vec_col)
+        dup_ids = None
+    else:
+        centroids = _read_centroids(spark, index_path)
+        cross = semantic_dedup_against_index(
+            batch, index_path, threshold, id_col, vec_col, max_cluster
+        )
+        dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
+
+    self_pairs = semantic_dedup_pairs(
+        batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        centroids=centroids, max_cluster=max_cluster,
+    )
+    self_dups = self_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dup_ids = (
+        self_dups if dup_ids is None
+        else dup_ids.unionByName(self_dups).distinct()
+    )
+    survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)  # pin before index mutates
+    fmt.append(survivors, store_path)
+    if bootstrap:
+        (
+            survivors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(index_path)
+        )
+        write_model_sidecar(spark, index_path, "_centroids.json", centroids)
+    else:
+        semantic_append_index(survivors, index_path, id_col, vec_col)
+    mark()
+    return survivors
+
+
+def _read_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
+    from faexport_db_spark.training.indexmeta import read_model_sidecar
+
+    return read_model_sidecar(spark, index_path, "_centroids.json")
+
+
+def start_streaming_semantic_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``semantic_dedup_batch_against_store`` into a streaming
+    query via foreachBatch. ``source`` is any streaming DataFrame with
+    (vec_id, embedding) columns."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def passage_dedup_batch_against_store(
     batch: DataFrame,
     store_path: str,

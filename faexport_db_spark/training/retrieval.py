@@ -186,25 +186,44 @@ def _write_stats_partial(
     )
 
 
-def _read_stats(spark: SparkSession, path: str) -> tuple[float, float]:
-    """(n_docs, avgdl) summed over the per-commit stats partials."""
+def _load_stats_partials(fs, sdir: str) -> dict[str, dict]:
+    """Live stats partials by name. A compacted partial carries a
+    ``replaces`` list naming the partials it folded in; any named file
+    still on disk (compaction crashed between writing the merged
+    partial and deleting the olds) is EXCLUDED from the live set, so
+    the sum never double-counts regardless of where a compaction
+    stopped — the reader-side half of ``bm25_compact``'s crash
+    contract. Exclusions from dead partials still apply (chained
+    compactions converge)."""
     import json
 
+    docs = {
+        n: json.loads(fs.read_text(f"{sdir}/{n}"))
+        for n in fs.list_names(sdir)
+        if n.endswith(".json")
+    }
+    replaced: set[str] = set()
+    for doc in docs.values():
+        replaced.update(doc.get("replaces", ()))
+    return {n: d for n, d in docs.items() if n not in replaced}
+
+
+def _read_stats(spark: SparkSession, path: str) -> tuple[float, float]:
+    """(n_docs, avgdl) summed over the LIVE per-commit stats partials
+    (compaction-replaced partials excluded — see
+    ``_load_stats_partials``)."""
     from faexport_db_spark.operators.hadoop_fs import HadoopFs
 
     fs = HadoopFs(spark, path)
     sdir = f"{path.rstrip('/')}/_bm25_stats"
-    names = [n for n in fs.list_names(sdir) if n.endswith(".json")]
-    if not names:
+    docs = _load_stats_partials(fs, sdir)
+    if not docs:
         raise FileNotFoundError(
             f"BM25 index at {path} has no _bm25_stats partials — not built "
             f"by bm25_build_index."
         )
-    n_docs = total_dl = 0.0
-    for n in names:
-        doc = json.loads(fs.read_text(f"{sdir}/{n}"))
-        n_docs += doc["n_docs"]
-        total_dl += doc["total_dl"]
+    n_docs = sum(d["n_docs"] for d in docs.values())
+    total_dl = sum(d["total_dl"] for d in docs.values())
     return n_docs, total_dl / n_docs
 
 
@@ -358,6 +377,64 @@ def start_streaming_bm25_index(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def bm25_compact(
+    spark: SparkSession,
+    index_path: str,
+    target_bytes: int | None = None,
+) -> dict:
+    """Maintenance compaction for an appended BM25 index: every
+    ``bm25_append_index``/streaming batch leaves one-plus parquet
+    files per touched ``tb=`` bucket and one stats partial, so probe
+    cost grows with file count until someone compacts. This rewrites
+    the postings through the standard two-phase ``compact_path``
+    (hive ``tb=`` layout preserved, so probe-side partition pruning is
+    untouched; concurrent appenders are snapshot-safe per its
+    contract), then folds the live stats partials into ONE summed
+    partial. The fold is crash-safe WITHOUT a rename: the merged
+    partial names everything it ``replaces``, and ``_read_stats``
+    excludes any still-on-disk replaced partial from the sum — so a
+    crash between writing the merged partial and deleting the olds
+    can never double-count, and the next compaction sweeps the
+    leftovers. Returns the ``compact_path`` stats plus the partial
+    counts."""
+    import json
+    import uuid
+
+    from faexport_db_spark.maintenance.compaction import (
+        DEFAULT_TARGET_BYTES,
+        compact_path,
+    )
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    stats = compact_path(
+        spark, index_path, partition_by=["tb"],
+        target_bytes=target_bytes or DEFAULT_TARGET_BYTES,
+    )
+    fs = HadoopFs(spark, index_path)
+    sdir = f"{index_path.rstrip('/')}/_bm25_stats"
+    names = [n for n in fs.list_names(sdir) if n.endswith(".json")]
+    live = _load_stats_partials(fs, sdir)
+    # sweep partials a crashed earlier fold already replaced
+    for n in set(names) - set(live):
+        fs.delete(f"{sdir}/{n}")
+    if len(live) > 1:
+        doc = {
+            "n_docs": sum(d["n_docs"] for d in live.values()),
+            "total_dl": sum(d["total_dl"] for d in live.values()),
+            "replaces": sorted(live),
+        }
+        fs.write_text(
+            f"{sdir}/compacted-{uuid.uuid4().hex[:12]}.json", json.dumps(doc)
+        )
+        for n in live:
+            fs.delete(f"{sdir}/{n}")
+    return {
+        **stats,
+        "stats_partials_before": len(live),
+        "stats_partials_after": 1 if live else 0,
+    }
 
 
 def bm25_topk_persisted(

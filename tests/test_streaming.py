@@ -571,6 +571,68 @@ def test_streaming_embed_dedup_filters_within_and_across_batches(
         )
 
 
+def test_streaming_semantic_dedup_filters_within_and_across_batches(
+    spark, sf_small, tmp_path
+):
+    """Semantic (SemDeDup) streaming analog: batch 1 trains the model,
+    seeds the cid-partitioned index with its survivors (internal scaled
+    twin dropped), and freezes the centroids in the sidecar; batch 2's
+    twin of a batch-1 vector is caught by the pruned-cell probe under
+    the FROZEN model (scale-invariant assignment → same cell,
+    structurally), its fresh vector survives, and redelivery of batch 2
+    is a marker no-op."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        semantic_dedup_batch_against_store,
+        start_streaming_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").orderBy("vec_id").limit(3)
+    va, vb, vc = (list(r["embedding"]) for r in emb.collect())
+    twin = lambda v: [x * 2.0 for x in v]  # noqa: E731 — cosine exactly 1
+
+    src = tmp_path / "incoming"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    batches = [
+        [(1, va), (2, vb), (3, twin(va))],   # 3 dups 1 within the batch
+        [(11, twin(va)), (12, vc)],          # 11 dups stored 1 via the index
+    ]
+    schema = "vec_id bigint, embedding array<float>"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_semantic_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True}, n_centroids=2,
+        )
+        q.awaitTermination(120)
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    assert kept == [1, 2, 12]
+    idx_ids = {
+        r["neighbor_id"] for r in spark.read.parquet(index).collect()
+    }
+    assert idx_ids == {1, 2, 12}
+    # frozen model: the sidecar survives batch 2 (append, not rebuild)
+    from faexport_db_spark.training.indexmeta import read_model_sidecar
+
+    cents = read_model_sidecar(spark, index, "_centroids.json")
+    assert 1 <= len(cents) <= 2
+    # direct redelivery of batch 2 (marker present) is a no-op
+    sid = (tmp_path / "ckpt" / "b2" / "_dedup_stream_token").read_text().strip()
+    redelivered = semantic_dedup_batch_against_store(
+        spark.createDataFrame(batches[1], schema), store, index,
+        batch_id=0, stream_id=sid, n_centroids=2,
+    )
+    assert redelivered is None
+    assert spark.read.parquet(store).count() == 3
+
+
 def test_batch_commit_marker_skips_redelivered_batch(spark, tmp_path):
     """A batch re-delivered AFTER its commit marker was written must be
     skipped entirely — no duplicate store rows, no duplicate index

@@ -1038,6 +1038,75 @@ def test_bm25_incremental_append_matches_full_rebuild(spark, sf_small, tmp_path)
     assert again == want
 
 
+def test_bm25_compact_preserves_topk_and_folds_stats(spark, sf_small, tmp_path):
+    """N appends → bm25_compact → IDENTICAL top-k, fewer postings
+    files, and the N+1 stats partials folded into one. The fold's
+    crash window (merged partial written, olds not yet deleted) must
+    not double-count: _read_stats excludes replaced partials still on
+    disk (VERDICT r05 #7)."""
+    import json
+
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.queries.training_queries import _bm25_queries
+    from faexport_db_spark.training.retrieval import (
+        _read_stats,
+        bm25_append_index,
+        bm25_build_index,
+        bm25_compact,
+        bm25_topk_persisted,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    bm25_build_index(docs.filter(F.col("doc_id") % 4 == 0), idx)
+    for m in range(1, 4):
+        bm25_append_index(
+            docs.filter(F.col("doc_id") % 4 == m), idx, commit_name=f"a{m}"
+        )
+
+    def _files(p):
+        import glob
+
+        return [f for f in glob.glob(f"{p}/tb=*/*.parquet")]
+
+    queries = _bm25_queries(docs)
+    before = {tuple(r) for r in bm25_topk_persisted(spark, idx, queries, k=3).collect()}
+    files_before = len(_files(idx))
+    stats_before = _read_stats(spark, idx)
+
+    out = bm25_compact(spark, idx)
+    after = {tuple(r) for r in bm25_topk_persisted(spark, idx, queries, k=3).collect()}
+    assert after == before
+    assert len(_files(idx)) < files_before
+    assert _read_stats(spark, idx) == stats_before
+    fs = HadoopFs(spark, idx)
+    sdir = f"{idx}/_bm25_stats"
+    names = [n for n in fs.list_names(sdir) if n.endswith(".json")]
+    assert len(names) == 1 and out["stats_partials_before"] == 4
+
+    # crash window: a second fold writes its merged partial but dies
+    # before deleting the olds — simulate by appending then writing a
+    # merged partial manually without deleting
+    bm25_append_index(docs.limit(0).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).limit(5)
+    ), idx, commit_name="late")
+    live_names = sorted(n for n in fs.list_names(sdir) if n.endswith(".json"))
+    n_docs, avgdl = _read_stats(spark, idx)
+    merged = {
+        "n_docs": n_docs,
+        "total_dl": n_docs * avgdl,
+        "replaces": live_names,
+    }
+    fs.write_text(f"{sdir}/compacted-crashed.json", json.dumps(merged))
+    got = _read_stats(spark, idx)
+    assert abs(got[0] - n_docs) < 1e-9 and abs(got[1] - avgdl) < 1e-9
+    # and the next compact sweeps the replaced leftovers
+    bm25_compact(spark, idx)
+    assert _read_stats(spark, idx)[0] == n_docs
+    names2 = [n for n in fs.list_names(sdir) if n.endswith(".json")]
+    assert len(names2) == 1
+
+
 def test_streaming_bm25_index_maintenance(spark, sf_small, tmp_path):
     """foreachBatch BM25 maintenance: batch 1 bootstraps the index,
     batch 2 appends; the final probe equals a batch build over
