@@ -109,3 +109,70 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         wedges.join(closing, ["v1", "v2"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (self-loops
+    dropped, duplicate edges collapsed). The simplified (mass-leaking)
+    formulation every MapReduce-era treatment starts from:
+
+        r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+
+    with r_0 = 1/N uniform; nodes without out-edges leak their damped
+    mass (no dangling redistribution), which keeps each iteration a
+    closed-form join+aggregate both engines reproduce exactly — the
+    property the unrolled-SQL oracle needs.
+
+    Scale shape: the rank vector is a (node, rank) DataFrame, never
+    driver-side; each iteration is one equi-join on the edge source
+    (ranks × out-degree-normalized edges) and one groupBy on the
+    destination — both shuffles keyed by node id, the standard
+    Pregel-as-DataFrame step. ``iters`` is fixed (batch analytics /
+    feature-extraction usage), so the lineage is a short static chain;
+    at hundreds of iterations you would checkpoint every ~10. Skewed
+    in-degree (hub pages) is absorbed by map-side partial sums in the
+    contribution aggregate. Output: (node, rank) rounded to 6 — the
+    cross-engine comparison grain."""
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        # materialized ONCE: every iteration reads nodes and the
+        # normalized edges; without pinning, each iteration's plan
+        # re-embeds (and re-shuffles) the whole derivation — lineage
+        # also grows per iteration, the classic iterative-DataFrame
+        # trap. The n_nodes count forces nodes anyway.
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    norm = e.join(outdeg, "u").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = F.lit((1.0 - damping) / n_nodes)
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm["u"] == ranks["node"])
+            .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["v"], "left"
+        ).select(
+            "node",
+            (base + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

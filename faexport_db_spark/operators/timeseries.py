@@ -63,3 +63,41 @@ def resample_locf(
     for vc in value_cols:
         out = out.withColumn(vc, F.last(vc, ignorenulls=True).over(w))
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    session_col: str = "session_n",
+) -> DataFrame:
+    """BATCH sessionization — assign every event a per-key session
+    ordinal, where a new session starts when the gap from the key's
+    previous event exceeds ``gap_minutes`` (the batch twin of the
+    streaming session windows in streaming/stateful.py, for backfill
+    and reprocessing runs where Structured Streaming state is the
+    wrong tool).
+
+    Classic lag + cumulative-sum-of-boundaries: both windows share ONE
+    partitioning (the key), so the whole operator is a single exchange
+    + one sorted pass per key — no self-join, no driver loop. Equal
+    timestamps within a key are order-stable by construction: a tied
+    row's gap to its predecessor is 0 (never a boundary), so every
+    ordering of the tie yields the same session assignment. At 100 TB
+    the partition is per entity (uniform for event streams); one
+    dominant key degrades to a single task's sort — the same hazard
+    class as asof_join, and the same salting remedy applies if a key
+    ever dominates."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    boundary = F.when(
+        prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        session_col,
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -328,3 +328,33 @@ def a13_approx_quantile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "a14_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — explicit GROUPING SETS with grouping-id disambiguation:
+    detail, per-flag subtotal and grand total in ONE pass. Catalyst
+    compiles grouping sets to a single Expand + hash aggregate — one
+    scan, one shuffle — where a union-of-aggregates formulation would
+    scan the fact table once per set; grouping_id() (leftmost column =
+    most significant bit, the SQL-standard encoding DuckDB shares)
+    distinguishes a genuine NULL group key from a rolled-up one."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__a14_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM __a14_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)

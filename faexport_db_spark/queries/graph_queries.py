@@ -90,3 +90,46 @@ def g2_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(canonical_edges(_edges(spark, sf_dir))).select(
         "degree", F.col("n_nodes").cast("long").alias("n_nodes")
     )
+
+
+@register(
+    "g3_pagerank",
+    oracle=f"""
+    WITH raw AS ({_EDGE_SQL}),
+    e AS (SELECT DISTINCT src AS u, dst AS v FROM raw WHERE src <> dst),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      )
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY u),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (SELECT e.v, CAST(sum(r0.rank / outdeg.od) AS DOUBLE) AS inflow
+           FROM e JOIN outdeg USING (u) JOIN r0 ON r0.node = e.u GROUP BY e.v),
+    r1 AS (SELECT node, (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes LEFT JOIN c1 ON c1.v = node),
+    c2 AS (SELECT e.v, CAST(sum(r1.rank / outdeg.od) AS DOUBLE) AS inflow
+           FROM e JOIN outdeg USING (u) JOIN r1 ON r1.node = e.u GROUP BY e.v),
+    r2 AS (SELECT node, (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes LEFT JOIN c2 ON c2.v = node),
+    c3 AS (SELECT e.v, CAST(sum(r2.rank / outdeg.od) AS DOUBLE) AS inflow
+           FROM e JOIN outdeg USING (u) JOIN r2 ON r2.node = e.u GROUP BY e.v),
+    r3 AS (SELECT node, (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes LEFT JOIN c3 ON c3.v = node)
+    SELECT node, round(CAST(rank AS DOUBLE), 6) AS rank FROM r3
+    """,
+)
+def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — fixed-iteration PageRank (3 iterations, d=0.85, simplified
+    mass-leaking form) over the DIRECTED fixture edge list. The engine
+    iterates rank-join-aggregate (operators/graph.py::pagerank — the
+    Pregel-as-DataFrame step, node-keyed shuffles only, rank vector
+    never driver-side); the oracle unrolls the same three iterations
+    as chained SQL CTEs, value-matching at the round-6 grain."""
+    from faexport_db_spark.operators.graph import pagerank
+
+    return pagerank(_edges(spark, sf_dir), iters=3, damping=0.85)

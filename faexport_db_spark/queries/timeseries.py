@@ -222,3 +222,51 @@ def ts4_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "ts5_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_n
+    """,
+)
+def ts5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5 — batch sessionization: per-user sessions cut at >30-minute
+    inactivity gaps (operators/timeseries.py::sessionize — lag +
+    cumulative boundary sum, ONE exchange on the entity key), rolled
+    up to one row per session. The batch twin of st_session_windows,
+    for backfills where streaming state is the wrong tool; tied
+    timestamps are assignment-stable by construction (gap 0 is never
+    a boundary)."""
+    from faexport_db_spark.operators.timeseries import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        "user_id",
+        F.col("session_n").cast("bigint").alias("session_n"),
+        "n_events", "total_value", "session_start", "session_end",
+    )

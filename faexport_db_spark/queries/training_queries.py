@@ -533,6 +533,49 @@ _PII_PHONE = r"\+?\d[\d -]{7,}\d"
 
 
 @register(
+    "t_unicode_clean",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN ' cafe' || chr(769) || chr(7)
+               WHEN 1 THEN chr(8) || ' plain'
+               ELSE '' END AS t0
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(regexp_replace(t0, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+             AS clean_text,
+           nfc_normalize(regexp_replace(t0, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+             <> t0 AS changed
+    FROM p
+    """,
+)
+def t_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (training/text.py::unicode_clean) with planted
+    mess: a third of the docs get a decomposed 'e' + COMBINING ACUTE
+    (U+0301) followed by a BEL control, a third get a BACKSPACE — so
+    the strip-then-NFC order, the control class, and the composed
+    output are all value-checked (clean fixture text alone would make
+    NFC a no-op). The oracle replays it with DuckDB's nfc_normalize;
+    both sides implement UAX #15 canonical composition, so the texts
+    agree byte-for-byte."""
+    from faexport_db_spark.training.text import unicode_clean
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" cafe\u0301\x07"))  # decomposed e + U+0301
+            .when(d % 3 == 1, F.lit("\x08 plain"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return unicode_clean(planted)
+
+
+@register(
     "t_pii_scrub",
     oracle=f"""
     WITH p AS (
@@ -825,6 +868,46 @@ def t_embed_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: (x * two).cast("float")).alias("embedding"),
     )
     out = embed_dedup_against_index(batch, emb, idx, threshold=0.95)
+    return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
+@register(
+    "t_semantic_incremental_checked",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+             {_PLANTED_COSINE_SQL} AS cosine
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+)
+def t_semantic_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of INCREMENTAL semantic dedup: the
+    corpus is k-means-assigned and persisted once as a cid-partitioned
+    IVF index (``ivf_build``), then a batch of 2x-scaled copies probes
+    it. Cosine assignment is scale-invariant, so each copy is assigned
+    to exactly its original's cell under ANY trained model and the
+    pruned-cell probe MUST emit every planted pair at cosine 1.0 —
+    pinning the frozen-model assignment, the cid partition pruning,
+    and the verify-in-probe-join, with no corpus re-assignment
+    (training/similarity.py::semantic_dedup_against_index)."""
+    import tempfile
+
+    from faexport_db_spark.training.similarity import (
+        ivf_build,
+        semantic_dedup_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = tempfile.mkdtemp(prefix="faexport_spark_sem_") + "/index"
+    ivf_build(emb, idx, n_centroids=16)
+    two = F.lit(2.0).cast("float")
+    batch = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * two).cast("float")).alias("embedding"),
+    )
+    out = semantic_dedup_against_index(batch, idx, threshold=0.95)
     return out.filter(F.col("id_b") == F.col("id_a") + 1000000)
 
 

@@ -206,6 +206,51 @@ def pii_scrub(
     )
 
 
+#: C0/C1 control characters minus \t \n \r — the strip set of
+#: unicode_clean. A Java∩RE2-safe class, like PII_PATTERNS.
+CONTROL_CHAR_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def unicode_clean(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode hygiene for ingested text: strip C0/C1 control
+    characters (keeping \\t \\n \\r), then NFC-normalize — the
+    canonical-composition pass every cross-source training corpus
+    needs before dedup (a decomposed ``e`` + U+0301 and a precomposed
+    ``é`` must hash identically or every digest-keyed dedup op treats
+    equal texts as distinct).
+
+    Strip-then-normalize order is part of the contract: a control
+    character can otherwise sit between a base and its combining mark
+    and block composition. The control strip is a JVM regexp_replace
+    (codegen, RE2-portable class); NFC has no JVM builtin, so it is
+    the sanctioned slow path done right — pandas ``str.normalize``
+    (ICU-free, pure table pass) under an Arrow-batched pandas UDF,
+    map-only, zero shuffles. Output: (id, clean_text, changed)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        return s.str.normalize("NFC")
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint parser can't resolve pd.Series here
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CHAR_CLASS, "")
+    return docs.select(
+        F.col(id_col),
+        _nfc(stripped).alias("clean_text"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "clean_text",
+        (F.col("clean_text") != F.col(text_col)).alias("changed"),
+    )
+
+
 def token_counts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

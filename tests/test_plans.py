@@ -411,3 +411,72 @@ def test_range_search_zero_exchange(spark, sf_small):
     df = range_search(emb, q, threshold=0.6)
     assert shuffle_count(df) == 0
     assert_plan(df, max_python_evals=0)
+
+
+def test_semantic_against_index_probe_is_pruned_scan(spark, sf_small, tmp_path):
+    """Incremental SemDeDup probe: the batch's assigned cell ids must
+    become a PartitionFilters entry on the cid-partitioned index scan
+    (pruned BEFORE IO — the property that makes the incremental path
+    cheaper than re-running batch dedup), with the batch side
+    broadcast, and no corpus-side re-assignment in the plan."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+    from faexport_db_spark.training.similarity import (
+        ivf_build,
+        semantic_dedup_against_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    ivf_build(emb, idx, n_centroids=8)
+    batch = emb.limit(5).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    df = semantic_dedup_against_index(batch, idx)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unicode_clean_is_map_only(spark, sf_small):
+    """unicode_clean: zero exchanges, exactly one Arrow Python eval
+    (the NFC pass) — the sanctioned-slow-path shape."""
+    from faexport_db_spark.plans.audit import python_eval_count, shuffle_count
+    from faexport_db_spark.training.text import unicode_clean
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    df = unicode_clean(docs)
+    assert shuffle_count(df) == 0
+    assert python_eval_count(df) == 1
+
+
+def test_grouping_sets_single_expand_single_scan(spark, sf_small):
+    """A14 compiles to ONE Expand + hash aggregate over ONE scan — the
+    reason GROUPING SETS beats a union-of-aggregates at scale (which
+    would scan the fact table once per set)."""
+    from faexport_db_spark.plans.audit import formatted_plan
+    from faexport_db_spark.queries import QUERIES
+
+    import re
+
+    df = QUERIES["a14_grouping_sets"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert plan.count("Expand") >= 1
+    # one scan NODE (formatted output names each node once in the tree
+    # and once in the details section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_pagerank_exchange_ceiling(spark, sf_small):
+    """G3: three rank iterations plan within a fixed exchange budget —
+    each iteration is one contribution join + one dst aggregate, both
+    keyed by node id; nothing global, nothing single-partition."""
+    from faexport_db_spark.plans.audit import formatted_plan, shuffle_count
+    from faexport_db_spark.queries import QUERIES
+
+    df = QUERIES["g3_pagerank"](spark, sf_small)
+    assert shuffle_count(df) <= 18
+    assert "Exchange SinglePartition" not in formatted_plan(df)

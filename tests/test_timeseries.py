@@ -92,3 +92,58 @@ def test_funnel_fold_strict_ordering(spark):
     finally:
         ts_mod.load_table = orig
     assert out == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """A gap of EXACTLY the threshold is not a boundary (> not >=);
+    one µs over is; each key's ordinals restart at 1; equal timestamps
+    never open a session."""
+    import datetime as dt
+
+    from faexport_db_spark.operators.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),                      # == gap: same session
+        (1, t0 + dt.timedelta(minutes=60, microseconds=1)),      # 30m+1µs: new session
+        (1, t0 + dt.timedelta(minutes=60, microseconds=1)),      # tie: same session
+        (2, t0 + dt.timedelta(hours=9)),                         # other key restarts
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r["user_id"], r["ts"]): r["session_n"]
+        for r in sessionize(df, ["user_id"], "ts", gap_minutes=30).collect()
+    }
+    assert got[(1, rows[0][1])] == 1
+    assert got[(1, rows[1][1])] == 1
+    assert got[(1, rows[2][1])] == 2
+    assert got[(2, rows[4][1])] == 1
+
+
+def test_sessionize_is_single_exchange(spark):
+    import datetime as dt
+
+    from faexport_db_spark.operators.timeseries import sessionize
+    from faexport_db_spark.plans.audit import shuffle_count
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "user_id bigint, ts timestamp"
+    )
+    # lag window and cumulative-sum window share one partitioning —
+    # the whole operator must plan as ONE exchange
+    assert shuffle_count(sessionize(df, ["user_id"], "ts")) <= 1
+
+
+def test_pagerank_chain_graph_known_values(spark):
+    """Hand-checkable chain 1→2→3: node 1 never receives mass, node 2
+    receives from 1, node 3 from 2; ranks strictly increase along the
+    chain and total mass stays ≤ 1 (leak formulation)."""
+    from faexport_db_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    r = {row["node"]: row["rank"] for row in pagerank(e, iters=3).collect()}
+    base = 0.15 / 3
+    assert abs(r[1] - round(base, 6)) < 1e-9          # source: base only
+    assert r[1] < r[2] < r[3]
+    assert sum(r.values()) <= 1.0 + 1e-9
