@@ -358,3 +358,35 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __a14_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """)
+
+
+@register(
+    "a15_approx_distinct_checked",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a15_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — HyperLogLog distinct-count with a verified error bound:
+    approx_count_distinct (HLL++, the only way COUNT DISTINCT is
+    computed at 100 TB — a mergeable fixed-size sketch instead of a
+    shuffle of every distinct value) must land within 5× its
+    configured 2% rsd of the exact count. Like a13/t_sketch_bounds,
+    the driver-checked contract is the BOUND (the estimate itself is
+    merge-order-dependent); the exact count rides along value-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_nd"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.greatest(
+                F.countDistinct("o_custkey") * 0.10, F.lit(5.0)
+            )
+        ).alias("within_bound"),
+    )

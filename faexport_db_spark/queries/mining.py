@@ -89,3 +89,55 @@ def x1_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "x2_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p_next
+    FROM pairs
+    """,
+)
+def x2_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — first-order event-transition matrix (Markov bigrams): for
+    each user's time-ordered event stream, count (prev_type,
+    next_type) adjacencies and normalize per source state — the
+    session-flow / next-action-prediction primitive. One entity-keyed
+    window pass builds the adjacency (tie-broken by event_id, so both
+    engines see the same sequence), then a vocabulary-sized aggregate:
+    the transition matrix is |event_types|² rows regardless of corpus
+    size, so everything after the lag is effectively free at 100 TB."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 6
+        ).alias("p_next"),
+    )

@@ -109,3 +109,39 @@ def o5_offset_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
         .drop("rn")
     )
+
+
+@register(
+    "o6_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (DATE '1996-06-15', 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50
+    """,
+)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — keyset (seek) pagination: the scale-correct counterpart to
+    O5's offset resume. The page anchor is a (date, key) tuple
+    predicate, so the scan PRUNES to rows after the anchor (pushed
+    filter on the leading column) and the sort-limit touches only
+    candidate rows — where OFFSET must produce and discard every
+    earlier row through a single-partition window, O(pages²) across a
+    full crawl. Spark's TakeOrderedAndProject handles the global
+    top-50 without materializing a total sort. The composite
+    row-value comparison is expanded to its boolean form (Spark has
+    no tuple <); anchor values are deterministic literals, the resume
+    token a real crawler would carry."""
+    d0, k0 = "1996-06-15", 1000
+    o = load_table(spark, sf_dir, "orders")
+    after_anchor = (F.col("o_orderdate") > F.lit(d0).cast("date")) | (
+        (F.col("o_orderdate") == F.lit(d0).cast("date"))
+        & (F.col("o_orderkey") > k0)
+    )
+    return (
+        o.filter(after_anchor)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )

@@ -523,3 +523,68 @@ def v2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col_name, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+@register(
+    "v3_referential_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 10 <> 3
+    )
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 7 <> 2
+    )
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST(count(*) AS BIGINT)
+    FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey
+    )
+    """,
+)
+def v3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 — referential-integrity audit: per-relationship orphan counts
+    via LEFT ANTI joins (the validate/investigate mode of the
+    reference's ingest pipelines, lifted to a standing cross-table
+    report — its per-row existence checks become three set-level
+    anti-joins). Two parents are deterministically broken (customers
+    ending in 3 dropped, every 7th-congruent order dropped) so the
+    counts are non-trivial; the intact supplier->nation row pins the
+    zero case. Anti-joins shuffle only the key columns; the small
+    parents broadcast."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 != 3
+    ).select(F.col("c_custkey").alias("k"))
+    orders = load_table(spark, sf_dir, "orders")
+    ordk = orders.filter(F.col("o_orderkey") % 7 != 2).select(
+        F.col("o_orderkey").alias("k")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    def orphans(child, key, parent, name):
+        return (
+            child.select(F.col(key).alias("k"))
+            .join(parent, "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    return (
+        orphans(orders, "o_custkey", cust, "orders->customer")
+        .unionByName(orphans(li, "l_orderkey", ordk, "lineitem->orders"))
+        .unionByName(orphans(sup, "s_nationkey", nat, "supplier->nation"))
+    )

@@ -270,3 +270,80 @@ def ts5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_n").cast("bigint").alias("session_n"),
         "n_events", "total_value", "session_start", "session_end",
     )
+
+
+@register(
+    "ts6_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 1000000.0, 0) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY user_id
+    """,
+)
+def ts6_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6 — union-of-intervals coverage (gaps-and-islands): each event
+    spans [ts, ts + value seconds]; overlapping spans per user merge
+    into islands and the TOTAL covered time is summed — the
+    utilization / uptime primitive (how long was the device actually
+    busy). One entity-keyed sort carries both windows (running max of
+    interval end → island boundary flag → cumulative island id), then
+    two map-side-combining aggregates; all integer µs arithmetic, so
+    the cross-engine match is exact, not rounded. The same single
+    exchange + skew profile as sessionize."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            # round, not truncate: DuckDB's double->BIGINT cast rounds
+            # while Spark's truncates — make both round explicitly or
+            # durations like 9.64 s diverge by 1 µs
+            F.unix_micros("ts")
+            + F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e >= F.col("s"), 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_us"),
+    )

@@ -480,3 +480,30 @@ def test_pagerank_exchange_ceiling(spark, sf_small):
     df = QUERIES["g3_pagerank"](spark, sf_small)
     assert shuffle_count(df) <= 18
     assert "Exchange SinglePartition" not in formatted_plan(df)
+
+
+def test_keyset_pagination_pushes_anchor_and_avoids_global_sort(spark, sf_small):
+    """O6: the anchor predicate must reach the parquet scan as a
+    pushed filter on the leading sort column, and the page must plan
+    as TakeOrderedAndProject — never a total sort or single-partition
+    window (the thing that makes O5-style offsets O(pages²))."""
+    from faexport_db_spark.plans.audit import formatted_plan, pushed_filters
+    from faexport_db_spark.queries import QUERIES
+
+    df = QUERIES["o6_keyset_pagination"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert any("o_orderdate" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "Exchange SinglePartition" not in plan
+
+
+def test_interval_coverage_exchange_ceiling(spark, sf_small):
+    """TS6: one entity-keyed window sort feeds both the boundary flag
+    and the island id; with the two downstream aggregates the whole
+    op stays within 3 exchanges, none single-partition."""
+    from faexport_db_spark.plans.audit import formatted_plan, shuffle_count
+    from faexport_db_spark.queries import QUERIES
+
+    df = QUERIES["ts6_interval_coverage"](spark, sf_small)
+    assert shuffle_count(df) <= 3
+    assert "Exchange SinglePartition" not in formatted_plan(df)

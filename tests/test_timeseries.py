@@ -147,3 +147,32 @@ def test_pagerank_chain_graph_known_values(spark):
     assert abs(r[1] - round(base, 6)) < 1e-9          # source: base only
     assert r[1] < r[2] < r[3]
     assert sum(r.values()) <= 1.0 + 1e-9
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    """Hand-checkable islands: [0,10] + [5,15] merge (coverage 15),
+    [20,25] is its own island; a fully-contained interval adds
+    nothing."""
+    import datetime as dt
+
+    from faexport_db_spark.queries.registry import QUERIES
+    from faexport_db_spark.queries import timeseries as ts_mod
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, off_s, dur_s):
+        return (eid, t0 + dt.timedelta(seconds=off_s), 1, "e", float(dur_s), "{}")
+
+    rows = [ev(1, 0, 10), ev(2, 5, 10), ev(3, 20, 5), ev(4, 6, 1)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    orig = ts_mod.load_table
+    try:
+        ts_mod.load_table = lambda spark, sf, name: df
+        out = QUERIES["ts6_interval_coverage"](spark, "unused").collect()
+    finally:
+        ts_mod.load_table = orig
+    row = out[0]
+    assert row["n_islands"] == 2
+    assert row["covered_us"] == 20_000_000  # 15s + 5s
