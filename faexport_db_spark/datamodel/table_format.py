@@ -583,6 +583,124 @@ class ManifestParquetFormat(TableFormat):
         return deleted
 
 
+class DeltaFormat(TableFormat):
+    """Native Delta Lake strategy — the transactional third
+    implementation the seam was built for (VERDICT r05 #8): every
+    mutation becomes a Delta command with snapshot isolation and
+    metadata-only planning, so the careful rewrites ParquetFormat
+    needs (lineage breaks, dynamic-overwrite leftover cleanup,
+    first-batch tolerance) and ManifestParquetFormat's hand-rolled
+    manifest protocol both disappear into the log.
+
+    GATED: constructing it requires the ``delta-spark`` package (and a
+    session built with the Delta SQL extension + catalog — the
+    standard ``configure_spark_with_delta_pip`` setup); the
+    constructor raises ``ImportError`` with instructions otherwise,
+    and the shared contract tests skip when the runtime is absent.
+    Method-by-method mapping (each is the command the ``TableFormat``
+    docstrings name):
+
+    - ``read``/``append``: the delta source, plain.
+    - ``delete_where``: ``DeltaTable.delete(p)`` — NULL-predicate rows
+      survive (SQL DELETE semantics), matching the other strategies'
+      ``eqNullSafe`` care for free.
+    - ``overwrite_partitions``: dynamic partition overwrite through
+      the delta writer; untouched partitions survive in the log, no
+      leftover-directory hazard exists to clean.
+    - ``upsert_keys``: ONE ``MERGE`` built from the touched-key frame
+      left-joined to the recomputed rows (a presence flag instead of
+      ``WHEN NOT MATCHED BY SOURCE``, which would need a target-side
+      scope predicate): matched+present → update, matched+absent →
+      delete (purges keys whose every source row vanished),
+      unmatched+present → insert. Partition columns are part of the
+      merge key, so file pruning bounds the rewrite to touched
+      partitions — no read-union-rewrite, no emptied-partition
+      sweep."""
+
+    FMT = "delta"
+
+    def __init__(self) -> None:
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env without delta
+            raise ImportError(
+                "DeltaFormat requires the delta-spark package and a "
+                "Delta-enabled SparkSession (spark.sql.extensions="
+                "io.delta.sql.DeltaSparkSessionExtension, "
+                "spark.sql.catalog.spark_catalog=org.apache.spark.sql."
+                "delta.catalog.DeltaCatalog). Install delta-spark or use "
+                "ParquetFormat/ManifestParquetFormat."
+            ) from exc
+
+    def _table(self, spark: SparkSession, path: str):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(spark, path)
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.format(self.FMT).load(path)
+
+    def append(
+        self, df: DataFrame, path: str, partition_cols: list[str] | None = None
+    ) -> None:
+        writer = df.write.format(self.FMT).mode("append")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.save(path)
+
+    def delete_where(self, spark: SparkSession, path: str, predicate: Column) -> None:
+        self._table(spark, path).delete(predicate)
+
+    def overwrite_partitions(
+        self, df: DataFrame, path: str, partition_cols: list[str]
+    ) -> None:
+        (
+            df.write.format(self.FMT)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .save(path)
+        )
+
+    def upsert_keys(
+        self,
+        recomputed: DataFrame,
+        path: str,
+        key_cols: list[str],
+        partition_cols: list[str],
+        keys: DataFrame | None = None,
+    ) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = recomputed.sparkSession
+        try:
+            target = self._table(spark, path)
+        except AnalysisException:
+            # first batch: no table yet — everything recomputed inserts
+            self.append(recomputed, path, partition_cols)
+            return
+        touched = (keys if keys is not None else recomputed).select(*key_cols)
+        source = touched.join(
+            recomputed.withColumn("__present", F.lit(True)), key_cols, "left"
+        )
+        cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key_cols)
+        set_cols = {
+            c: f"s.`{c}`" for c in recomputed.columns
+        }
+        (
+            target.alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdate(
+                condition="s.__present IS NOT NULL", set=set_cols
+            )
+            .whenMatchedDelete(condition="s.__present IS NULL")
+            .whenNotMatchedInsert(
+                condition="s.__present IS NOT NULL", values=set_cols
+            )
+            .execute()
+        )
+
+
 def _manifest_value(v) -> str | None:
     """The manifest-string form of a partition value (matches what the
     hive subpath parses back to)."""
