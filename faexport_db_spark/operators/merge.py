@@ -247,3 +247,35 @@ def scd2_collapse(
         F.max(first_order).alias("valid_to"),
         F.count(F.lit(1)).cast("bigint").alias("n_snapshots"),
     ).drop("__island")
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture changelog to produce the CURRENT
+    snapshot: for each key, the highest-``seq_col`` row wins; if that
+    winner is a ``delete_op`` tombstone the key vanishes entirely
+    (upserts that were later deleted never resurface). The standard
+    CDC-compaction/materialize step (Debezium-style streams, Delta
+    CDF) as one window pass.
+
+    ONE exchange on the key — same shape and skew profile as W1–W4
+    dedup; tombstones are filtered only AFTER the latest-row pick, so
+    a delete followed by nothing stays deleted while a delete followed
+    by a re-insert (higher seq) correctly revives the key. Contract:
+    (key, seq) pairs are unique — the changelog's own ordering
+    guarantee; pre-dedup if a source can emit doubles. Output: the
+    winning non-tombstone rows minus the op column."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)

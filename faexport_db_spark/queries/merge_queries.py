@@ -426,3 +426,41 @@ def m9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["o_orderdate", "o_orderkey"],
         value_col="o_orderstatus",
     ).drop("o_orderkey")
+
+
+@register(
+    "m10_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey, o_orderkey AS seq, o_totalprice,
+             CASE WHEN o_orderkey % 11 = 7 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ),
+    latest AS (
+      SELECT o_custkey, seq, o_totalprice, op,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT o_custkey, seq, o_totalprice
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def m10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — CDC changelog materialization (operators/merge.py::
+    cdc_apply): a deterministic upsert/delete log derived from orders
+    (every 11th-congruent order is a tombstone) compacts to the
+    current per-customer state — latest sequence wins, keys whose
+    winner is a tombstone vanish, earlier deletes are revived by later
+    upserts. The snapshot-vs-changelog duality the reference's
+    append-then-dedup ingest contract (SURVEY §2.10) implies, made
+    explicit; one key-hash exchange."""
+    from faexport_db_spark.operators.merge import cdc_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("seq"),
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 7, "D").otherwise("U").alias("op"),
+    )
+    return cdc_apply(log, ["o_custkey"], "seq")

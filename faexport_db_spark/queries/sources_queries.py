@@ -588,3 +588,68 @@ def v3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(li, "l_orderkey", ordk, "lineitem->orders"))
         .unionByName(orphans(sup, "s_nationkey", nat, "supplier->nation"))
     )
+
+
+@register(
+    "k8_bucketed_join",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_nationkey
+    """,
+)
+def k8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 — bucketed co-located join: both tables are written
+    ``bucketBy(custkey)`` + sorted (Spark's saveAsTable bucket layout),
+    so the fact-dim join consumes bucket-aligned files and plans with
+    NO Exchange on either side (asserted in tests/test_plans.py) — the
+    canonical way to pre-pay a 100 TB join's shuffle once at write
+    time and amortize it over every later query. The aggregate reuses
+    the same clustering. Bucket count is small here (fixture scale);
+    at cluster scale it is sized so each bucket ≈ one task's memory."""
+    import hashlib
+
+    # deterministic per-fixture names + overwrite: repeat runs REUSE
+    # the two warehouse tables instead of accumulating uuid-named junk
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_cust = f"k8_orders_{tag}", f"k8_customer_{tag}"
+    # The in-memory catalog dies with each session but the warehouse
+    # DIRECTORY persists, and saveAsTable refuses a managed-table
+    # location that exists without a catalog entry
+    # (LOCATION_ALREADY_EXISTS) — drop both layers before writing.
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for t in (t_orders, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        HadoopFs(spark, wh).delete(f"{wh.rstrip('/')}/{t}", recursive=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .format("parquet")
+        .saveAsTable(t_cust)
+    )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    # grouping by the BUCKET key keeps the aggregate inside the
+    # bucket-aligned partitioning too: the entire query plans with
+    # zero Exchange nodes (plan-asserted)
+    return joined.groupBy("c_custkey", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -116,3 +116,23 @@ def test_web_json_shape(spark):
     assert doc["cache_data"]["snapshot_count"] == 3
     assert doc["submission_data"]["title"] == "Old Title"
     assert doc["submission_data"]["datetime_posted"].startswith("2023-12-31T00:00:00")
+
+
+def test_cdc_apply_tombstone_semantics(spark):
+    """Latest-seq wins; a final tombstone kills the key; a tombstone
+    followed by a higher-seq upsert revives it."""
+    from faexport_db_spark.operators.merge import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "U"),
+            (1, 2, 20.0, "U"),   # key 1 -> latest upsert wins
+            (2, 1, 30.0, "U"),
+            (2, 2, None, "D"),   # key 2 -> deleted, stays gone
+            (3, 1, None, "D"),
+            (3, 2, 50.0, "U"),   # key 3 -> revived after delete
+        ],
+        "k bigint, seq bigint, v double, op string",
+    )
+    got = {r["k"]: r["v"] for r in cdc_apply(log, ["k"], "seq").collect()}
+    assert got == {1: 20.0, 3: 50.0}

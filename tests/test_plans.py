@@ -507,3 +507,15 @@ def test_interval_coverage_exchange_ceiling(spark, sf_small):
     df = QUERIES["ts6_interval_coverage"](spark, sf_small)
     assert shuffle_count(df) <= 3
     assert "Exchange SinglePartition" not in formatted_plan(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small):
+    """K8: both sides bucketed+sorted on the join key — the join and
+    the downstream aggregate must plan with ZERO Exchange nodes (the
+    shuffle was pre-paid at write time; at 100 TB this is the whole
+    point of bucketing)."""
+    from faexport_db_spark.plans.audit import shuffle_count
+    from faexport_db_spark.queries import QUERIES
+
+    df = QUERIES["k8_bucketed_join"](spark, sf_small)
+    assert shuffle_count(df) == 0
