@@ -269,23 +269,32 @@ def _verify_jaccard(
     # distinct shuffles only id pairs (16 bytes each), while every
     # surviving duplicate would ship both shingle arrays through the
     # per-pair groupBy — the dominant shuffle at scale.
-    pairs = pairs.distinct()
-    member = pairs.select(
+    # Pre-group the pair set into a per-id membership table so the
+    # candidate subtree appears in the plan exactly ONCE (the earlier
+    # member + distinct-ids formulation embedded it twice, and the
+    # whole corpus-signing + banding pipeline re-executed per embed —
+    # measured 3 corpus scans of the banding subtree at sf0.1). Same
+    # shape as the embedding path's _pair_cosines; the inner broadcast
+    # join both restricts the corpus to candidate docs and attaches
+    # each one's pair list.
+    member = pairs.distinct().select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
     )
-    cand_ids = member.select(F.col("mid").alias(id_col)).distinct()
-    shingled = (
+    grouped = member.groupBy("mid").agg(
+        F.collect_list(F.struct("id_a", "id_b")).alias("ps")
+    )
+    joined = (
         fan_out(docs)
-        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .join(F.broadcast(grouped), F.col(id_col) == F.col("mid"))
         .select(
-            F.col(id_col),
+            F.col(id_col).alias("mid"),
             shingle_hashes(text_col, shingle_n).alias("sh"),
+            F.explode("ps").alias("p"),
         )
     )
-    joined = shingled.join(F.broadcast(member), F.col(id_col) == F.col("mid"))
-    per_pair = joined.groupBy("id_a", "id_b").agg(
-        F.max(F.when(F.col("mid") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
-        F.max(F.when(F.col("mid") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
+    per_pair = joined.groupBy("p.id_a", "p.id_b").agg(
+        F.max(F.when(F.col("mid") == F.col("p.id_a"), F.col("sh"))).alias("sh_a"),
+        F.max(F.when(F.col("mid") == F.col("p.id_b"), F.col("sh"))).alias("sh_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -438,7 +447,14 @@ def simhash_dedup_pairs(
     sigs = simhash_signatures(docs, text_col, id_col)
     groups = sigs.groupBy("simhash").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
-    )
+    # LAZY checkpoint: the intra (distance-0) and cross (banded)
+    # branches below both consume `groups`, and Spark shares no
+    # common subtree across a union — without this the whole
+    # corpus-signing + collapse pipeline executes twice per action
+    # (measured 2× the signing stages at sf0.1). Lazy, not eager, so
+    # plan construction stays free; the first action materializes the
+    # distinct-signature frame once and both branches read it back.
+    ).localCheckpoint(eager=False)
     # Identical-signature pairs: hamming 0 ≤ any budget, no banding.
     lefts = groups.filter(F.size("ids") > 1).select(
         "ids", F.posexplode("ids").alias("i", "id_a")
