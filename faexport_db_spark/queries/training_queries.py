@@ -1976,3 +1976,144 @@ def t_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_categories"),
     )
+
+
+@register(
+    "t_chunk_overlap",
+    oracle="""
+    SELECT doc_id, g AS chunk_idx,
+           substring(text, CAST(g * 300 + 1 AS INT), 400) AS chunk_text,
+           CAST(length(substring(text, CAST(g * 300 + 1 AS INT), 400)) AS BIGINT)
+             AS n_chunk_chars
+    FROM documents,
+         unnest(generate_series(0,
+           CAST(CASE WHEN length(text) <= 400 THEN 0
+                ELSE ceil((length(text) - 400) / 300.0) END AS BIGINT))) AS t(g)
+    """,
+)
+def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 400-char windows every 300 chars (100 overlap),
+    map-only generator, every char covered."""
+    from faexport_db_spark.training.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), width=400, stride=300)
+
+
+@register(
+    "t_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+    ),
+    uni AS (
+      SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(ts) AS u(t) GROUP BY 1
+    ),
+    bi AS (
+      SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS pair_count
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nu,
+             (SELECT CAST(sum(CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END)
+                     AS DOUBLE) FROM toks) AS nb
+    )
+    SELECT w1, w2, pair_count,
+           round(ln((CAST(pair_count AS DOUBLE) * nu * nu)
+                    / (nb * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) + 0
+             AS pmi
+    FROM bi CROSS JOIN tot
+    JOIN uni ua ON ua.w = bi.w1
+    JOIN uni ub ON ub.w = bi.w2
+    """,
+)
+def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocations (min pair count 5), bigrams built
+    inside the row — no self-join."""
+    from faexport_db_spark.training.text import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=5)
+
+
+@register(
+    "t_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, c AS ch, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+             CAST(sum(k * ln(k)) AS DOUBLE) AS slk
+      FROM ch GROUP BY 1
+    )
+    SELECT doc_id, round((ln(n) - slk / n) / ln(2), 4) AS char_entropy,
+           n AS n_chars_counted
+    FROM agg
+    """,
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character entropy (bits/char) via Arrow-batched numpy
+    histogram — zero exchanges; the oracle rebuilds it relationally."""
+    from faexport_db_spark.training.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "t_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT ((len(string_split_regex(trim(text), '\\s+')) + 63) // 64) * 64
+               AS bucket_cap,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+           round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (bucket_cap * count(*)), 4)
+             AS waste_pct
+    FROM t GROUP BY bucket_cap
+    """,
+)
+def t_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-64-token batching audit: per-bucket doc count, token
+    mass, and padding waste — exact integer bucket edges."""
+    from faexport_db_spark.training.text import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir), bucket=64)
+
+
+@register(
+    "t_cluster_split",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+      FROM documents
+    ),
+    s AS (
+      SELECT *, CAST(CONCAT('0x', substr(md5(rep_id::VARCHAR || ':split:v1'), 1, 8))
+                     AS BIGINT) AS key
+      FROM k
+    )
+    SELECT doc_id, content_hash, rep_id,
+           CASE WHEN key < 429496729 THEN 'val'
+                WHEN key < 858993458 THEN 'test'
+                ELSE 'train' END AS split
+    FROM s
+    """,
+)
+def t_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: all exact-dup cluster
+    members share a split, keyed on an md5-derived integer of the
+    cluster representative (10% val / 10% test)."""
+    from faexport_db_spark.training.pipeline import cluster_split
+
+    return cluster_split(_docs(spark, sf_dir), val_frac=0.1, test_frac=0.1)

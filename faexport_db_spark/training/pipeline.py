@@ -382,3 +382,68 @@ def weighted_sample(
         .limit(k)
         .drop("__wk")
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    clusters: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: all members of a
+    duplicate cluster land in the SAME split, so a train/val pair can
+    never be near-copies of each other (the classic eval-contamination
+    bug a per-doc random split guarantees at corpus scale). The split
+    key is an md5-derived 32-bit integer of the cluster representative
+    — deterministic across runs, engines and re-partitionings, and
+    ``salt`` re-draws independently (same contract as
+    ``stratified_sample``).
+
+    By default clusters are exact-content groups (md5 of text), which
+    needs ONE shuffle total: a window over the content hash picks the
+    representative (min id) with no join back. Pass ``clusters`` —
+    (id, cluster_id) from ``dedup_clusters_star`` / minhash CC — to
+    split on near-duplicate components instead; that path joins on id
+    (sort-merge on the corpus key, the partitioner big joins already
+    use).
+
+    Output: (id, content_hash | cluster_id, rep_id, split).
+    """
+    if not 0 <= val_frac + test_frac < 1:
+        raise ValueError(f"need val_frac + test_frac in [0, 1), got {val_frac + test_frac}")
+    if clusters is None:
+        keyed = docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        w = Window.partitionBy("content_hash")
+        keyed = keyed.select(
+            id_col, "content_hash", F.min(id_col).over(w).alias("rep_id")
+        )
+    else:
+        w = Window.partitionBy("cluster_id")
+        reps = clusters.select(
+            F.col(id_col), "cluster_id", F.min(id_col).over(w).alias("rep_id")
+        )
+        keyed = docs.select(F.col(id_col)).join(reps, id_col, "left").select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+        )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("rep_id").cast("string"), F.lit(":" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    val_thr = int(val_frac * (1 << 32))
+    test_thr = val_thr + int(test_frac * (1 << 32))
+    split = (
+        F.when(key < val_thr, F.lit("val"))
+        .when(key < test_thr, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return keyed.withColumn("split", split)

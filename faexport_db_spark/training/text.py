@@ -946,3 +946,210 @@ def line_dedup_against_index(
             "append"
         ).parquet(index_path)
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 400,
+    stride: int = 300,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style document chunking: fixed ``width``-character windows
+    every ``stride`` characters (overlap = width - stride), last chunk
+    allowed to run short so every character is covered exactly once by
+    at least one chunk. Char-based (not token-based) so the chunk
+    boundary arithmetic stays a pure integer expression — token-aware
+    packing is ``sequence_pack``'s job.
+
+    Map-only: one generator (posexplode of an integer sequence) per
+    row, no shuffle, so it scales linearly and parallelizes with the
+    scan. The substring evaluates on the stored text column, not a
+    recomputed subtree, so the generator fan-out is cheap.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_chars), chunk_idx
+    0-based in document order.
+    """
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError(f"need 0 < stride <= width, got {width=} {stride=}")
+    n = F.length(F.col(text_col))
+    last = F.when(n <= width, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(width)) / F.lit(float(stride)))
+    )
+    rows = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(0), last.cast("bigint"))).alias("chunk_idx"),
+    )
+    chunk = F.substring(
+        F.col(text_col), (F.col("chunk_idx") * stride + 1).cast("int"), width
+    )
+    return rows.select(
+        id_col,
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("n_chunk_chars"),
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent
+    lowercased whitespace-token bigrams, PMI = ln(p(ab) / (p(a)p(b)))
+    with p(ab) from the bigram total and p(a), p(b) from the unigram
+    total. The classic corpus-analysis signal for multi-word
+    expressions ("new york") vs chance co-occurrence.
+
+    Scale shape: bigrams are built inside the row (zip_with of the
+    token array against its own tail — no self-join, no window), so
+    the only shuffles are the two count groupBys, both with map-side
+    partial aggregation on bounded vocabulary keys. The three totals
+    travel as a broadcast 1-row frame. ``min_count`` prunes the
+    hapax tail BEFORE the unigram joins, and both unigram lookups
+    arrive pre-shrunk to the surviving bigrams' vocabulary.
+
+    Output: (w1, w2, pair_count, pmi), pmi rounded to 4 decimals.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            tail,
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("nu"),
+    ).crossJoin(
+        docs.select(
+            (F.greatest(F.size(toks) - 1, F.lit(0))).alias("nb_row")
+        ).agg(F.sum("nb_row").cast("double").alias("nb"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    # identical association order on both engines: ((c*nu)*nu) / ((nb*ca)*cb)
+    arg = (F.col("pair_count").cast("double") * F.col("nu") * F.col("nu")) / (
+        F.col("nb") * F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+        # + 0 normalizes IEEE negative zero: a bigram at exactly chance
+        # co-occurrence lands on ln(1±ulp), and one engine rounding to
+        # -0.0 while the other gives +0.0 would break value parity
+        (F.round(F.log(arg), 4) + F.lit(0.0)).alias("pmi"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) over the character
+    distribution — the cheap "is this text or noise" quality signal
+    (near 0 = degenerate repetition, ~4.1 = English prose, ~7+ =
+    compressed/encrypted junk that slipped past charset checks).
+
+    Scale shape: a corpus-wide explode-to-one-row-per-CHARACTER and
+    two groupBys would shuffle ~the corpus byte count × row overhead;
+    instead each doc's histogram is computed inside an Arrow-batched
+    pandas UDF (numpy unique + vectorized c·ln c), map-only, ZERO
+    exchanges — the plan is scan → project, and the operator
+    parallelizes with the input partitioning. Non-BMP caveat: Python
+    iterates code points, matching DuckDB's character split on all
+    BMP text (the fixtures' en/de/fr/es/zh all are); astral-plane
+    graphemes would need the same NFC pre-pass as unicode_clean.
+
+    Output: (id, char_entropy, n_chars_counted), entropy rounded to
+    4 decimals, H = (ln n - Σ c·ln c / n) / ln 2.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ent_fn(s):
+        out = []
+        for t in s:
+            if not t:
+                out.append(0.0)
+                continue
+            counts = np.unique(list(t), return_counts=True)[1].astype("float64")
+            n = counts.sum()
+            h = (np.log(n) - float((counts * np.log(counts)).sum()) / n) / np.log(2.0)
+            out.append(round(h, 4))
+        return pd.Series(out, dtype="float64")
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint parser can't resolve pd.Series here
+    _ent_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _ent = pandas_udf(_ent_fn, "double")
+
+    return docs.select(
+        F.col(id_col),
+        _ent(F.col(text_col)).alias("char_entropy"),
+        F.length(text_col).cast("bigint").alias("n_chars_counted"),
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    bucket: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching audit: assign every doc to the next
+    multiple-of-``bucket`` token capacity (the pad-to-block-size rule
+    dynamic-batching trainers use) and report, per bucket, how much
+    compute padding would waste. Drives the choice of bucket
+    granularity before a training run — a 100 TB corpus padded 30%
+    is 30 TB of wasted FLOPs.
+
+    All integer arithmetic (no log2/pow floats, so the bucket edges
+    are exact and engine-portable); one groupBy on a small key domain
+    with map-side partial aggregation.
+
+    Output: (bucket_cap, n_docs, sum_tokens, padded_tokens,
+    waste_pct) sorted nowhere — the oracle compares as a set.
+    """
+    n = F.size(tokens_expr(text_col)).cast("bigint")
+    cap = (
+        F.floor((n + F.lit(bucket - 1)) / F.lit(bucket)) * F.lit(bucket)
+    ).cast("bigint")
+    agg = (
+        docs.select(cap.alias("bucket_cap"), n.alias("n_tokens"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    padded = F.col("bucket_cap") * F.col("n_docs")
+    return agg.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("sum_tokens").cast("double") / padded.cast("double"), 4
+        ).alias("waste_pct"),
+    )

@@ -519,3 +519,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_small):
 
     df = QUERIES["k8_bucketed_join"](spark, sf_small)
     assert shuffle_count(df) == 0
+
+
+def test_chunk_overlap_is_map_only(spark, sf_small):
+    """Chunking is a generator over stored columns: zero exchanges,
+    zero Python evals — it parallelizes with the scan at any scale."""
+    q = QUERIES["t_chunk_overlap"](spark, sf_small)
+    assert_plan(q, max_shuffles=0, max_python_evals=0)
+
+
+def test_char_entropy_zero_exchange_single_arrow_eval(spark, sf_small):
+    """Entropy histograms stay inside one Arrow batch pass (the
+    explode-per-character formulation would shuffle ~corpus bytes)."""
+    from faexport_db_spark.plans.audit import python_eval_count
+
+    q = QUERIES["t_char_entropy"](spark, sf_small)
+    assert_plan(q, max_shuffles=0)
+    assert python_eval_count(q) == 1  # the sanctioned Arrow UDF, nothing more
+
+
+def test_pmi_collocations_exchange_ceiling(spark, sf_small):
+    """Bigrams are built inside the row: two count groupBys + the two
+    vocabulary joins — no self-join of the corpus, no window."""
+    q = QUERIES["t_pmi_collocations"](spark, sf_small)
+    assert_plan(q, max_shuffles=4, max_python_evals=0)
+
+
+def test_length_buckets_single_shuffle(spark, sf_small):
+    q = QUERIES["t_length_buckets"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
+
+
+def test_cluster_split_single_shuffle_no_join(spark, sf_small):
+    """The default (exact-content) path picks cluster representatives
+    with a window over the content hash — ONE exchange, no join back."""
+    q = QUERIES["t_cluster_split"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
+    assert join_strategies(q)["SortMergeJoin"] == 0

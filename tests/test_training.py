@@ -1423,3 +1423,145 @@ def test_line_incremental_batches_accumulate_counts(spark, tmp_path):
     assert out2["n_lines_removed"] == 1
     with pytest.raises(ValueError):
         line_dedup_against_index(b2, path, line_tokens=7)
+
+
+# ---- round 6 session ops: chunking / PMI / entropy / buckets / split ----
+
+
+def test_chunk_overlap_reconstructs_text(spark):
+    from faexport_db_spark.training.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 12), (2, "short"), (3, "x" * 400), (4, "y" * 401)],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, width=400, stride=300).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, chunks in by_doc.items():
+        idxs = sorted(chunks)
+        assert idxs == list(range(len(idxs)))  # dense 0-based
+        # stride-prefix concatenation reconstructs the document exactly
+        rebuilt = "".join(chunks[i][:300] for i in idxs[:-1]) + chunks[idxs[-1]]
+        assert rebuilt == originals[did]
+        # consecutive chunks overlap by width - stride characters
+        for i in idxs[:-1]:
+            assert chunks[i][300:] == chunks[i + 1][: len(chunks[i][300:])]
+    assert len(by_doc[2]) == 1 and by_doc[2][0] == "short"
+    assert len(by_doc[3]) == 1  # exactly width -> single chunk
+    assert len(by_doc[4]) == 2  # width+1 -> second (overlapping) chunk
+
+
+def test_chunk_overlap_rejects_bad_geometry(spark):
+    from faexport_db_spark.training.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, width=100, stride=200)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, width=100, stride=0)
+
+
+def test_pmi_bigrams_golden(spark):
+    import math
+
+    from faexport_db_spark.training.text import pmi_bigrams
+
+    # corpus: "new york" always together; "the cat" vs "the dog" split
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "the cat the dog"), (3, "new york the cat")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["w1"], r["w2"]): r for r in pmi_bigrams(docs, min_count=2).collect()}
+    # unigrams: new=3 york=3 the=3 cat=2 dog=1  (nu=12); bigrams nb=9
+    # c(new,york)=3  pmi = ln(3*12*12 / (9*3*3)) = ln(16/3)
+    assert ("new", "york") in rows
+    assert rows[("new", "york")]["pair_count"] == 3
+    assert rows[("new", "york")]["pmi"] == pytest.approx(
+        round(math.log(3 * 12 * 12 / (9 * 3 * 3)), 4)
+    )
+    # hapax bigrams pruned by min_count
+    assert ("the", "dog") not in rows
+    # collocation scores above a chance pairing of equally-frequent words
+    assert ("york", "the") not in rows or rows[("york", "the")]["pmi"] < rows[
+        ("new", "york")
+    ]["pmi"]
+
+
+def test_char_entropy_golden(spark):
+    from faexport_db_spark.training.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "aab")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert rows[1]["char_entropy"] == 0.0
+    assert rows[2]["char_entropy"] == 1.0
+    assert rows[3]["char_entropy"] == 2.0
+    # H(2/3, 1/3) = ln3/ln2 - 2/3  ≈ 0.9183
+    assert rows[4]["char_entropy"] == pytest.approx(0.9183, abs=1e-4)
+    assert rows[1]["n_chars_counted"] == 4
+
+
+def test_length_buckets_exact_edges(spark):
+    from faexport_db_spark.training.text import length_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 1)),
+            (2, " ".join(["w"] * 64)),
+            (3, " ".join(["w"] * 65)),
+            (4, " ".join(["w"] * 128)),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["bucket_cap"]: r for r in length_buckets(docs, bucket=64).collect()}
+    assert set(rows) == {64, 128}
+    assert rows[64]["n_docs"] == 2 and rows[64]["sum_tokens"] == 65
+    assert rows[64]["padded_tokens"] == 128
+    assert rows[64]["waste_pct"] == pytest.approx(round(1 - 65 / 128, 4))
+    assert rows[128]["n_docs"] == 2 and rows[128]["sum_tokens"] == 193
+    assert rows[128]["waste_pct"] == pytest.approx(round(1 - 193 / 256, 4))
+
+
+def test_cluster_split_members_share_split(spark):
+    from faexport_db_spark.training.pipeline import cluster_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(100)], ["doc_id", "text"]
+    )
+    rows = cluster_split(docs, val_frac=0.3, test_frac=0.3).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["content_hash"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_hash.values())  # no cluster straddles
+    assert len(rows) == 100  # every doc assigned
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val", "test"} and len(splits) >= 2
+    # rep is the min doc_id of the cluster
+    reps = {r["content_hash"]: r["rep_id"] for r in rows}
+    for r in rows:
+        assert r["rep_id"] == reps[r["content_hash"]] <= r["doc_id"]
+
+
+def test_cluster_split_explicit_clusters_and_unlabeled_fallback(spark):
+    from faexport_db_spark.training.pipeline import cluster_split
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    # docs 0-4 form one near-dup component; 5-6 another; 7-9 unlabeled
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(i, 5) for i in (5, 6)],
+        ["doc_id", "cluster_id"],
+    )
+    rows = {r["doc_id"]: r for r in cluster_split(docs, clusters=clusters).collect()}
+    assert len(rows) == 10
+    assert len({rows[i]["split"] for i in range(5)}) == 1
+    assert len({rows[i]["split"] for i in (5, 6)}) == 1
+    for i in (7, 8, 9):  # unlabeled docs are their own singleton cluster
+        assert rows[i]["cluster_id"] == i and rows[i]["rep_id"] == i
+    with pytest.raises(ValueError):
+        cluster_split(docs, val_frac=0.6, test_frac=0.5)
