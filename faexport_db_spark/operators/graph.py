@@ -176,3 +176,33 @@ def pagerank(
             ),
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peel over canonical undirected edges:
+    ``rounds`` times, drop every node whose degree in the CURRENT
+    subgraph is below ``k`` (with all its edges), then report the
+    survivors' degrees. Fixed rounds keep the op deterministic and
+    oracle-unrollable; full convergence is the rounds→diameter limit
+    and each extra round is the same three exchanges.
+
+    Scale shape: per round one node-keyed count aggregate (map-side
+    combining) plus two left-semi joins shuffling (edge, endpoint)
+    keys only — the standard distributed peel; nothing is ever
+    collected to the driver. The edge frame is eagerly
+    localCheckpoint-ed each round so the plan stays three stages per
+    round instead of re-embedding every prior round's derivation
+    (the PageRank lesson, ``pagerank`` above).
+
+    Output: (node, degree) for nodes alive after ``rounds`` peels,
+    degree measured in the surviving subgraph.
+    """
+    g = edges
+    for _ in range(rounds):
+        keep = degrees(g).filter(F.col("degree") >= k).select("node")
+        g = (
+            g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return degrees(g)

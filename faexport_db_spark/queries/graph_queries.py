@@ -133,3 +133,60 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.operators.graph import pagerank
 
     return pagerank(_edges(spark, sf_dir), iters=3, damping=0.85)
+
+
+# k-core uses a 997-node fold so the fixture graph is sparse enough to
+# actually peel (the 97-node space is near-complete even at sf0.001).
+_KCORE_EDGE_SQL = """
+      SELECT o_orderkey % 997 AS src, (o_orderkey * 31 + 7) % 997 AS dst
+      FROM orders
+"""
+
+
+@register(
+    "g4_kcore",
+    oracle=f"""
+    WITH raw AS ({_KCORE_EDGE_SQL}),
+    e0 AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    d0 AS (SELECT node, count(*) AS dg FROM
+           (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+           GROUP BY node),
+    k0 AS (SELECT node FROM d0 WHERE dg >= 3),
+    e1 AS (SELECT a, b FROM e0
+           WHERE a IN (SELECT node FROM k0) AND b IN (SELECT node FROM k0)),
+    d1 AS (SELECT node, count(*) AS dg FROM
+           (SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1)
+           GROUP BY node),
+    k1 AS (SELECT node FROM d1 WHERE dg >= 3),
+    e2 AS (SELECT a, b FROM e1
+           WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+    d2 AS (SELECT node, count(*) AS dg FROM
+           (SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2)
+           GROUP BY node),
+    k2 AS (SELECT node FROM d2 WHERE dg >= 3),
+    e3 AS (SELECT a, b FROM e2
+           WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2))
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+      (SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
+    GROUP BY node
+    """,
+)
+def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — bounded-round k-core peel (k=3, 3 rounds): repeatedly drop
+    nodes whose current-subgraph degree is < k, then report survivor
+    degrees. The engine loops degree-aggregate + two left-semi joins
+    with an eager checkpoint per round (plan stays 3 stages/round);
+    the oracle unrolls the same three peels as chained CTEs."""
+    from faexport_db_spark.operators.graph import kcore
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = canonical_edges(
+        o.select(
+            (F.col("o_orderkey") % 997).alias("src"),
+            ((F.col("o_orderkey") * 31 + 7) % 997).alias("dst"),
+        )
+    )
+    return kcore(edges, k=3, rounds=3)

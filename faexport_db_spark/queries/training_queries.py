@@ -2117,3 +2117,69 @@ def t_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.pipeline import cluster_split
 
     return cluster_split(_docs(spark, sf_dir), val_frac=0.1, test_frac=0.1)
+
+
+@register(
+    "t_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] ELSE t[i] END
+             ))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def t_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/min(|A|,|B|) — finds a
+    short doc quoted inside a long one, which Jaccard misses. Same
+    inverted-index equi-join shape as t_ngram_jaccard_pairs."""
+    from faexport_db_spark.training.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.6, shingle_n=2)
+
+
+@register(
+    "t_iqr_outliers",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             CAST(quantile_cont(n_tokens, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(n_tokens, 0.75) AS DOUBLE) AS q3
+      FROM t GROUP BY source
+    )
+    SELECT doc_id, t.source, n_tokens,
+           round(q1 - 1.5 * (q3 - q1), 4) AS lo_fence,
+           round(q3 + 1.5 * (q3 - q1), 4) AS hi_fence,
+           (n_tokens < q1 - 1.5 * (q3 - q1)) OR (n_tokens > q3 + 1.5 * (q3 - q1))
+             AS is_outlier
+    FROM t JOIN f ON t.source = f.source
+    """,
+)
+def t_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Tukey-fence token-length outliers (exact grouped
+    percentiles broadcast back onto the corpus — one shuffle total)."""
+    from faexport_db_spark.training.text import iqr_outliers
+
+    return iqr_outliers(_docs(spark, sf_dir), group_col="source", k=1.5)

@@ -806,3 +806,50 @@ def minhash_dedup_against_index(
         new_docs.select(id_col, text_col)
     )
     return _verify_jaccard(both, cand, text_col, id_col, shingle_n, threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    |A∩B| / min(|A|, |B|) — catches a short document wholly quoted
+    inside a long one, which symmetric Jaccard structurally misses
+    (a 50-shingle doc inside a 5000-shingle doc has Jaccard ≤ 0.01
+    but containment 1.0). The Broder containment companion to
+    ``t_ngram_jaccard_pairs``, same inverted-index join shape:
+    candidates come from a shared-shingle equi-join (never an
+    all-pairs product), sizes join back on id keys only.
+
+    Scale note: hot shingles fan the equi-join out quadratically
+    within their posting list, exactly like the jaccard op — corpus
+    runs should stopword the head of the shingle distribution
+    (``heavy_hitter_tokens``) before joining.
+
+    Output: (id_a, id_b, containment) with id_a < id_b,
+    containment ≥ threshold, rounded to 6.
+    """
+    shingled = fan_out(docs).select(
+        F.col(id_col).alias("did"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    sizes = shingled.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("did").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("did").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.col("c") / F.least("na", "nb")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )

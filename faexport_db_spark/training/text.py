@@ -1153,3 +1153,53 @@ def length_buckets(
             F.lit(1.0) - F.col("sum_tokens").cast("double") / padded.cast("double"), 4
         ).alias("waste_pct"),
     )
+
+
+def iqr_outliers(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: float = 1.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust per-group length-outlier flagging: Tukey fences at
+    q1 − k·IQR / q3 + k·IQR on the whitespace token count, computed
+    PER ``group_col`` — a source whose docs are normally 10k tokens
+    shouldn't have its longform flagged by a corpus-global threshold,
+    and a spam source's 3-token stubs shouldn't hide inside the
+    global median. The robust (quantile) form is deliberate: mean±σ
+    fences are dragged by the very outliers they're meant to catch.
+
+    Scale shape: one exact grouped percentile aggregate over the
+    (bounded) group domain, broadcast back onto the corpus — one
+    corpus shuffle total is avoided entirely; the fence frame is
+    group-cardinality-sized. Exact percentile buffers per-group
+    values in the reduce state (fine for bounded group counts; swap
+    ``F.percentile`` for ``approx_percentile`` when groups are huge
+    — same plan, estimator values).
+
+    Output: (id, group, n_tokens, lo_fence, hi_fence, is_outlier);
+    fences rounded to 4 for display, flag computed on unrounded.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    fences = base.groupBy(group_col).agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("q1"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - k * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + k * (F.col("q3") - F.col("q1"))
+    return (
+        base.join(F.broadcast(fences), group_col)
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.round(lo, 4).alias("lo_fence"),
+            F.round(hi, 4).alias("hi_fence"),
+            ((F.col("n_tokens") < lo) | (F.col("n_tokens") > hi)).alias("is_outlier"),
+        )
+    )

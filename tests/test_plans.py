@@ -556,3 +556,21 @@ def test_cluster_split_single_shuffle_no_join(spark, sf_small):
     q = QUERIES["t_cluster_split"](spark, sf_small)
     assert_plan(q, max_shuffles=1, max_python_evals=0)
     assert join_strategies(q)["SortMergeJoin"] == 0
+
+
+def test_containment_exchange_ceiling_no_cartesian(spark, sf_small):
+    """Containment candidates come from the shared-shingle equi-join,
+    never an all-pairs product."""
+    q = QUERIES["t_containment"](spark, sf_small)
+    assert_plan(q, max_shuffles=4, max_python_evals=0)
+    s = join_strategies(q)
+    assert s["CartesianProduct"] == 0 and s["BroadcastNestedLoopJoin"] == 0
+
+
+def test_iqr_outliers_single_shuffle_broadcast_fences(spark, sf_small):
+    """The fence frame is group-cardinality-sized and must broadcast —
+    re-shuffling the corpus to join 20 fence rows is the 100x failure."""
+    q = QUERIES["t_iqr_outliers"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
+    s = join_strategies(q)
+    assert s["BroadcastHashJoin"] >= 1 and s["SortMergeJoin"] == 0

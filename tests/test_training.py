@@ -1565,3 +1565,61 @@ def test_cluster_split_explicit_clusters_and_unlabeled_fallback(spark):
         assert rows[i]["cluster_id"] == i and rows[i]["rep_id"] == i
     with pytest.raises(ValueError):
         cluster_split(docs, val_frac=0.6, test_frac=0.5)
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from faexport_db_spark.training.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(40, 60))  # wholly contained
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, quote), (3, "completely different content here")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.6).collect()}
+    assert rows.get((1, 2)) == 1.0  # every quote bigram is in the long doc
+    assert (1, 3) not in rows and (2, 3) not in rows
+    # symmetric jaccard on the same pair is tiny — the gap this op exists for
+    inter, union = 19, 199 + 19 - 19  # bigram counts (distinct)
+    assert inter / union < 0.15
+
+
+def test_iqr_outliers_per_group_fences(spark):
+    from faexport_db_spark.training.text import iqr_outliers
+
+    rows = []
+    for i in range(20):  # group A: ~100 tokens each, one 5-token stub
+        rows.append((i, "A", " ".join(["w"] * (100 + i % 3))))
+    rows.append((98, "A", "w w w w w"))
+    for i in range(30, 50):  # group B: ~10 tokens each (stub-sized is NORMAL here)
+        rows.append((i, "B", " ".join(["w"] * (10 + i % 2))))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in iqr_outliers(docs).collect()}
+    assert out[98]["is_outlier"] is True  # stub vs group A's fences
+    assert all(not out[i]["is_outlier"] for i in range(30, 50))  # normal in B
+    assert all(not out[i]["is_outlier"] for i in range(20))
+    # fences are group-local: B's hi fence sits far below A's median
+    assert out[30]["hi_fence"] < 100 < out[0]["hi_fence"]
+
+
+def test_kcore_peels_cascade(spark):
+    from faexport_db_spark.operators.graph import canonical_edges, kcore
+
+    # a 4-clique with a pendant chain: chain peels away over rounds,
+    # clique survives with degree 3 intact
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = canonical_edges(spark.createDataFrame(edges, ["src", "dst"]))
+    out = {r["node"]: r["degree"] for r in kcore(df, k=3, rounds=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # 5 and 6 peeled; 4 loses its pendant
+
+
+def test_kcore_rounds_bound_the_peel(spark):
+    from faexport_db_spark.operators.graph import canonical_edges, kcore
+
+    # a long chain needs one round per link to fully unravel at k=2
+    chain = [(i, i + 1) for i in range(8)]
+    df = canonical_edges(spark.createDataFrame(chain, ["src", "dst"]))
+    one = set(r["node"] for r in kcore(df, k=2, rounds=1).collect())
+    three = set(r["node"] for r in kcore(df, k=2, rounds=3).collect())
+    assert three < one  # more rounds peel strictly deeper here
