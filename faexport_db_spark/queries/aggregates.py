@@ -390,3 +390,47 @@ def a15_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "a16_mad",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(m.med, 6) AS median_price,
+           round(CAST(quantile_cont(abs(l.l_extendedprice - m.med), 0.5)
+                      AS DOUBLE), 6) AS mad
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med
+    """,
+)
+def a16_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — median absolute deviation per group: the robust spread
+    statistic (σ estimated as 1.4826·MAD survives the outliers that
+    wreck stddev). Two exact-percentile passes: per-group medians
+    (group-cardinality-sized, broadcast back — the corpus is never
+    re-shuffled for the join), then the median of absolute deviations.
+    Exact percentile buffers per-group values; at corpus scale swap
+    approx_percentile into the same plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    joined = li.join(F.broadcast(med), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad_raw")
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 6).alias("median_price"),
+            F.round("mad_raw", 6).alias("mad"),
+        )
+    )

@@ -653,3 +653,97 @@ def k8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "v4_profile_drift",
+    oracle="""
+    WITH s AS (SELECT *, event_id % 2 = 0 AS sa FROM events),
+    t AS (
+      SELECT CAST(count(*) FILTER (WHERE sa) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE NOT sa) AS BIGINT) AS n_b,
+             CAST(count(*) FILTER (WHERE sa AND user_id IS NULL) AS BIGINT) AS nna_user_id,
+             CAST(count(*) FILTER (WHERE NOT sa AND user_id IS NULL) AS BIGINT) AS nnb_user_id,
+             CAST(count(DISTINCT CASE WHEN sa THEN user_id END) AS BIGINT) AS nda_user_id,
+             CAST(count(DISTINCT CASE WHEN NOT sa THEN user_id END) AS BIGINT) AS ndb_user_id,
+             CAST(count(*) FILTER (WHERE sa AND event_type IS NULL) AS BIGINT) AS nna_event_type,
+             CAST(count(*) FILTER (WHERE NOT sa AND event_type IS NULL) AS BIGINT) AS nnb_event_type,
+             CAST(count(DISTINCT CASE WHEN sa THEN event_type END) AS BIGINT) AS nda_event_type,
+             CAST(count(DISTINCT CASE WHEN NOT sa THEN event_type END) AS BIGINT) AS ndb_event_type,
+             CAST(count(*) FILTER (WHERE sa AND value IS NULL) AS BIGINT) AS nna_value,
+             CAST(count(*) FILTER (WHERE NOT sa AND value IS NULL) AS BIGINT) AS nnb_value,
+             CAST(count(DISTINCT CASE WHEN sa THEN value END) AS BIGINT) AS nda_value,
+             CAST(count(DISTINCT CASE WHEN NOT sa THEN value END) AS BIGINT) AS ndb_value
+      FROM s
+    ),
+    rows_out AS (
+      SELECT 'user_id' AS col_name, n_a, n_b,
+             nna_user_id AS n_nulls_a, nnb_user_id AS n_nulls_b,
+             nda_user_id AS n_distinct_a, ndb_user_id AS n_distinct_b
+      FROM t
+      UNION ALL
+      SELECT 'event_type', n_a, n_b, nna_event_type, nnb_event_type,
+             nda_event_type, ndb_event_type FROM t
+      UNION ALL
+      SELECT 'value', n_a, n_b, nna_value, nnb_value, nda_value, ndb_value
+      FROM t
+    )
+    SELECT col_name, n_a, n_b, n_nulls_a, n_nulls_b, n_distinct_a, n_distinct_b,
+           round(CAST(n_nulls_b AS DOUBLE) / n_b
+                 - CAST(n_nulls_a AS DOUBLE) / n_a, 6) AS null_rate_delta,
+           round(CAST(n_distinct_b AS DOUBLE) / n_distinct_a, 6) AS distinct_ratio
+    FROM rows_out
+    """,
+)
+def v4_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 — snapshot-drift report: per-column null-rate delta and
+    distinct-count ratio between two slices of a table (the check a
+    pipeline runs between yesterday's drop and today's before
+    trusting a schema-compatible-but-different feed). The fixture
+    splits events by id parity — stand-in for two snapshot paths;
+    the shape is what matters: ONE aggregate computes both sides'
+    statistics via conditional aggregation (no self-join, no second
+    scan), then a constant-width stack pivots the 1-row result to a
+    row per column, so drift costs exactly one table pass at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    sa = F.col("event_id") % 2 == 0
+    cols = ["user_id", "event_type", "value"]
+    aggs = [
+        F.count(F.when(sa, 1)).alias("n_a"),
+        F.count(F.when(~sa, 1)).alias("n_b"),
+    ]
+    for c in cols:
+        aggs.append(F.count(F.when(sa & F.col(c).isNull(), 1)).alias(f"nna_{c}"))
+        aggs.append(F.count(F.when(~sa & F.col(c).isNull(), 1)).alias(f"nnb_{c}"))
+        aggs.append(F.count_distinct(F.when(sa, F.col(c))).alias(f"nda_{c}"))
+        aggs.append(F.count_distinct(F.when(~sa, F.col(c))).alias(f"ndb_{c}"))
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nna_{c}, nnb_{c}, nda_{c}, ndb_{c}" for c in cols
+    )
+    stacked = one.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col_name, n_nulls_a, n_nulls_b, n_distinct_a, n_distinct_b)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        "n_a",
+        "n_b",
+        "n_nulls_a",
+        "n_nulls_b",
+        "n_distinct_a",
+        "n_distinct_b",
+        F.round(
+            F.col("n_nulls_b").cast("double") / F.col("n_b")
+            - F.col("n_nulls_a").cast("double") / F.col("n_a"),
+            6,
+        ).alias("null_rate_delta"),
+        F.round(
+            F.col("n_distinct_b").cast("double") / F.col("n_distinct_a"), 6
+        ).alias("distinct_ratio"),
+    )

@@ -178,3 +178,31 @@ def w6_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "w7_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS quartile
+    FROM orders
+    """,
+)
+def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — equal-frequency binning: quartile of order value within
+    its priority class via ntile(4). Both engines implement the SQL
+    standard's remainder rule (first n%4 tiles get the extra row);
+    the id tie-break pins a total order so the assignment is
+    deterministic. One window sort per partition key — the same
+    shuffle the percent_rank twin already pays."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )

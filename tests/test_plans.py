@@ -574,3 +574,30 @@ def test_iqr_outliers_single_shuffle_broadcast_fences(spark, sf_small):
     assert_plan(q, max_shuffles=1, max_python_evals=0)
     s = join_strategies(q)
     assert s["BroadcastHashJoin"] >= 1 and s["SortMergeJoin"] == 0
+
+
+def test_mad_broadcasts_medians_two_passes(spark, sf_small):
+    """A16: the per-group median frame must broadcast back — the
+    corpus re-shuffles once for the deviation pass, never for the
+    join."""
+    q = QUERIES["a16_mad"](spark, sf_small)
+    assert_plan(q, max_shuffles=2, max_python_evals=0)
+    s = join_strategies(q)
+    assert s["BroadcastHashJoin"] >= 1 and s["SortMergeJoin"] == 0
+
+
+def test_profile_drift_is_one_table_pass(spark, sf_small):
+    """V4: both snapshots' statistics come from ONE conditional
+    aggregate — a single scan, no self-join."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    q = QUERIES["v4_profile_drift"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
+    assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(q))) == 1
+
+
+def test_ntile_single_window_sort(spark, sf_small):
+    q = QUERIES["w7_ntile_quartiles"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
