@@ -13,6 +13,7 @@ input genuinely under-parallelizes the plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
@@ -141,3 +142,43 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi-join for two LARGE tables (where
+    ``broadcast()`` is off the table): the left (skewed) side gets a
+    uniform salt, the right side is replicated ``n_salt`` times, and
+    the join key becomes (key, salt) — a hot key's rows land on
+    ``n_salt`` reducers instead of one straggler. The result set is
+    EXACTLY the plain join's (every left row meets every matching
+    right row exactly once, in the one salt slice it was assigned);
+    only the partition layout changes, which is the point.
+
+    The salt is ``rand(seed)``-derived: result-invariant (any salt
+    assignment yields the same join output) so determinism of the
+    OUTPUT is preserved even though row placement isn't. ``how``
+    supports inner and left (the salted left side keeps all rows);
+    right/full would need the roles swapped — salt the skewed side.
+
+    Cost model: replicating the right side multiplies its shuffle
+    volume by ``n_salt`` — worth it iff the hot key's straggler
+    dominates, which is why AQE's skew-join handles the mild cases
+    and this operator exists for the brutal ones (SURVEY §4: one
+    website holds ~half the reference's rows). At 100 TB pick
+    ``n_salt`` ≈ hot-key share × total partitions.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lf = left.withColumn("__salt", (F.rand(42) * n_salt).cast("int"))
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = lf.join(rt, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -301,3 +301,41 @@ def j10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on="user_id", left_ts="ts",
         right_start="win_start", right_end="win_end", bucket_width=3600,
     )
+
+
+@register(
+    "j11_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j11_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — large×large equi-join through the hot-key salting
+    operator (operators/partitioning.py::salted_join): the fact side
+    is salted, the other side replicated, the join runs on
+    (key, salt), and the result is EXACTLY the plain join — which is
+    what the oracle checks. The salt changes only partition layout:
+    the reference workload's one-dominant-website skew (SURVEY §4)
+    turns a plain shuffle join into a single straggler task, and AQE's
+    skew split only helps the sort-merge case after the fact; the
+    salted form plans the spread a priori."""
+    from faexport_db_spark.operators.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "okey", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )

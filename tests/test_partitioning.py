@@ -192,3 +192,43 @@ def test_registered_salted_query_has_two_phase_plan(spark, sf_small):
     )
     assert re.search(r"hashpartitioning\([^)]*__salt", plan), plan
     assert re.search(r"hashpartitioning\(o_orderstatus[^_]", plan), plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    """Salting is layout-only: the salted join's result set is exactly
+    the plain join's, for inner and left, including unmatched-left
+    rows and duplicate right matches."""
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.operators.partitioning import salted_join
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_linenumber"
+    )
+    o = load_table(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(li, o, "okey", n_salt=4, how=how)
+        plain = li.join(o, "okey", how)
+        assert salted.columns == plain.columns
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_key_includes_salt_and_rejects_right(spark, sf_small):
+    import pytest as _pytest
+
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.operators.partitioning import salted_join
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    o = load_table(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    plan = formatted_plan(salted_join(li, o, "okey", n_salt=4))
+    assert "__salt" in plan  # the join really runs on (key, salt)
+    with _pytest.raises(ValueError):
+        salted_join(li, o, "okey", how="right")
