@@ -135,3 +135,32 @@ def st_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", "event_id").alias("ref_value"))
     )
     return asof_join(views, clicks, on="key")
+
+
+@register(
+    "st_stream_join",
+    oracle="""
+    SELECT v.event_id AS v_event_id, c.event_id AS c_event_id,
+           v.user_id, v.ts AS v_ts, c.ts AS c_ts,
+           v.value AS v_value, c.value AS c_value
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts <= v.ts AND v.ts <= c.ts + INTERVAL 60 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join
+    (streaming/events_stream.py::stream_interval_join): views paired
+    with same-user clicks in the preceding hour. Under streaming both
+    sides buffer in watermark-bounded state; in batch the identical
+    expression tree is a plain range join the oracle reproduces."""
+    from faexport_db_spark.streaming.events_stream import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_interval_join(
+        ev.filter(ev.event_type == "view"),
+        ev.filter(ev.event_type == "click"),
+        gap_minutes=60,
+        watermark=None,
+    )

@@ -992,3 +992,51 @@ def test_line_dedup_direct_calls_accumulate_counts(spark, tmp_path):
     )
     out3 = line_dedup_batch_against_store(b3, store, index, line_tokens=7)
     assert out3.collect()[0]["text"] == "fresh words appear only here now"
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    batch range-join's pairs, across a two-batch split where a
+    click's join window spans the batch boundary (the case that
+    forces both sides to buffer state)."""
+    from faexport_db_spark.queries import QUERIES
+    from faexport_db_spark.streaming.events_stream import stream_interval_join
+
+    ev = load_table(spark, sf_small, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    src = str(tmp_path / "ssj_src")
+    # split by id parity → pairs straddle the micro-batch boundary
+    ev.filter(F.col("event_id") % 2 == 0).select(cols).coalesce(1).write.parquet(
+        src + "/b0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select(cols).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    views = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    clicks = spark.readStream.schema(schema).parquet(src + "/*")
+    joined = stream_interval_join(
+        views.filter(F.col("event_type") == "view"),
+        clicks.filter(F.col("event_type") == "click"),
+        gap_minutes=60,
+        watermark="2 hours",
+    )
+    emitted = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = QUERIES["st_stream_join"](spark, sf_small).collect()
+
+    def canon(rows):
+        return sorted((r["v_event_id"], r["c_event_id"]) for r in rows)
+
+    assert len(emitted) > 0
+    assert canon(emitted) == canon(batch)
