@@ -2183,3 +2183,39 @@ def t_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.text import iqr_outliers
 
     return iqr_outliers(_docs(spark, sf_dir), group_col="source", k=1.5)
+
+
+@register(
+    "t_corpus_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] ELSE t[i] END
+             ))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    """,
+)
+def t_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle Jaccard matrix — the double-counted-feed
+    diagnostic run before corpus mixing. Vocabulary-collapsed before
+    any join; sizes broadcast."""
+    from faexport_db_spark.training.dedup import corpus_overlap
+
+    return corpus_overlap(_docs(spark, sf_dir), group_col="source", shingle_n=2)

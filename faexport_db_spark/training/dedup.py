@@ -853,3 +853,55 @@ def containment_pairs(
         .filter(cont >= threshold)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+def corpus_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    shingle_n: int = 2,
+    text_col: str = "text",
+    keep_prefix: str | None = None,
+) -> DataFrame:
+    """Cross-corpus overlap matrix: shingle-set Jaccard between every
+    pair of sources — the pre-mixing diagnostic that tells you two
+    feeds are the same crawl twice before you weight them as
+    independent (double-counted data silently doubles its sampling
+    rate downstream).
+
+    Shape: distinct (source, shingle) — corpus collapses to its
+    vocabulary ONCE, per-doc multiplicity gone before any join — then
+    the source-pair intersection via a shared-shingle equi-join and
+    one count groupBy over a pair domain of at most |sources|². At
+    100 TB pass ``keep_prefix`` (e.g. ``"0"``) to mod-p-sample the
+    shingle universe by md5 prefix — an unbiased Jaccard estimate on
+    1/16 of the vocabulary, same plan — rather than joining every
+    shingle.
+
+    Output: (src_a, src_b, n_shared, jaccard) for src_a < src_b.
+    """
+    grams = F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    s = docs.select(F.col(group_col).alias("src"), grams)
+    if keep_prefix is not None:
+        s = s.filter(F.md5("g").startswith(keep_prefix))
+    s = s.distinct()
+    sizes = s.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

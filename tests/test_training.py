@@ -1623,3 +1623,35 @@ def test_kcore_rounds_bound_the_peel(spark):
     one = set(r["node"] for r in kcore(df, k=2, rounds=1).collect())
     three = set(r["node"] for r in kcore(df, k=2, rounds=3).collect())
     assert three < one  # more rounds peel strictly deeper here
+
+
+def test_corpus_overlap_identical_and_disjoint_sources(spark):
+    from faexport_db_spark.training.dedup import corpus_overlap
+
+    rows = (
+        [(i, "A", f"alpha beta gamma delta {i % 2}") for i in range(4)]
+        + [(10 + i, "B", f"alpha beta gamma delta {i % 2}") for i in range(4)]
+        + [(20 + i, "C", f"omega psi chi phi {i}") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["src_a"], r["src_b"]): r for r in corpus_overlap(docs).collect()}
+    assert out[("A", "B")]["jaccard"] == 1.0  # same shingle sets
+    assert ("A", "C") not in out  # disjoint vocabularies never pair
+    assert ("B", "A") not in out  # canonical ordering only
+
+
+def test_corpus_overlap_sampled_estimate_close(spark, sf_small):
+    """The mod-p sampled estimate lands near the exact Jaccard (same
+    plan, 1/16 vocabulary) — the 100 TB path."""
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.training.dedup import corpus_overlap
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {(r["src_a"], r["src_b"]): r["jaccard"]
+             for r in corpus_overlap(docs).collect()}
+    approx = {(r["src_a"], r["src_b"]): r["jaccard"]
+              for r in corpus_overlap(docs, keep_prefix="0").collect()}
+    common = set(exact) & set(approx)
+    assert len(common) >= 10
+    diffs = [abs(exact[p] - approx[p]) for p in common]
+    assert sum(diffs) / len(diffs) < 0.1
