@@ -2043,7 +2043,8 @@ def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ch AS (
       SELECT doc_id, c AS ch, CAST(count(*) AS BIGINT) AS k
-      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents WHERE length(text) > 0)
       GROUP BY 1, 2
     ),
     agg AS (
@@ -2051,9 +2052,12 @@ def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(k * ln(k)) AS DOUBLE) AS slk
       FROM ch GROUP BY 1
     )
-    SELECT doc_id, round((ln(n) - slk / n) / ln(2), 4) AS char_entropy,
-           n AS n_chars_counted
-    FROM agg
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN length(d.text) = 0 THEN 0.0
+                ELSE round((ln(a.n) - a.slk / a.n) / ln(2), 4) END AS char_entropy,
+           CAST(length(d.text) AS BIGINT) AS n_chars_counted
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
 def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1091,6 +1091,9 @@ def char_entropy(
     def _ent_fn(s):
         out = []
         for t in s:
+            if t is None:  # NULL text -> NULL entropy (not 0.0: absent
+                out.append(None)  # data is not the same as degenerate data)
+                continue
             if not t:
                 out.append(0.0)
                 continue
@@ -1131,7 +1134,13 @@ def length_buckets(
     Output: (bucket_cap, n_docs, sum_tokens, padded_tokens,
     waste_pct) sorted nowhere — the oracle compares as a set.
     """
-    n = F.size(tokens_expr(text_col)).cast("bigint")
+    # NULL text -> NULL count/bucket (Spark's size(NULL) = -1 would
+    # otherwise invent a phantom bucket 0 where SQL engines emit NULL)
+    n = (
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(F.size(tokens_expr(text_col)))
+        .cast("bigint")
+    )
     cap = (
         F.floor((n + F.lit(bucket - 1)) / F.lit(bucket)) * F.lit(bucket)
     ).cast("bigint")
@@ -1184,7 +1193,12 @@ def iqr_outliers(
     base = docs.select(
         F.col(id_col),
         F.col(group_col),
-        F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
+        # NULL text -> NULL count (size(NULL) = -1 would read as a
+        # 'negative-length doc' and always flag as a low outlier)
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(F.size(tokens_expr(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     fences = base.groupBy(group_col).agg(
         F.percentile("n_tokens", F.lit(0.25)).alias("q1"),

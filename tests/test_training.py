@@ -1655,3 +1655,34 @@ def test_corpus_overlap_sampled_estimate_close(spark, sf_small):
     assert len(common) >= 10
     diffs = [abs(exact[p] - approx[p]) for p in common]
     assert sum(diffs) / len(diffs) < 0.1
+
+
+def test_null_and_empty_text_parity_semantics(spark):
+    """NULL text must flow through the round-6 text ops the way SQL
+    engines treat it (NULL stats, never -1 from Spark's size(NULL) or
+    a phantom zero bucket); empty text is DATA (entropy 0.0), NULL is
+    absence (entropy NULL)."""
+    from faexport_db_spark.training.text import (
+        char_entropy,
+        iqr_outliers,
+        length_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A", None), (2, "A", ""), (3, "A", "w w w")],
+        "doc_id bigint, source string, text string",
+    )
+    ent = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert len(ent) == 3  # one row per input doc, NULLs included
+    assert ent[1]["char_entropy"] is None and ent[1]["n_chars_counted"] is None
+    assert ent[2]["char_entropy"] == 0.0 and ent[2]["n_chars_counted"] == 0
+    assert ent[3]["char_entropy"] is not None
+
+    buckets = {r["bucket_cap"]: r for r in length_buckets(docs, bucket=64).collect()}
+    assert None in buckets  # NULL doc -> NULL bucket, not bucket 0
+    assert buckets[None]["n_docs"] == 1 and buckets[None]["sum_tokens"] is None
+    assert 0 not in buckets
+
+    out = {r["doc_id"]: r for r in iqr_outliers(docs).collect()}
+    assert out[1]["n_tokens"] is None and out[1]["is_outlier"] is None
+    assert out[2]["n_tokens"] == 1  # '' splits to one empty token (family rule)
