@@ -2223,3 +2223,62 @@ def t_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.dedup import corpus_overlap
 
     return corpus_overlap(_docs(spark, sf_dir), group_col="source", shingle_n=2)
+
+
+@register(
+    "t_corpus_build",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, lang, string_split_regex(trim(text), '\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, lang, len(toks) AS nt,
+             nc * 1.0 / len(toks) AS mean_tok,
+             (nc - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+               * 1.0 / nc AS non_alnum,
+             len(list_intersect(list_distinct(toks),
+                 ['the','a','of','and','to','in','is','it','for','on'])) AS ds,
+             list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks)
+               AS top_share
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, text, lang, nt FROM f
+      WHERE nt >= 10 AND nt <= 100000 AND mean_tok >= 3.0 AND mean_tok <= 10.0
+        AND non_alnum <= 0.3 AND ds >= 1 AND top_share <= 0.12
+    ),
+    dedup AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM kept
+    ),
+    reps AS (
+      SELECT lang, nt,
+             CAST(CONCAT('0x', substr(md5(rep::VARCHAR || ':split:v1'), 1, 8))
+                  AS BIGINT) AS key
+      FROM dedup WHERE doc_id = rep
+    )
+    SELECT CASE WHEN key < 429496729 THEN 'val'
+                WHEN key < 858993458 THEN 'test'
+                ELSE 'train' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+    FROM reps GROUP BY 1, 2
+    """,
+)
+def t_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build capstone (training/pipeline.py::
+    corpus_build): Gopher quality filter -> exact dedup -> leakage-safe
+    split -> per-(split, lang) accounting, TWO exchanges total (the
+    dedup window's rep doubles as the split key). Thresholds match
+    t_quality_rules so the filter demonstrably drops fixture docs."""
+    from faexport_db_spark.training.pipeline import corpus_build
+
+    return corpus_build(
+        _docs(spark, sf_dir),
+        min_tokens=10,
+        min_distinct_stop=1,
+        max_top_share=0.12,
+    )

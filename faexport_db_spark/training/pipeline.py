@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from faexport_db_spark.training.text import BPE_ISH_PATTERN, quality_features
+from faexport_db_spark.training.text import (
+    BPE_ISH_PATTERN,
+    quality_features,
+    quality_rules,
+)
 
 
 def _bpe_count(text_col: str) -> Column:
@@ -447,3 +451,59 @@ def cluster_split(
         .otherwise(F.lit("train"))
     )
     return keyed.withColumn("split", split)
+
+
+def corpus_build(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    **rule_kwargs,
+) -> DataFrame:
+    """The end-to-end corpus build, composed from the primitives this
+    package ships, in TWO exchanges total: Gopher-style quality filter
+    (map-only projection, ``quality_rules``), exact dedup keeping the
+    lowest id per content hash, leakage-safe split assignment off the
+    cluster representative (both from ONE window over the content
+    hash — the dedup rep IS the split key, so no second shuffle), and
+    per-(split, language) accounting (the second exchange). This is
+    the shape a 100 TB corpus run takes before the near-dup passes:
+    every stage map-side except the two unavoidable key groupings, no
+    joins, nothing driver-side.
+
+    Output: (split, lang, n_docs, sum_tokens) for kept, deduped docs.
+    """
+    flagged = quality_rules(
+        docs, text_col=text_col, id_col=id_col,
+        keep=(text_col, lang_col), **rule_kwargs,
+    )
+    kept = flagged.filter(F.col("kept")).select(id_col, text_col, lang_col)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    deduped = kept.withColumn("__rep", F.min(id_col).over(w)).filter(
+        F.col(id_col) == F.col("__rep")
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("__rep").cast("string"), F.lit(":split:v1"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    val_thr = int(val_frac * (1 << 32))
+    test_thr = val_thr + int(test_frac * (1 << 32))
+    split = (
+        F.when(key < val_thr, F.lit("val"))
+        .when(key < test_thr, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    return (
+        deduped.select(split.alias("split"), F.col(lang_col), toks.alias("__nt"))
+        .groupBy("split", lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("sum_tokens"),
+        )
+    )

@@ -113,6 +113,7 @@ def quality_rules(
     max_non_alnum: float = 0.3,
     min_distinct_stop: int = 2,
     max_top_share: float = 0.2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style hard filter rules (Rae et al. 2021 §A1.1 shape):
     per-doc boolean verdict PER RULE plus the conjunction — the
@@ -164,6 +165,7 @@ def quality_rules(
     repetition_ok = top_share <= max_top_share
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         tokens_ok.alias("tokens_ok"),
         mean_ok.alias("mean_token_ok"),
         symbols_ok.alias("symbols_ok"),

@@ -601,3 +601,14 @@ def test_profile_drift_is_one_table_pass(spark, sf_small):
 def test_ntile_single_window_sort(spark, sf_small):
     q = QUERIES["w7_ntile_quartiles"](spark, sf_small)
     assert_plan(q, max_shuffles=1, max_python_evals=0)
+
+
+def test_corpus_build_is_two_exchanges_end_to_end(spark, sf_small):
+    """The capstone build (filter -> dedup -> split -> account) runs
+    in exactly the two unavoidable key groupings: the content-hash
+    window (whose rep doubles as the split key) and the final
+    (split, lang) aggregate. No joins, map-only in between."""
+    q = QUERIES["t_corpus_build"](spark, sf_small)
+    assert_plan(q, max_shuffles=2, max_python_evals=0)
+    s = join_strategies(q)
+    assert all(v == 0 for v in s.values()), s

@@ -1686,3 +1686,23 @@ def test_null_and_empty_text_parity_semantics(spark):
     out = {r["doc_id"]: r for r in iqr_outliers(docs).collect()}
     assert out[1]["n_tokens"] is None and out[1]["is_outlier"] is None
     assert out[2]["n_tokens"] == 1  # '' splits to one empty token (family rule)
+
+
+def test_corpus_build_composition_golden(spark):
+    from faexport_db_spark.training.pipeline import corpus_build
+
+    good = "the quick brown fox jumps over a lazy dog while we watch quietly"
+    rows = (
+        [(i, "en", good + f" variant {i}") for i in range(6)]
+        + [(10, "en", good + " variant 0")]      # exact dup of doc 0 -> dropped
+        + [(11, "en", "tiny")]                    # fails min_tokens
+        + [(12, "en", "spam " * 40)]              # fails repetition screen
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = corpus_build(
+        docs, min_tokens=10, min_distinct_stop=1, max_top_share=0.12
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == 6  # dup + 2 rejects gone
+    assert {r["lang"] for r in out} == {"en"}
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    assert sum(r["sum_tokens"] for r in out) == 6 * 15  # 13 + 'variant i'
