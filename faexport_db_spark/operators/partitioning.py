@@ -176,6 +176,9 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    clash = [c for c in ("__salt",) if c in left.columns or c in right.columns]
+    if clash:
+        raise ValueError(f"salted_join reserves column(s) {clash}; rename them first")
     lf = left.withColumn("__salt", (F.rand(42) * n_salt).cast("int"))
     rt = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -232,3 +232,14 @@ def test_salted_join_key_includes_salt_and_rejects_right(spark, sf_small):
     assert "__salt" in plan  # the join really runs on (key, salt)
     with _pytest.raises(ValueError):
         salted_join(li, o, "okey", how="right")
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    import pytest as _pytest
+
+    from faexport_db_spark.operators.partitioning import salted_join
+
+    a = spark.createDataFrame([(1, 0)], ["k", "__salt"])
+    b = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(a, b, "k")
