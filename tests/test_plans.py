@@ -612,3 +612,13 @@ def test_corpus_build_is_two_exchanges_end_to_end(spark, sf_small):
     assert_plan(q, max_shuffles=2, max_python_evals=0)
     s = join_strategies(q)
     assert all(v == 0 for v in s.values()), s
+
+
+def test_corpus_overlap_exchange_ceiling_no_cartesian(spark, sf_small):
+    """Overlap candidates come from the shared-shingle equi-join over
+    the DISTINCT (source, shingle) vocabulary — never an all-pairs
+    source product, nothing corpus-sized broadcast by construction."""
+    q = QUERIES["t_corpus_overlap"](spark, sf_small)
+    assert_plan(q, max_shuffles=7, max_python_evals=0)
+    s = join_strategies(q)
+    assert s["CartesianProduct"] == 0 and s["BroadcastNestedLoopJoin"] == 0
