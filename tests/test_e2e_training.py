@@ -83,3 +83,40 @@ def test_training_pipeline_composes(spark, sf_small, corpus):
     # every pack except possibly the last holds > 0 tokens
     assert all(r["tok"] > 0 for r in by_pack)
     assert all(0 <= r["first_pos"] < 512 for r in by_pack)
+
+
+def test_round6_split_chunk_compose_with_dedup(spark, sf_small, corpus):
+    """Round-6 composition: near-dup pairs -> connected components ->
+    cluster-aware split -> chunking of the train slice. The leakage
+    property the split exists for: NO near-dup pair ever straddles two
+    splits; and chunk accounting covers every surviving train doc."""
+    from faexport_db_spark.training.dedup import dedup_clusters_star, minhash_dedup_pairs
+    from faexport_db_spark.training.pipeline import cluster_split
+    from faexport_db_spark.training.text import chunk_documents
+
+    pairs = minhash_dedup_pairs(corpus, threshold=0.6).localCheckpoint()
+    clusters = dedup_clusters_star(pairs).select(
+        "doc_id", F.col("cluster_rep").alias("cluster_id")
+    )
+    split = cluster_split(corpus, clusters=clusters, val_frac=0.3, test_frac=0.3)
+    assignment = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert len(assignment) == corpus.count()
+    straddlers = [
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if assignment[r["id_a"]] != assignment[r["id_b"]]
+    ]
+    assert straddlers == []  # the whole point
+
+    train_ids = [d for d, s in assignment.items() if s == "train"]
+    train = corpus.filter(F.col("doc_id").isin(train_ids[:50]))
+    chunks = chunk_documents(train, width=200, stride=150)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    lengths = {r["doc_id"]: len(r["text"]) for r in train.collect()}
+    assert set(per_doc) == set(lengths)  # every train doc chunked
+    for d, n in per_doc.items():
+        expected = 1 if lengths[d] <= 200 else -(-(lengths[d] - 200) // 150) + 1
+        assert n == expected
