@@ -2282,3 +2282,28 @@ def t_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_distinct_stop=1,
         max_top_share=0.12,
     )
+
+
+@register(
+    "t_vocab_ids",
+    oracle=r"""
+    WITH u AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents)
+      GROUP BY t
+    )
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT)
+             AS token_id
+    FROM u
+    """,
+)
+def t_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense frequency-ranked vocabulary ids WITHOUT the naive global
+    window's Exchange SinglePartition: chunked prefix-sum rank
+    (training/pipeline.py::vocab_ids), value-identical to the oracle's
+    row_number total order."""
+    from faexport_db_spark.training.pipeline import vocab_ids
+
+    return vocab_ids(_docs(spark, sf_dir), min_count=1)

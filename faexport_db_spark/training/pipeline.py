@@ -507,3 +507,58 @@ def corpus_build(
             F.sum("__nt").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+def vocab_ids(
+    docs: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+    n_chunks: int = 16,
+) -> DataFrame:
+    """Dense frequency-ranked vocabulary ids: token_id 0 is the most
+    frequent token, ties broken lexicographically — the id assignment
+    every tokenizer/embedding-table build starts from.
+
+    The naive ``row_number() OVER (ORDER BY cnt DESC)`` plans an
+    Exchange SinglePartition — the entire vocabulary through one task.
+    This uses the same distributed prefix-sum shape as
+    ``global_shuffle``: approx-quantile chunk bounds on the count
+    (all ties of one count land in ONE chunk, so the lexicographic
+    tie-break never straddles a boundary), per-chunk window
+    row_number, chunk offsets collected (n_chunks rows, the only
+    driver traffic) and re-broadcast as a literal map. Exact, total,
+    and no task ever holds more than ~1/n_chunks of the vocabulary.
+
+    Output: (token, cnt, token_id) for tokens with cnt >= min_count.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn("__key", -F.col("cnt").cast("double"))
+    )
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = sorted(set(counts.approxQuantile("__key", probs, 0.001)))
+    chunked = counts.withColumn("__pid", _chunk_pid("__key", bounds))
+    w = Window.partitionBy("__pid").orderBy("__key", "token")
+    local = chunked.withColumn("__rn", F.row_number().over(w))
+    sizes = {
+        r["__pid"]: r["c"]
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    token_id = (
+        F.element_at(offset_map, F.col("__pid")).cast("bigint") + F.col("__rn") - 1
+    )
+    return local.select(
+        "token", F.col("cnt").cast("bigint").alias("cnt"), token_id.alias("token_id")
+    )

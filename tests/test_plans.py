@@ -622,3 +622,14 @@ def test_corpus_overlap_exchange_ceiling_no_cartesian(spark, sf_small):
     assert_plan(q, max_shuffles=7, max_python_evals=0)
     s = join_strategies(q)
     assert s["CartesianProduct"] == 0 and s["BroadcastNestedLoopJoin"] == 0
+
+
+def test_vocab_ids_never_single_partitions(spark, sf_small):
+    """The frequency rank must NOT plan the naive global window's
+    Exchange SinglePartition — the entire vocabulary through one
+    task is the 100x failure the chunked prefix sum exists to avoid."""
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    q = QUERIES["t_vocab_ids"](spark, sf_small)
+    assert "Exchange SinglePartition" not in formatted_plan(q)
+    assert_plan(q, max_python_evals=0)

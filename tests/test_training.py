@@ -1706,3 +1706,23 @@ def test_corpus_build_composition_golden(spark):
     assert {r["lang"] for r in out} == {"en"}
     assert all(r["split"] in ("train", "val", "test") for r in out)
     assert sum(r["sum_tokens"] for r in out) == 6 * 15  # 13 + 'variant i'
+
+
+def test_vocab_ids_total_order_and_density(spark):
+    from faexport_db_spark.training.pipeline import vocab_ids
+
+    # skewed counts with ties to exercise the chunk-boundary rule
+    words = (["the"] * 50 + ["cat"] * 20 + ["dog"] * 20 + ["sat"] * 5
+             + ["on"] * 5 + ["mat"] * 5 + ["a"] * 1)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::4])) for i in range(4)], ["doc_id", "text"]
+    )
+    rows = sorted(vocab_ids(docs, n_chunks=4).collect(), key=lambda r: r["token_id"])
+    ids = [r["token_id"] for r in rows]
+    assert ids == list(range(len(rows)))  # dense 0..n-1, no gaps, no dupes
+    # non-increasing counts; lexicographic within a count tie
+    for a, b in zip(rows, rows[1:]):
+        assert (a["cnt"], b["token"]) >= (b["cnt"], a["token"]) or a["cnt"] > b["cnt"]
+        if a["cnt"] == b["cnt"]:
+            assert a["token"] < b["token"]
+    assert rows[0]["token"] == "the" and rows[0]["token_id"] == 0
