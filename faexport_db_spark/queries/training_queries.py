@@ -2307,3 +2307,28 @@ def t_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.pipeline import vocab_ids
 
     return vocab_ids(_docs(spark, sf_dir), min_count=1)
+
+
+@register(
+    "t_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           round(CAST(avg(v) AS DOUBLE), 6) AS mean_val
+    FROM flat GROUP BY label, dim
+    """,
+)
+def t_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (training/similarity.py::
+    label_centroids): 64 scalar avg aggregates in one corpus pass,
+    stack-pivoted to long form — vs the oracle's explode-per-dim
+    formulation, value-identical after round(6)."""
+    from faexport_db_spark.training.similarity import label_centroids
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(embs, dim=64)

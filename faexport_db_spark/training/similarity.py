@@ -1326,3 +1326,33 @@ def range_search(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def label_centroids(
+    embs: DataFrame,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class embedding centroids in ONE aggregation pass: the
+    elementwise mean is expressed as ``dim`` scalar ``avg`` aggregates
+    (map-side partial aggregation applies, so the corpus streams once
+    and only |labels|-sized partials shuffle), then a constant-width
+    stack pivots to long format — never an explode-per-dimension of
+    the corpus (which would shuffle n_rows x dim rows), never a
+    driver-side numpy pass. The centroid table this emits is what
+    classifier-free dedup (SemDeDup cells), label-drift monitoring,
+    and nearest-class-mean classification consume.
+
+    Output: (label, dim, mean_val) — long format, dim 0-based,
+    rounded to 6 (order-independent to the last ulp after rounding).
+    """
+    aggs = [
+        F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"m_{i}") for i in range(dim)
+    ]
+    wide = embs.groupBy(label_col).agg(*aggs)
+    stack_args = ", ".join(f"{i}, m_{i}" for i in range(dim))
+    return wide.select(
+        label_col,
+        F.expr(f"stack({dim}, {stack_args}) AS (dim, mean_val)"),
+    ).select(label_col, F.col("dim").cast("bigint").alias("dim"), "mean_val")

@@ -633,3 +633,14 @@ def test_vocab_ids_never_single_partitions(spark, sf_small):
     q = QUERIES["t_vocab_ids"](spark, sf_small)
     assert "Exchange SinglePartition" not in formatted_plan(q)
     assert_plan(q, max_python_evals=0)
+
+
+def test_label_centroids_one_pass_no_explode(spark, sf_small):
+    """The elementwise mean must be scalar aggregates over the stored
+    array (one exchange of label-sized partials) — not an explode of
+    n_rows x dim elements through the shuffle."""
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    q = QUERIES["t_label_centroids"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
+    assert "Generate explode" not in formatted_plan(q)
