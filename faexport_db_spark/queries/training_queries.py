@@ -2332,3 +2332,48 @@ def t_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load_table(spark, sf_dir, "embeddings")
     return label_centroids(embs, dim=64)
+
+
+@register(
+    "t_ncm_confusion",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, list(mv ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, round(CAST(avg(v) AS DOUBLE), 6) AS mv
+            FROM flat GROUP BY label, dim)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                            s -> s[1]::DOUBLE * s[2]::DOUBLE), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding,
+                     x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.cvec,
+                       x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS cos
+      FROM embeddings e, cent c
+    ),
+    pred AS (
+      SELECT label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, clabel ASC) AS rn
+      FROM scored
+    )
+    SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY label, clabel
+    """,
+)
+def t_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean confusion matrix (training/similarity.py::
+    ncm_confusion): literal-centroid cosine argmax per row (map-only,
+    the IVF bounded-collect pattern), identical rounded-centroid
+    doubles and fold order on both engines."""
+    from faexport_db_spark.training.similarity import ncm_confusion
+
+    return ncm_confusion(load_table(spark, sf_dir, "embeddings"), dim=64)

@@ -1356,3 +1356,55 @@ def label_centroids(
         label_col,
         F.expr(f"stack({dim}, {stack_args}) AS (dim, mean_val)"),
     ).select(label_col, F.col("dim").cast("bigint").alias("dim"), "mean_val")
+
+
+def ncm_confusion(
+    embs: DataFrame,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-class-mean classification eval: assign every embedding
+    to its cosine-nearest label centroid (from ``label_centroids``,
+    components rounded to 6 so both engines score IDENTICAL doubles)
+    and emit the confusion matrix — the ten-second "are these
+    embeddings linearly separated by class" health check run before
+    anyone trains on them.
+
+    Scale shape: centroids are |labels| × dim driver-side metadata
+    (the bounded-collect pattern the IVF family established); the
+    assignment is one literal-expression argmax per row — map-only,
+    whole-stage codegen, no join — and the confusion matrix is one
+    groupBy over a |labels|² key domain. Ties break toward the lower
+    label via the (neg_cos, label) struct sort, matching the oracle's
+    row_number order exactly.
+
+    Output: (label, pred_label, n).
+    """
+    cents = label_centroids(embs, dim=dim, label_col=label_col, vec_col=vec_col)
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cents.collect():  # bounded: |labels| x dim
+        by_label.setdefault(r[label_col], {})[r["dim"]] = r["mean_val"]
+    labels = sorted(by_label)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_expr(
+                        F.col(vec_col),
+                        F.lit([by_label[lb][d] for d in range(dim)]).cast(
+                            "array<double>"
+                        ),
+                    )
+                ).alias("nc"),
+                F.lit(lb).alias("lb"),
+            )
+            for lb in labels
+        ]
+    )
+    pred = F.array_sort(scored)[0]["lb"]
+    return (
+        embs.select(F.col(label_col), pred.alias("pred_label"))
+        .groupBy(label_col, "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

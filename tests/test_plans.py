@@ -644,3 +644,13 @@ def test_label_centroids_one_pass_no_explode(spark, sf_small):
     q = QUERIES["t_label_centroids"](spark, sf_small)
     assert_plan(q, max_shuffles=1, max_python_evals=0)
     assert "Generate explode" not in formatted_plan(q)
+
+
+def test_ncm_confusion_assignment_is_map_only(spark, sf_small):
+    """The centroid argmax must be a literal expression over the
+    stored vector (no join against a centroid table, no Python): the
+    only exchange is the |labels|^2 confusion groupBy."""
+    q = QUERIES["t_ncm_confusion"](spark, sf_small)
+    assert_plan(q, max_shuffles=1, max_python_evals=0)
+    s = join_strategies(q)
+    assert all(v == 0 for v in s.values()), s
