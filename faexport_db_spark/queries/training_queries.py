@@ -2377,3 +2377,32 @@ def t_ncm_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.similarity import ncm_confusion
 
     return ncm_confusion(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
+    "t_bytes_per_token",
+    oracle="""
+    WITH t AS (
+      SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS bp,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS sum_chars,
+           CAST(sum(bp) AS BIGINT) AS sum_bpe_tokens,
+           round(CAST(sum(nc) AS DOUBLE) / CAST(sum(bp) AS BIGINT), 6)
+             AS chars_per_bpe_token,
+           round(CAST(sum(nc) AS DOUBLE) / CAST(sum(ws) AS BIGINT), 6)
+             AS chars_per_ws_token
+    FROM t GROUP BY lang
+    """,
+)
+def t_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility report (chars per token as a
+    ratio of sums) — one bounded-key aggregate, pure codegen."""
+    from faexport_db_spark.training.text import bytes_per_token
+
+    return bytes_per_token(_docs(spark, sf_dir), group_col="lang")

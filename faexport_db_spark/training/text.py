@@ -1219,3 +1219,48 @@ def iqr_outliers(
             ((F.col("n_tokens") < lo) | (F.col("n_tokens") > hi)).alias("is_outlier"),
         )
     )
+
+
+def bytes_per_token(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-efficiency report per group: characters per BPE-ish
+    token and per whitespace token, aggregated per language/source —
+    the fertility table that decides whether a tokenizer (or corpus
+    mix) punishes a language (high chars/token = more compute per
+    byte of signal). Ratio of SUMS, not mean of ratios, so long docs
+    weigh in proportion to their cost. One map-side-combining
+    aggregate over a bounded group domain; pure codegen expressions.
+
+    Output: (group, n_docs, sum_chars, sum_bpe_tokens,
+    chars_per_bpe_token, chars_per_ws_token) rounded to 6.
+    """
+    nc = F.length(text_col).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "bigint"
+    )
+    ws = F.size(tokens_expr(text_col)).cast("bigint")
+    agg = (
+        docs.select(F.col(group_col), nc.alias("nc"), bpe.alias("bp"), ws.alias("ws"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("sum_chars"),
+            F.sum("bp").cast("bigint").alias("sum_bpe_tokens"),
+            F.sum("ws").cast("bigint").alias("sum_ws"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "sum_chars",
+        "sum_bpe_tokens",
+        F.round(F.col("sum_chars").cast("double") / F.col("sum_bpe_tokens"), 6).alias(
+            "chars_per_bpe_token"
+        ),
+        F.round(F.col("sum_chars").cast("double") / F.col("sum_ws"), 6).alias(
+            "chars_per_ws_token"
+        ),
+    )
