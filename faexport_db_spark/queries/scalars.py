@@ -441,3 +441,98 @@ def c23_fuzzy_name_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("dist"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "c24_url_canonicalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.NET'
+             || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+             || '/art/' || doc_id
+             || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+             || '?b=2'
+             || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+             || '&a=' || (doc_id % 5)
+             || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag
+      FROM raw
+    ),
+    split_q AS (
+      SELECT doc_id, url,
+             regexp_extract(nofrag, '^([^?]+)', 1) AS base,
+             regexp_extract(nofrag, '\?(.*)$', 1) AS q
+      FROM parts
+    ),
+    canon_base AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(lower(base), '^(https?://[^/:]+):443(/|$)', '\1\2'),
+               '(.)/$', '\1') AS cbase,
+             list_sort(list_filter(string_split(q, '&'),
+                       p -> NOT starts_with(p, 'utm_'))) AS params,
+             len(string_split(q, '&'))
+               - len(list_filter(string_split(q, '&'),
+                     p -> NOT starts_with(p, 'utm_'))) AS n_dropped
+      FROM split_q
+    )
+    SELECT doc_id,
+           cbase || CASE WHEN len(params) > 0
+                         THEN '?' || array_to_string(params, '&')
+                         ELSE '' END AS canon_url,
+           CAST(n_dropped AS BIGINT) AS n_dropped_params
+    FROM canon_base
+    """,
+)
+def c24_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 — URL canonicalization for crawl dedup: strip fragment,
+    lowercase scheme+host, drop the default :443 port, strip the
+    trailing path slash, drop utm_* tracking params, and sort the
+    remaining query params — so the same resource fetched through
+    cosmetically different URLs hashes identically in the dedup
+    stages. Pure codegen expressions (regex + array ops); the messy
+    input is synthesized deterministically from the fixture so every
+    normalization branch is exercised. Output: (doc_id, canon_url,
+    n_dropped_params)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.NET"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/art/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.lit("&a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_extract(nofrag, r"^([^?]+)", 1)
+    q = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    cbase = F.regexp_replace(
+        F.regexp_replace(F.lower(base), r"^(https?://[^/:]+):443(/|$)", "$1$2"),
+        r"(.)/$",
+        "$1",
+    )
+    all_params = F.split(q, "&")
+    params = F.array_sort(
+        F.filter(all_params, lambda p: ~p.startswith("utm_"))
+    )
+    canon = F.concat(
+        cbase,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        (F.size(all_params) - F.size(params)).cast("bigint").alias("n_dropped_params"),
+    )
