@@ -2406,3 +2406,62 @@ def t_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.text import bytes_per_token
 
     return bytes_per_token(_docs(spark, sf_dir), group_col="lang")
+
+
+@register(
+    "t_dedup_sweep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] ELSE t[i] END
+             ))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT c * 1.0 / (sa.n + sb.n - c) AS j
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    )
+    SELECT t AS threshold, CAST(count(*) FILTER (WHERE j >= t) AS BIGINT) AS n_pairs
+    FROM jac CROSS JOIN (SELECT unnest([0.5, 0.7, 0.9]) AS t)
+    GROUP BY t
+    """,
+)
+def t_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning table: exact bigram-Jaccard pair counts
+    at 0.5 / 0.7 / 0.9 from ONE pass over the pair set — the evidence
+    a near-dup threshold decision is made on (where the pair-count
+    elbow sits), computed without re-running the expensive join per
+    threshold. Output: (threshold, n_pairs)."""
+    docs = _docs(spark, sf_dir)
+    shingled = fan_out(docs).select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("g")
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("j")
+    scored = inter.join(sa, "id_a").join(sb, "id_b").select(jac)
+    return (
+        scored.select(F.explode(F.array(F.lit(0.5), F.lit(0.7), F.lit(0.9))).alias("threshold"), "j")
+        .groupBy("threshold")
+        .agg(F.count(F.when(F.col("j") >= F.col("threshold"), 1)).cast("bigint").alias("n_pairs"))
+    )
