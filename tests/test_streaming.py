@@ -1040,3 +1040,92 @@ def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
 
     assert len(emitted) > 0
     assert canon(emitted) == canon(batch)
+
+
+def test_cdc_stream_materializes_across_batches(spark, tmp_path):
+    """Streaming CDC: upserts, tombstones, cross-batch out-of-order
+    events and a delete-then-revive, applied over two micro-batches,
+    must land exactly where the batch cdc_apply of the full log lands."""
+    from faexport_db_spark.operators.merge import cdc_apply
+    from faexport_db_spark.streaming.cdc_stream import start_streaming_cdc_apply
+
+    schema = "k bigint, seq bigint, v string, op string"
+    b0 = [
+        (1, 10, "a1", "U"), (2, 10, "b1", "U"), (3, 10, "c1", "U"),
+        (2, 20, None, "D"),           # delete key 2
+        (4, 30, "d3", "U"),           # will be out-of-ordered in b1
+    ]
+    b1 = [
+        (1, 20, "a2", "U"),           # newer upsert wins
+        (2, 30, "b2", "U"),           # revive deleted key
+        (3, 25, None, "D"),           # delete stays deleted
+        (4, 20, "d2", "U"),           # OLDER than stored seq 30: must NOT regress
+    ]
+    src = tmp_path / "cdc_src"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "cdc_store")
+    q = start_streaming_cdc_apply(
+        spark, stream, store, str(tmp_path / "cdc_ckpt"),
+        key_cols=["k"], seq_col="seq",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in spark.read.parquet(store).collect()
+    }
+    full_log = spark.createDataFrame(b0 + b1, schema)
+    want = {
+        r["k"]: (r["seq"], r["v"])
+        for r in cdc_apply(full_log, ["k"], "seq").collect()
+    }
+    assert got == want
+    assert got == {1: (20, "a2"), 2: (30, "b2"), 4: (30, "d3")}  # 3 deleted
+
+
+def test_cdc_batch_redelivery_is_exactly_once(spark, tmp_path):
+    from faexport_db_spark.streaming.cdc_stream import cdc_apply_batch_against_store
+
+    schema = "k bigint, seq bigint, v string, op string"
+    store = str(tmp_path / "cdc_store2")
+    b = spark.createDataFrame([(1, 10, "x", "U"), (2, 10, "y", "U")], schema)
+    cdc_apply_batch_against_store(b, store, ["k"], "seq", batch_id=0, stream_id="s")
+    first = sorted(map(tuple, spark.read.parquet(store).collect()))
+    # redelivery of the same batch id: marker short-circuits, store unchanged
+    cdc_apply_batch_against_store(b, store, ["k"], "seq", batch_id=0, stream_id="s")
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == first
+    # and even WITHOUT the marker (direct call), the seq gate makes
+    # re-application a no-op
+    cdc_apply_batch_against_store(b, store, ["k"], "seq")
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == first
+
+
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_cdc_batches_agree_across_table_formats(spark, tmp_path, fmt_name):
+    """The CDC materializer is format-agnostic through the seam: both
+    real TableFormat strategies land the identical final state,
+    including a tombstone purge and an out-of-order reject."""
+    from faexport_db_spark.streaming.cdc_stream import cdc_apply_batch_against_store
+
+    fmt = STORE_FORMATS[fmt_name]()
+    schema = "k bigint, seq bigint, v string, op string"
+    store = str(tmp_path / f"cdc_{fmt_name}")
+    batches = [
+        [(1, 10, "a1", "U"), (2, 10, "b1", "U")],
+        [(1, 5, "a0", "U"), (2, 20, None, "D"), (3, 15, "c1", "U")],
+    ]
+    for rows in batches:
+        cdc_apply_batch_against_store(
+            spark.createDataFrame(rows, schema), store, ["k"], "seq", fmt=fmt
+        )
+    got = {
+        r["k"]: (r["seq"], r["v"]) for r in fmt.read(spark, store).collect()
+    }
+    assert got == {1: (10, "a1"), 3: (15, "c1")}
