@@ -339,3 +339,73 @@ def j11_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "j12_fuzzy_join",
+    oracle="""
+    WITH names AS (
+      SELECT n_nationkey AS id, n_name AS name FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100,
+             substr(n_name, 1, (n_nationkey % length(n_name)))
+             || substr(n_name, (n_nationkey % length(n_name)) + 2)
+      FROM nation
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def j12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — fuzzy self-join at edit distance ≤ 1 via SymSpell-style
+    deletion neighborhoods: each name emits itself plus its 1-deletion
+    variants (pure codegen transform), candidates come from an
+    equi-join on the shared variant — complete for distance ≤ 1
+    (equal → raw∩raw; substitution → del_i∩del_i; indel → raw∩del) —
+    and an exact levenshtein verify kills the false positives the
+    neighborhood admits (e.g. \'ab\'/\'ba\' share variants at distance
+    2). The oracle is the quadratic theta join this equi-join shape
+    replaces: at username/alias scale a levenshtein cross join is
+    O(n²) string DP, while this shuffles (variant, id) pairs with
+    bounded per-name fan-out (len+1). The mutated fixture copies
+    guarantee real distance-1 matches."""
+    from faexport_db_spark.operators.partitioning import fan_out
+
+    n = load_table(spark, sf_dir, "nation")
+    mutated = n.select(
+        (F.col("n_nationkey") + 100).alias("id"),
+        F.expr(
+            "concat(substring(n_name, 1, n_nationkey % length(n_name)),"
+            " substring(n_name, n_nationkey % length(n_name) + 2, 1000))"
+        ).alias("name"),
+    )
+    names = n.select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    ).unionByName(mutated)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - F.lit(1)),
+            F.col("name").substr(i + F.lit(1), F.lit(1000)),
+        ),
+    )
+    variants = fan_out(names).select(
+        "id", "name",
+        F.explode(F.array_union(F.array(F.col("name")), dels)).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist <= 1).select(
+        "id_a", "id_b", dist.cast("bigint").alias("dist")
+    )

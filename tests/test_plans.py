@@ -654,3 +654,13 @@ def test_ncm_confusion_assignment_is_map_only(spark, sf_small):
     assert_plan(q, max_shuffles=1, max_python_evals=0)
     s = join_strategies(q)
     assert all(v == 0 for v in s.values()), s
+
+
+def test_fuzzy_join_no_cartesian_bounded_fanout(spark, sf_small):
+    """J12's candidates must come from the variant equi-join — the
+    levenshtein theta join the oracle uses would plan a nested-loop
+    product."""
+    q = QUERIES["j12_fuzzy_join"](spark, sf_small)
+    s = join_strategies(q)
+    assert s["CartesianProduct"] == 0 and s["BroadcastNestedLoopJoin"] == 0
+    assert_plan(q, max_python_evals=0)
