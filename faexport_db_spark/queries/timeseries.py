@@ -347,3 +347,31 @@ def ts6_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
         F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_us"),
     )
+
+
+@register(
+    "ts7_seasonal_baseline",
+    oracle="""
+    SELECT event_type,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(avg(value) AS DOUBLE), 6) AS mean_value,
+           round(CAST(stddev_samp(value) AS DOUBLE), 6) AS sd_value
+    FROM events GROUP BY event_type, date_part('hour', ts)
+    """,
+)
+def ts7_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS7 — hour-of-day seasonal profile per event type (the
+    seasonal-naive baseline anomaly detectors subtract before
+    thresholding, and the capacity-planning heatmap's data): one
+    map-side-combining aggregate over a 24×|types| key domain.
+    Session timezone is pinned UTC by the loader, so both engines
+    bucket identical hours."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+    )
