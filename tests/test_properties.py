@@ -620,3 +620,51 @@ def test_scd2_collapse_partitions_history(spark):
             assert t1 < f2 or (t1 <= f2)  # ordered
         for f, t, _ in ivals:
             assert f <= t
+
+
+# --- round-6 operators ------------------------------------------------------
+
+
+@given(
+    st.lists(st.text(alphabet="abcXYZ 0", min_size=0, max_size=50), min_size=1, max_size=5),
+    st.integers(2, 12),
+    st.integers(1, 12),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_documents_matches_python_reference(spark, texts, width, stride):
+    """Chunking invariant under random geometry: Spark output equals
+    the obvious Python reference (full coverage, stride-aligned
+    starts, last chunk short)."""
+    from faexport_db_spark.training.text import chunk_documents
+
+    stride = min(stride, width)
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(docs, width=width, stride=stride).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        n_chunks = 1 if len(t) <= width else -(-(len(t) - width) // stride) + 1
+        for c in range(n_chunks):
+            want[(i, c)] = t[c * stride : c * stride + width]
+    assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=20),
+    st.lists(st.tuples(st.integers(0, 3), st.text(max_size=3)), min_size=0, max_size=8),
+    st.integers(2, 6),
+    st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_join_equals_plain_join_property(spark, lrows, rrows, n_salt, how):
+    """Salting is layout-only for ANY frames (skewed keys, duplicate
+    right matches, unmatched rows), any salt width, both join types."""
+    from faexport_db_spark.operators.partitioning import salted_join
+
+    left = spark.createDataFrame(lrows or [(99, 0)], "k bigint, v bigint")
+    right = spark.createDataFrame(rrows or [(98, "z")], "k bigint, w string")
+    salted = salted_join(left, right, "k", n_salt=n_salt, how=how)
+    plain = left.join(right, "k", how)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
