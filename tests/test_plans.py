@@ -664,3 +664,21 @@ def test_fuzzy_join_no_cartesian_bounded_fanout(spark, sf_small):
     s = join_strategies(q)
     assert s["CartesianProduct"] == 0 and s["BroadcastNestedLoopJoin"] == 0
     assert_plan(q, max_python_evals=0)
+
+
+def test_round6_aggregate_ops_single_shuffle(spark, sf_small):
+    for name in ("t_bytes_per_token", "ts7_seasonal_baseline"):
+        assert_plan(QUERIES[name](spark, sf_small), max_shuffles=1, max_python_evals=0)
+
+
+def test_dedup_sweep_one_pair_pass(spark, sf_small):
+    """All three thresholds must come from ONE inverted-index pass —
+    re-running the shingle join per threshold would triple the
+    dominant shuffle."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    q = QUERIES["t_dedup_sweep"](spark, sf_small)
+    assert_plan(q, max_shuffles=4, max_python_evals=0)
+    assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(q))) <= 2
