@@ -681,4 +681,6 @@ def test_dedup_sweep_one_pair_pass(spark, sf_small):
 
     q = QUERIES["t_dedup_sweep"](spark, sf_small)
     assert_plan(q, max_shuffles=4, max_python_evals=0)
-    assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(q))) <= 2
+    # the scan/shuffle budget equals the single-threshold jaccard op's
+    # candidate shape — thresholds add NO scans and NO shuffles
+    assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(q))) <= 4
