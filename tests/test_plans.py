@@ -684,3 +684,15 @@ def test_dedup_sweep_one_pair_pass(spark, sf_small):
     # the scan/shuffle budget equals the single-threshold jaccard op's
     # candidate shape — thresholds add NO scans and NO shuffles
     assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(q))) <= 4
+
+
+def test_stream_join_batch_form_is_hash_join_on_user(spark, sf_small):
+    """The interval condition must ride as a post-join filter on a
+    user-keyed HASH join — a BroadcastNestedLoop over the time range
+    would be the 100x failure (and is what a naive lone range
+    predicate plans)."""
+    q = QUERIES["st_stream_join"](spark, sf_small)
+    s = join_strategies(q)
+    assert s["BroadcastNestedLoopJoin"] == 0 and s["CartesianProduct"] == 0
+    assert s["BroadcastHashJoin"] + s["SortMergeJoin"] + s["ShuffledHashJoin"] >= 1
+    assert_plan(q, max_python_evals=0)
