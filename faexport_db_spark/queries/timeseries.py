@@ -375,3 +375,39 @@ def ts7_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mean_value"),
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
     )
+
+
+@register(
+    "ts8_daily_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           n - lag(n) OVER w AS delta,
+           round(CAST(n - lag(n) OVER w AS DOUBLE)
+                 / lag(n) OVER w, 6) AS pct_change
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts8_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS8 — day-over-day volume deltas per event type (the ingest-
+    health trend a pipeline alerts on): daily counts then a lag window
+    over the tiny (type, day) aggregate — the corpus shuffles once for
+    the count; the window sorts |types|×|days| rows, never raw events.
+    First day per type has NULL delta on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = F.col("n") - F.lag("n").over(w)
+    return daily.select(
+        "event_type", F.col("day").cast("string").alias("day"), "n",
+        delta.alias("delta"),
+        F.round(delta.cast("double") / F.lag("n").over(w), 6).alias("pct_change"),
+    )
