@@ -141,3 +141,75 @@ def x2_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 6
         ).alias("p_next"),
     )
+
+
+@register(
+    "x3_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value AS amount
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.pid, p.amount, e.event_type, e.ts, e.event_id,
+             count(*) OVER (PARTITION BY p.pid) AS n_touches,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY e.ts ASC, e.event_id ASC) AS rn_first,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn_last
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts <= p.pts AND e.ts >= p.pts - INTERVAL 1 HOUR
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS touches,
+           round(CAST(sum(amount / n_touches) AS DOUBLE), 6) AS linear_credit,
+           CAST(count(*) FILTER (WHERE rn_first = 1) AS BIGINT) AS first_touch,
+           CAST(count(*) FILTER (WHERE rn_last = 1) AS BIGINT) AS last_touch
+    FROM touches GROUP BY event_type
+    """,
+)
+def x3_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — multi-model purchase attribution in one pass: every view/
+    click in the hour before a same-user purchase is a touch; linear
+    credit splits the purchase amount across its touches, first/last
+    counts credit the window's endpoints (id tie-breaks pin total
+    orders). One user-keyed interval join, per-purchase windows over
+    the (bounded) touch sets, one tiny final aggregate — the raw
+    events are never window-sorted corpus-wide."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("amount"),
+    )
+    e = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    joined = p.join(
+        e,
+        (
+            (F.col("pts") >= F.col("ts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        & (p.user_id == e.user_id),
+    )
+    wp = Window.partitionBy("pid")
+    wf = wp.orderBy(F.asc("ts"), F.asc("event_id"))
+    wl = wp.orderBy(F.desc("ts"), F.desc("event_id"))
+    touched = joined.select(
+        "pid", "amount", "event_type",
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    return touched.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("touches"),
+        F.round(F.sum(F.col("amount") / F.col("n_touches")), 6).alias("linear_credit"),
+        F.count(F.when(F.col("rn_first") == 1, 1)).cast("bigint").alias("first_touch"),
+        F.count(F.when(F.col("rn_last") == 1, 1)).cast("bigint").alias("last_touch"),
+    )
