@@ -57,10 +57,14 @@ _SENTINELS = ["merged_entity", "m5_extra_data_merge", "m7_clash_fold_checked"]
 # they re-enter the window right after the sentinels (VERDICT r03
 # item 6). Clear this list when a round ships no rewrites.
 _REWRITTEN: list[str] = [
-    # r06: none yet — the six r05 re-proves all re-greened in
-    # CORRECTNESS_r05.json, so the list was cleared (VERDICT r05
-    # "What's wrong" #1). Add keys here only when a round rewrites an
-    # already-green implementation.
+    # r07: the raw semantic-dedup registration was rewritten to project
+    # driver-hashable columns (vec_id + vector fingerprint) after its
+    # r06 row crashed the driver's pandas canonicalizer on the
+    # ArrayType embedding column (VERDICT r06 "What's wrong" #1). It is
+    # a no-oracle raw with an archived red row, so the rotation alone
+    # would park it in the already-checked bucket — force it into the
+    # window so r07 records the fixed rows-only row.
+    "t_semantic_dedup",
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory

@@ -801,11 +801,22 @@ def t_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the higher id of each pair removed. Deterministic (xxhash64-seeded
     Lloyd's) but a k-means replica is not SQL-expressible, so this raw
     op is rows-only; ``t_semantic_dedup_checked`` pins the structural
-    guarantee against an exact oracle."""
+    guarantee against an exact oracle. The registered op projects
+    DRIVER-HASHABLE columns only (the driver's pandas canonicalizer
+    cannot sort an ArrayType column — the r06 red): ``vec_id`` plus a
+    64-bit fingerprint of the survivor's vector, so the rows-only row
+    still witnesses both membership AND vector integrity. Every
+    planted ×2 copy shares its original's cluster (cosine k-means is
+    scale-invariant) and MUST be removed, so the survivor count equals
+    the base corpus count — a meaningful rows signal."""
     from faexport_db_spark.training.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(_planted_embeddings(emb), threshold=0.95, n_centroids=16)
+    out = semantic_dedup(_planted_embeddings(emb), threshold=0.95, n_centroids=16)
+    return out.select(
+        "vec_id",
+        F.xxhash64(F.col("embedding").cast("string")).alias("emb_fingerprint"),
+    )
 
 
 @register(
