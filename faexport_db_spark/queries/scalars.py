@@ -213,6 +213,47 @@ def c12_now_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c12_stamp_bounds_checked",
+    oracle="""
+    SELECT CAST(100 AS BIGINT) AS n_rows,
+           TRUE AS all_stamped,
+           TRUE AS single_stamp,
+           TRUE AS after_fixture_max,
+           TRUE AS before_upper_bound
+    """,
+)
+def c12_stamp_bounds_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded differential for the wall-clock stamp (VERDICT r06 #8):
+    ``current_timestamp()`` itself is unoracleable, but every claim a
+    correct stamping pass must satisfy IS deterministic — 100 rows
+    stamped, no NULL stamp, exactly ONE distinct stamp per query
+    (Spark evaluates current_timestamp once per query, the same
+    contract the reference's single ``now()`` per ingest transaction
+    gives, models/submission.py:229), and the stamp lands inside
+    (max fixture event ts, +100 years) — the fixtures are generated in
+    the past, so a sane clock always passes while a zeroed/garbage
+    clock fails. Spark computes the booleans for real; the oracle pins
+    them TRUE."""
+    stamped = (
+        load_table(spark, sf_dir, "events")
+        .limit(100)
+        .select("event_id", "ts", F.current_timestamp().alias("ingest_datetime"))
+    )
+    return stamped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.when(F.col("ingest_datetime").isNull(), 1)) == 0).alias(
+            "all_stamped"
+        ),
+        (F.countDistinct("ingest_datetime") == 1).alias("single_stamp"),
+        (F.min("ingest_datetime") > F.max("ts")).alias("after_fixture_max"),
+        (
+            F.max("ingest_datetime")
+            < F.max("ts") + F.expr("INTERVAL 100 YEARS")
+        ).alias("before_upper_bound"),
+    )
+
+
+@register(
     "c13_iso_output_format",
     oracle="""
     SELECT l_orderkey, l_linenumber,

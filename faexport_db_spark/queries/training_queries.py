@@ -44,6 +44,7 @@ from faexport_db_spark.training.text import (
     quality_features,
     repetition_signals,
     token_counts,
+    tokens_expr,
 )
 
 
@@ -1601,6 +1602,166 @@ def t_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.join(copy1, "query_id").select(
         "query_id", (F.col("best") == F.col("copy_d")).alias("copy_is_min")
     )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replica of the BPE trainer, CTE-unrolled per iteration
+    (the g3_pagerank pattern). Symbol sequences live as
+    control-char-delimited strings (\\x02 sym \\x03 …) so one
+    ``replace`` applies a merge with exactly the greedy
+    non-overlapping left-to-right semantics of the Spark fold —
+    '\\x02a\\x03' boundaries make partial-symbol matches impossible,
+    and the consumed delimiters make ``aaaa`` → ``(aa)(aa)`` (verified
+    against DuckDB's replace scan behavior)."""
+    L, R = "\x02", "\x03"
+    rx = f"{L}([^{L}{R}]*){R}"
+    parts = [
+        f"""
+    words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL) u
+      WHERE len(w) > 0 GROUP BY w
+    ),
+    w0 AS (
+      SELECT freq,
+             '{L}' || array_to_string(string_split(w, ''), '{R}{L}') || '{R}' AS s
+      FROM words
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""
+    x{i} AS (SELECT freq, regexp_extract_all(s, '{rx}', 1) AS syms FROM w{i}),
+    e{i} AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+             FROM x{i} WHERE len(syms) >= 2),
+    p{i} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM e{i} GROUP BY 1, 2),
+    t{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    w{i + 1} AS (SELECT freq, replace(s,
+                  (SELECT '{L}' || lhs || '{R}{L}' || rhs || '{R}' FROM t{i}),
+                  (SELECT '{L}' || lhs || rhs || '{R}' FROM t{i})) AS s
+                 FROM w{i})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, lhs, rhs, lhs || rhs AS merged, "
+        f"cnt AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    return "WITH" + ",".join(parts) + "\n    " + union
+
+
+@register("t_bpe_merges", oracle=_bpe_oracle_sql(3))
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 learned BPE pair merges over the document corpus,
+    frequency-weighted with deterministic lexicographic tie-breaks —
+    the iterative-trainer op whose oracle is the CTE-unrolled DuckDB
+    replica. Pins pair counting, argmax selection, and greedy
+    non-overlapping merge application across iterations."""
+    from faexport_db_spark.training.text import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir).select("doc_id", "text"), n_merges=3)
+
+
+def _substring_planted(docs: DataFrame) -> DataFrame:
+    """documents ∪ per-doc planted partial copies: each planted doc is
+    unique filler tokens around the original's FIRST 8 and LAST 8
+    tokens — two shared 8-token regions that straddle any fixed tile
+    boundary, separated by filler so island merging, maximality and
+    span arithmetic are all exercised (a full-copy plant would mark
+    every position and collapse the op to one whole-doc span)."""
+    toks = tokens_expr("text")
+    t = docs.select("doc_id", toks.alias("__toks"))
+    ids = F.col("doc_id").cast("string")
+
+    def filler(tag: str, j: int) -> F.Column:
+        return F.concat(F.lit(tag), ids, F.lit(f"_{j}"))
+
+    planted_text = F.concat_ws(
+        " ",
+        filler("pa", 0),
+        filler("pa", 1),
+        F.concat_ws(" ", F.slice("__toks", 1, 8)),
+        filler("pb", 0),
+        filler("pb", 1),
+        F.concat_ws(" ", F.slice("__toks", F.size("__toks") - F.lit(7), F.lit(8))),
+        filler("pc", 0),
+        filler("pc", 1),
+    )
+    planted = t.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), planted_text.alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(planted)
+
+
+_SUBSTRING_PLANTED_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             concat_ws(' ',
+               'pa' || CAST(doc_id AS VARCHAR) || '_0',
+               'pa' || CAST(doc_id AS VARCHAR) || '_1',
+               array_to_string(toks[1:8], ' '),
+               'pb' || CAST(doc_id AS VARCHAR) || '_0',
+               'pb' || CAST(doc_id AS VARCHAR) || '_1',
+               array_to_string(toks[len(toks)-7 : len(toks)], ' '),
+               'pc' || CAST(doc_id AS VARCHAR) || '_0',
+               'pc' || CAST(doc_id AS VARCHAR) || '_1') AS text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+"""
+
+
+@register(
+    "t_substring_dedup",
+    oracle=f"""
+    WITH corpus AS ({_SUBSTRING_PLANTED_SQL}),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM corpus WHERE text IS NOT NULL),
+    g0 AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 8)) AS pos
+      FROM t WHERE len(toks) >= 8
+    ),
+    g AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+      FROM g0
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(count(*) + 7 AS BIGINT) AS n_tokens
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id, s.span_start, s.n_tokens,
+           array_to_string(
+             t.toks[CAST(s.span_start + 1 AS INT) : CAST(s.span_start + s.n_tokens AS INT)],
+             ' ') AS span_text
+    FROM spans s JOIN t USING (doc_id)
+    """,
+)
+def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2021's third granularity
+    after document- and passage-level): maximal runs of ≥8-token
+    substrings shared anywhere in the corpus, over documents plus
+    planted partial copies (each plant shares the original's first-8
+    and last-8 tokens inside unique filler — two disjoint spans per
+    doc pair that straddle any tile boundary, plus whatever the
+    fixture corpus repeats naturally). Pins duplicate-gram marking,
+    per-doc island merging, span maximality and the single-scan
+    span-text re-slice."""
+    from faexport_db_spark.training.text import duplicate_substring_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return duplicate_substring_spans(_substring_planted(docs), min_tokens=8)
 
 
 @register(

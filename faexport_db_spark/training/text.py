@@ -950,6 +950,274 @@ def line_dedup_against_index(
     return out
 
 
+def duplicate_substring_spans(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated-substring spans — the third exact-dedup
+    granularity of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") after document- and passage-level: a
+    token position is DUPLICATED when the ``min_tokens``-gram starting
+    there occurs more than once anywhere in the corpus (any document,
+    any offset — boilerplate that straddles the fixed line/passage
+    tile boundaries still matches, which is exactly what
+    ``passage_dedup``/``line_dedup`` cannot see); maximal runs of
+    consecutive duplicated positions merge into one span (a run of m
+    grams covers ``m + min_tokens - 1`` tokens).
+
+    Spark-first substitute for the paper's global suffix array (one
+    sorted structure no executor can hold): gram fingerprints
+    aggregate through a map-side-combining groupBy — a boilerplate
+    gram repeated millions of times collapses to ONE row per map
+    partition before the exchange — the duplicate-mark join is a
+    skinny hash-keyed equi-join AQE skew-handles, and run merging is
+    a window partitioned by document (bounded width). Span text is
+    re-sliced from one extra corpus scan at the end, never carried
+    through the shuffles. No all-pairs stage exists at any size.
+
+    Output: (id, span_start, n_tokens, span_text), one row per
+    maximal duplicate run; span_start is a 0-based token offset.
+    """
+    from pyspark.sql import Window
+
+    k = int(min_tokens)
+    if k < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    base = _token_arrays(docs, k, text_col, id_col)
+    # The positions frame feeds BOTH the per-gram frequency aggregate
+    # and the duplicate-mark join, and Spark shares no common subtree
+    # across them — without a checkpoint the corpus is re-tokenized and
+    # re-hashed per consumer (the r06 simhash lesson). Lazy, so plan
+    # construction and plan tests stay free.
+    positions = base.select(
+        id_col, F.posexplode(_gram_hashes(k)).alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    dup = (
+        positions.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > 1)
+        .select("gh")
+    )
+    marked = positions.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        marked.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return spans.join(base, id_col).select(
+        id_col,
+        "span_start",
+        "n_tokens",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"),
+                (F.col("span_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every duplicated substring except its corpus-first
+    occurrence, rebuilding each document from the surviving tokens —
+    the removal form of ``duplicate_substring_spans``.
+
+    Keeper rule: per duplicated gram the single occurrence with the
+    lowest (id, pos) keeps its text; a token is cut iff some
+    NON-keeper duplicated-gram occurrence covers it. A
+    wholly-duplicated document therefore comes back EMPTY (never
+    silently dropped) while the lowest-id original survives verbatim
+    — the same first-occurrence-wins policy ``passage_dedup`` uses,
+    at token rather than tile granularity. Documents shorter than
+    ``min_tokens`` tokens pass through unchanged; NULL-text rows are
+    excluded (no tokens to keep or cut), matching ``_lines``.
+
+    Shape at 100 TB: identical economics to the span detector — one
+    map-side-combined groupBy on the gram fingerprint (carrying the
+    min-(id,pos) keeper as a struct-min, still one row per gram), one
+    skinny equi-join back, one doc-partitioned window; the rebuild is
+    an array filter over the cut intervals (a per-doc list bounded by
+    doc length), evaluated in one codegen'd projection — no explode
+    of covered token positions.
+
+    Output: (id, clean_text, n_tokens, n_tokens_removed).
+    """
+    from pyspark.sql import Window
+
+    k = int(min_tokens)
+    if k < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    allb = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    )
+    base = allb.filter(F.size("__toks") >= k)
+    # Lazy-checkpointed for the same two-consumer reason as the span
+    # detector: the keeper aggregate and the cut join would otherwise
+    # each re-derive the gram explosion.
+    positions = base.select(
+        id_col, F.posexplode(_gram_hashes(k)).alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    per_gram = positions.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "__keeper"
+        ),
+    )
+    cut = (
+        positions.join(per_gram, "gh")
+        .filter(
+            (F.col("__cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__keeper.kid"))
+                & (F.col("pos") == F.col("__keeper.kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    intervals = (
+        cut.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + F.lit(k)).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__iv"))
+    )
+    joined = allb.join(intervals, id_col, "left")
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+        lambda i: ~F.coalesce(
+            F.exists("__iv", lambda v: (i >= v["s"]) & (i < v["e"])), F.lit(False)
+        ),
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at("__toks", i + 1))
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE pair merges over the corpus —
+    the iterative trainer that completes the tokenizer story the
+    fertility/vocab ops (``bytes_per_token``, t_vocab_ids) measure
+    from the outside: words weighted by corpus frequency start as
+    character sequences; each iteration counts adjacent symbol pairs,
+    merges the globally most frequent one (ties broken lexicographic
+    on (lhs, rhs)), and repeats on the merged sequences (Sennrich et
+    al. 2016). Merge application is greedy non-overlapping
+    left-to-right — ``aaaa`` + merge(a,a) → ``(aa)(aa)``.
+
+    Spark shape: the pair count is a map-side-combining groupBy over
+    an exploded pairs column; only the single argmax row ever reaches
+    the driver per iteration (the k-means/IVF pattern — a bounded
+    driver round-trip steering the next distributed step, the same
+    way any iterative trainer must). The merge itself is a pure
+    Catalyst ``aggregate`` fold over the symbol array — no Python in
+    any per-row path — and each iteration's symbol frame is EAGERLY
+    localCheckpointed so iteration i+1 does not re-embed i's whole
+    derivation (the r06 pagerank lesson). The symbol frame is
+    vocab-sized (distinct words), orders of magnitude smaller than
+    the corpus it summarizes.
+
+    Output: (it, lhs, rhs, merged, pair_count) — the merge table, one
+    row per learned merge in training order.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_expr(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.sum(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    cur = words.select(
+        "freq", F.split("w", "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(int(n_merges)):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("lhs"),
+                            F.element_at("syms", i + 2).alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((it, lhs, rhs, lhs + rhs, cnt))
+        # Greedy left-to-right fold: merge (lhs, rhs) wherever the pair
+        # is adjacent, never re-consuming a just-merged symbol. F.get
+        # (not element_at) so the empty-accumulator probe is NULL-safe
+        # under ANSI mode.
+        folded = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lhs + rhs))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.select("freq", folded.alias("syms")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "it bigint, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def _token_arrays(
+    docs: DataFrame, min_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __toks) for docs long enough to hold one min_tokens-gram."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= min_tokens)
+    )
+
+
+def _gram_hashes(k: int) -> Column:
+    """xxhash64 fingerprint of each k-token gram of ``__toks``, one
+    per 0-based start position — the shuffle never carries gram text."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, F.lit(k)))),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     width: int = 400,

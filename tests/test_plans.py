@@ -696,3 +696,22 @@ def test_stream_join_batch_form_is_hash_join_on_user(spark, sf_small):
     assert s["BroadcastNestedLoopJoin"] == 0 and s["CartesianProduct"] == 0
     assert s["BroadcastHashJoin"] + s["SortMergeJoin"] + s["ShuffledHashJoin"] >= 1
     assert_plan(q, max_python_evals=0)
+
+
+def test_substring_dedup_plan_shape(spark, sf_small):
+    """Substring-span detector ceilings: the positions frame is
+    lazy-checkpointed so the corpus is tokenized/hashed ONCE for both
+    the gram-frequency aggregate and the dup-mark join (2 scans of the
+    planted union pre-execution, not 6); exchanges = gram groupBy +
+    doc window (+ joins if stats stop broadcasting at scale — ceiling
+    leaves room for the sort-merge form). Never a cartesian product."""
+    from faexport_db_spark.plans import join_strategies
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    df = QUERIES["t_substring_dedup"](spark, sf_small)
+    assert shuffle_count(df) <= 8
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df))) <= 2
+    js = join_strategies(df)
+    assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0

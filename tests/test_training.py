@@ -1726,3 +1726,139 @@ def test_vocab_ids_total_order_and_density(spark):
         if a["cnt"] == b["cnt"]:
             assert a["token"] < b["token"]
     assert rows[0]["token"] == "the" and rows[0]["token_id"] == 0
+
+
+def test_duplicate_substring_spans_marks_maximal_cross_doc_runs(spark):
+    """Reference third granularity (Lee et al. 2021): a shared 8-token
+    run is reported per document at its own offset, maximal (one span
+    per island, not one per gram), with exact span text."""
+    from faexport_db_spark.training.text import duplicate_substring_spans
+
+    shared = "a b c d e f g h"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} x1 x2 x3"),
+            (2, f"y1 y2 {shared} y3"),  # same run at offset 2
+            (3, "only unique tokens here u1 u2 u3 u4 u5"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicate_substring_spans(docs, min_tokens=8).collect()
+    }
+    assert set(out) == {(1, 0), (2, 2)}
+    for r in out.values():
+        assert r["n_tokens"] == 8 and r["span_text"] == shared
+
+
+def test_duplicate_substring_spans_merge_and_within_doc(spark):
+    """Two consecutive duplicated gram positions merge into ONE
+    maximal 9-token span; a within-doc repeat yields two spans."""
+    from faexport_db_spark.training.text import duplicate_substring_spans
+
+    nine = "a b c d e f g h i"  # 9 tokens -> gram positions 0 and 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nine} u1 u2"),
+            (2, f"v1 {nine}"),
+            (3, "a b c d e f g h w1 w2 a b c d e f g h"),  # self-repeat
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = duplicate_substring_spans(docs, min_tokens=8).collect()
+    spans = {(r["doc_id"], r["span_start"], r["n_tokens"]) for r in rows}
+    assert (1, 0, 9) in spans and (2, 1, 9) in spans
+    assert (3, 0, 8) in spans and (3, 10, 8) in spans
+    by_doc3 = sorted(r["span_text"] for r in rows if r["doc_id"] == 3)
+    assert by_doc3 == ["a b c d e f g h", "a b c d e f g h"]
+
+
+def test_duplicate_substring_spans_null_and_short_docs(spark):
+    """NULL text and sub-min_tokens docs produce no spans and no crash
+    (the size(split(NULL)) = -1 hazard)."""
+    from faexport_db_spark.training.text import duplicate_substring_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "short doc"), (3, ""), (4, "a b c d e f g h")],
+        "doc_id bigint, text string",
+    )
+    assert duplicate_substring_spans(docs, min_tokens=8).count() == 0
+
+
+def test_substring_dedup_first_occurrence_wins(spark):
+    """Removal form: the lowest (doc_id, pos) occurrence keeps its
+    text, every other occurrence is cut; short docs pass through;
+    a wholly-duplicated doc comes back EMPTY, never dropped."""
+    from faexport_db_spark.training.text import substring_dedup
+
+    shared = "a b c d e f g h"
+    ten = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} x1 x2"),
+            (2, f"p q {shared} r"),
+            (3, "tiny text"),
+            (5, ten),
+            (6, ten),  # exact whole-doc duplicate of 5
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, min_tokens=8).collect()}
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert out[1]["clean_text"] == f"{shared} x1 x2"  # keeper intact
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["clean_text"] == "p q r" and out[2]["n_tokens_removed"] == 8
+    assert out[3]["clean_text"] == "tiny text" and out[3]["n_tokens_removed"] == 0
+    assert out[5]["clean_text"] == ten and out[5]["n_tokens_removed"] == 0
+    assert out[6]["clean_text"] == "" and out[6]["n_tokens_removed"] == 10
+
+
+def test_substring_dedup_covers_span_tokens_exactly(spark):
+    """Removal ≡ detector coverage on the non-keeper side: the tokens
+    cut from a doc are exactly the union of its non-keeper duplicate
+    spans (here one 9-token island from two overlapping grams)."""
+    from faexport_db_spark.training.text import substring_dedup
+
+    nine = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"{nine} u1"), (2, f"w1 w2 {nine} w3")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, min_tokens=8).collect()}
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["clean_text"] == "w1 w2 w3" and out[2]["n_tokens_removed"] == 9
+
+
+def test_bpe_merges_greedy_tiebreak_and_weighting(spark):
+    """Trainer invariants: frequency-weighted pair counts (a word seen
+    3× contributes 3× its pairs), greedy non-overlapping application
+    ('aaaa' + merge(a,a) → two 'aa' symbols, so iteration 2 can learn
+    (aa,aa)), and lexicographic tie-breaks."""
+    from faexport_db_spark.training.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa xy"), (2, "aaaa xy zw")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["it"]: r for r in bpe_merges(docs, n_merges=2).collect()}
+    # 'aaaa' freq 4 -> pair (a,a) count 3*4=12 beats (x,y)=2, (z,w)=1
+    assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["pair_count"]) == ("a", "a", 12)
+    # after greedy merge 'aaaa' -> [aa, aa]; (aa,aa) count 4 wins it 2
+    assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["merged"]) == ("aa", "aa", "aaaa")
+    assert rows[1]["pair_count"] == 4
+
+    tie = spark.createDataFrame([(1, "ba ab")], "doc_id bigint, text string")
+    t = bpe_merges(tie, n_merges=1).collect()[0]
+    # (a,b) and (b,a) both count 1 -> lexicographic (a,b) wins
+    assert (t["lhs"], t["rhs"]) == ("a", "b")
+
+
+def test_bpe_merges_null_and_empty_corpus(spark):
+    from faexport_db_spark.training.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id bigint, text string"
+    )
+    # single-char vocab: no adjacent pairs -> trainer stops early
+    assert bpe_merges(docs, n_merges=3).count() == 0
