@@ -80,7 +80,17 @@ class TableFormat(ABC):
         must be a subset of ``key_cols``. Delta/Iceberg: one ``MERGE
         INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT WHEN NOT
         MATCHED BY SOURCE DELETE`` — no read-union-rewrite, no lineage
-        dance."""
+        dance.
+
+        PRECONDITION (ADVICE r06): ``recomputed`` carries at most ONE
+        row per key. MERGE-backed strategies cannot express multiple
+        matched source rows (Delta throws "multiple source rows
+        matched"), so the seam pins the strict contract rather than
+        letting the union-rewrite strategies silently accept what a
+        MERGE strategy rejects. The parquet strategies validate after
+        their eager checkpoint (batch-sized aggregate, no plan
+        re-execution) and raise ``ValueError``; DeltaFormat's MERGE
+        enforces it natively."""
 
 
 class ParquetFormat(TableFormat):
@@ -137,6 +147,7 @@ class ParquetFormat(TableFormat):
         # finding), and under manifest version races up to once per
         # retry.
         recomputed = recomputed.localCheckpoint(eager=True)
+        _assert_one_row_per_key(recomputed, key_cols)
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
         touched_parts = _touched_parts(touched_keys, recomputed, partition_cols)
         try:
@@ -172,6 +183,26 @@ class ParquetFormat(TableFormat):
                     for c, v in zip(partition_cols, vals)
                 )
                 fs.delete(f"{path.rstrip('/')}/{reldir}", recursive=True)
+
+
+def _assert_one_row_per_key(recomputed: DataFrame, key_cols: list[str]) -> None:
+    """The upsert_keys precondition, enforced uniformly: call on the
+    already-checkpointed recomputed frame (so the extra aggregate is a
+    batch-sized scan, not a plan re-execution)."""
+    dup = (
+        recomputed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        sample = [tuple(r[c] for c in key_cols) for r in dup]
+        raise ValueError(
+            f"upsert_keys precondition violated: recomputed carries more than "
+            f"one row per key {key_cols} (e.g. {sample}); MERGE-backed formats "
+            f"cannot apply such a source — pre-aggregate to one row per key"
+        )
 
 
 def _touched_parts(
@@ -473,6 +504,7 @@ class ManifestParquetFormat(TableFormat):
         spark = recomputed.sparkSession
         fs = self._fs(spark, path)
         recomputed = recomputed.localCheckpoint(eager=True)  # see ParquetFormat note
+        _assert_one_row_per_key(recomputed, key_cols)
         touched_keys = (keys if keys is not None else recomputed).select(*key_cols)
         touched_parts = _touched_parts(touched_keys, recomputed, partition_cols)
         touched_set = {

@@ -10,6 +10,12 @@ form must additionally survive BATCH boundaries and redelivery:
 - Cross-batch out-of-order: an event older than the stored row for
   its key must NOT regress the store. Every surviving batch row is
   seq-gated against the stored sequence before it is applied.
+  Tombstones RETAIN a store row (``__del`` flag, filtered out by
+  ``read_cdc_state``) precisely so this gate has no hole: if a delete
+  purged the row, a late upsert with a LOWER seq than the applied
+  tombstone would see no stored seq and resurrect the key — diverging
+  from what batch ``cdc_apply`` over the same log produces. The
+  retained seq makes the gate total over everything ever applied.
 - Redelivery (checkpoint replay after a crash): the seq gate already
   makes re-application a no-op for upserts (equal seq is not newer),
   and re-deleting an absent key is harmless — but the per-batch commit
@@ -17,11 +23,12 @@ form must additionally survive BATCH boundaries and redelivery:
   work wholesale, keeping retries cheap and store mutations
   exactly-once even for formats where a double mutation would churn
   manifests.
-- One store mutation per batch: upserts and tombstone purges land in
-  a SINGLE ``fmt.upsert_keys`` call — tombstone keys ride in the
-  ``keys`` frame with no recomputed row, which the seam contract
-  defines as "purge the stale row" — so there is no window where a
-  reader sees the upserts applied but the deletes pending.
+- One store mutation per batch: upserts and tombstone markers land in
+  a SINGLE ``fmt.upsert_keys`` call — a tombstone is just a recomputed
+  row with ``__del = true`` — so there is no window where a reader
+  sees the upserts applied but the deletes pending, and every touched
+  key carries exactly one recomputed row (the one-row-per-key
+  ``upsert_keys`` precondition all three format strategies agree on).
 
 Scale: the store is hive-partitioned by a key-hash bucket (``pb``),
 so a micro-batch rewrites only the buckets its keys touch, never the
@@ -39,6 +46,23 @@ from faexport_db_spark.datamodel.table_format import ParquetFormat, TableFormat
 from faexport_db_spark.streaming.dedup_stream import _batch_marker, _stream_id
 
 PB_COL = "pb"
+DEL_COL = "__del"
+
+
+def read_cdc_state(
+    spark: SparkSession,
+    store_path: str,
+    fmt: TableFormat | None = None,
+) -> DataFrame:
+    """Current materialized state: the store minus tombstone markers
+    and internal columns — column-for-column what batch ``cdc_apply``
+    of the full log returns (minus the changelog's op column)."""
+    fmt = fmt or ParquetFormat()
+    return (
+        fmt.read(spark, store_path)
+        .filter(~F.col(DEL_COL))
+        .drop(DEL_COL, PB_COL)
+    )
 
 
 def cdc_apply_batch_against_store(
@@ -78,10 +102,14 @@ def cdc_apply_batch_against_store(
         )
     # pin BEFORE the store mutates underneath this plan
     latest = latest.localCheckpoint(eager=True)
-    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    # Tombstones stay in the store as flagged rows (not purges) so
+    # their seq keeps gating late, lower-seq upserts for the same key.
+    rows = latest.withColumn(
+        DEL_COL, F.col(op_col) == F.lit(delete_op)
+    ).drop(op_col)
     touched = latest.select(*key_cols, PB_COL)
     fmt.upsert_keys(
-        upserts, store_path, [*key_cols, PB_COL], [PB_COL], keys=touched
+        rows, store_path, [*key_cols, PB_COL], [PB_COL], keys=touched
     )
     mark()
 

@@ -391,7 +391,20 @@ def semantic_dedup_batch_against_store(
     equivalent to the batch path for the scale-invariant planted-copy
     guarantee: a scaled copy of any indexed vector lands in its
     original's cell under ANY model, so it can never escape the probe.
-    Commit markers make re-delivery a no-op, as in every stream here."""
+    Commit markers make re-delivery a no-op, as in every stream here.
+
+    Crash-window caveat (ADVICE r06, shared with the embed/minhash
+    streams — marker granularity is the whole batch): a crash AFTER
+    the store append but BEFORE the index append + marker means the
+    redelivered batch re-derives the same survivors (the index lacks
+    this batch's vectors, so the probe cannot cut them) and appends
+    them to the STORE a second time — duplicate store rows, while the
+    index itself stays correct. Deployments that cannot tolerate this
+    should write the store under a batch-identity partition (the
+    line-count index's layout) so the redelivered append replaces
+    rather than accumulates, or dedup the store by ``id_col`` on
+    read. Bounding allowed redelivery to the current batch (Spark's
+    foreachBatch contract) keeps the window to at most one batch."""
     from faexport_db_spark.operators.hadoop_fs import HadoopFs
     from faexport_db_spark.training.indexmeta import write_model_sidecar
     from faexport_db_spark.training.similarity import (

@@ -479,6 +479,29 @@ class TestFormatStrategies:
         }
         assert rows == {("a", 1): "new", ("a", 2): "old", ("b", 3): "old"}
 
+    def test_upsert_rejects_duplicate_recomputed_keys(self, spark, tmp_path, fmt):
+        """Seam precondition (ADVICE r06): recomputed carries one row
+        per key. MERGE-backed strategies cannot apply a multi-row
+        source, so the union-rewrite strategies must refuse it too
+        rather than silently diverge."""
+        import pytest
+
+        p = str(tmp_path / "view")
+        fmt.upsert_keys(
+            spark.createDataFrame([("a", 1, "x")], ["pt", "k", "v"]),
+            p,
+            ["pt", "k"],
+            ["pt"],
+        )
+        dup = spark.createDataFrame(
+            [("a", 1, "new1"), ("a", 1, "new2")], ["pt", "k", "v"]
+        )
+        with pytest.raises(ValueError, match="one row per key"):
+            fmt.upsert_keys(dup, p, ["pt", "k"], ["pt"])
+        # store unchanged after the refused upsert
+        rows = {tuple(r) for r in fmt.read(spark, p).select("pt", "k", "v").collect()}
+        assert rows == {("a", 1, "x")}
+
     def test_upsert_null_partition_value(self, spark, tmp_path, fmt):
         p = str(tmp_path / "view")
         base = spark.createDataFrame(

@@ -1077,9 +1077,11 @@ def test_cdc_stream_materializes_across_batches(spark, tmp_path):
     )
     q.awaitTermination(300)
 
+    from faexport_db_spark.streaming.cdc_stream import read_cdc_state
+
     got = {
         r["k"]: (r["seq"], r["v"])
-        for r in spark.read.parquet(store).collect()
+        for r in read_cdc_state(spark, store).collect()
     }
     full_log = spark.createDataFrame(b0 + b1, schema)
     want = {
@@ -1091,20 +1093,23 @@ def test_cdc_stream_materializes_across_batches(spark, tmp_path):
 
 
 def test_cdc_batch_redelivery_is_exactly_once(spark, tmp_path):
-    from faexport_db_spark.streaming.cdc_stream import cdc_apply_batch_against_store
+    from faexport_db_spark.streaming.cdc_stream import (
+        cdc_apply_batch_against_store,
+        read_cdc_state,
+    )
 
     schema = "k bigint, seq bigint, v string, op string"
     store = str(tmp_path / "cdc_store2")
     b = spark.createDataFrame([(1, 10, "x", "U"), (2, 10, "y", "U")], schema)
     cdc_apply_batch_against_store(b, store, ["k"], "seq", batch_id=0, stream_id="s")
-    first = sorted(map(tuple, spark.read.parquet(store).collect()))
+    first = sorted(map(tuple, read_cdc_state(spark, store).collect()))
     # redelivery of the same batch id: marker short-circuits, store unchanged
     cdc_apply_batch_against_store(b, store, ["k"], "seq", batch_id=0, stream_id="s")
-    assert sorted(map(tuple, spark.read.parquet(store).collect())) == first
+    assert sorted(map(tuple, read_cdc_state(spark, store).collect())) == first
     # and even WITHOUT the marker (direct call), the seq gate makes
     # re-application a no-op
     cdc_apply_batch_against_store(b, store, ["k"], "seq")
-    assert sorted(map(tuple, spark.read.parquet(store).collect())) == first
+    assert sorted(map(tuple, read_cdc_state(spark, store).collect())) == first
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
@@ -1125,7 +1130,49 @@ def test_cdc_batches_agree_across_table_formats(spark, tmp_path, fmt_name):
         cdc_apply_batch_against_store(
             spark.createDataFrame(rows, schema), store, ["k"], "seq", fmt=fmt
         )
+    from faexport_db_spark.streaming.cdc_stream import read_cdc_state
+
     got = {
-        r["k"]: (r["seq"], r["v"]) for r in fmt.read(spark, store).collect()
+        r["k"]: (r["seq"], r["v"])
+        for r in read_cdc_state(spark, store, fmt=fmt).collect()
     }
     assert got == {1: (10, "a1"), 3: (15, "c1")}
+
+
+def test_cdc_tombstone_gates_late_lower_seq_upsert(spark, tmp_path):
+    """The ADVICE r06 hole: after a tombstone is APPLIED, a late
+    upsert with a LOWER seq for the same key must stay rejected (the
+    tombstone's retained seq gates it), landing exactly where batch
+    cdc_apply of the full log lands; a HIGHER-seq upsert still
+    revives. Also: a tombstone for a never-seen key gates late lower
+    events too."""
+    from faexport_db_spark.operators.merge import cdc_apply
+    from faexport_db_spark.streaming.cdc_stream import (
+        cdc_apply_batch_against_store,
+        read_cdc_state,
+    )
+
+    schema = "k bigint, seq bigint, v string, op string"
+    store = str(tmp_path / "cdc_store3")
+    batches = [
+        [(1, 10, "a1", "U"), (9, 50, None, "D")],  # 9: delete, never upserted
+        [(1, 30, None, "D")],                      # delete key 1 at seq 30
+        [(1, 20, "late", "U"), (9, 40, "z", "U")], # BOTH older than tombstones
+        [(1, 40, "a4", "U")],                      # newer: revives
+    ]
+    for rows in batches:
+        cdc_apply_batch_against_store(
+            spark.createDataFrame(rows, schema), store, ["k"], "seq"
+        )
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in read_cdc_state(spark, store).collect()
+    }
+    full_log = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = {
+        r["k"]: (r["seq"], r["v"])
+        for r in cdc_apply(full_log, ["k"], "seq").collect()
+    }
+    assert got == want == {1: (40, "a4")}
