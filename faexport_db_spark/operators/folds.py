@@ -489,22 +489,25 @@ def merged_files(
     submission_snapshots: DataFrame,
     files: DataFrame,
     file_hashes: DataFrame | None = None,
-    impl: str = "python",
+    impl: str = "expr",
 ) -> DataFrame:
     """M7 — current files per submission entity, clash-reset semantics.
 
-    ``impl="python"`` (default): the Arrow-batched streaming mapInPandas
-    fold. ``impl="expr"``: pure Catalyst expressions — groupBy the
+    ``impl="expr"`` (default): pure Catalyst expressions — groupBy the
     (entity, file) key + an ``aggregate`` left fold, no Python eval in
-    the plan (property-tested equal; same float-presentation seam as
-    M5: ``1.0`` renders ``1`` via Jackson).
+    the plan (same float-presentation seam as M5: ``1.0`` renders
+    ``1`` via Jackson). ``impl="python"``: the Arrow-batched streaming
+    mapInPandas fold — property-tested equal.
 
-    Measured head-to-head at sf0.1 (100k events → 7.5k files,
-    best-of-3 noop writes): python ≈ 1.2 s, expr ≈ 1.4 s — even with
-    parse-once-per-row and string-map fold state, the interpreted
-    higher-order ``aggregate`` lambda trails the compiled columnar
-    fold, so the measured-faster path is the default and the
-    expression form is the opt-in for Python-worker-free clusters.
+    Default history: an early ad-hoc measurement (python ≈ 1.2 s vs
+    expr ≈ 1.4 s at sf0.1) favored python; the r07 re-measure under
+    bench methodology on a quiet box (ABAB-interleaved, best-of-5 ×3
+    per impl) found a statistical TIE — python best 1.03 s / expr
+    best 1.05 s, medians within 2%, inside this box's same-run spread
+    (BENCHNOTES Round 7). On a tie the expression form wins the
+    default: it keeps the heaviest headline query whole-stage-codegen
+    JVM-only, needs no Python workers on the executors, and removes
+    the one Arrow boundary from the flagship merge path.
     """
     keyed = _keyed_files(submission_snapshots, files, file_hashes)
     if impl == "python":
