@@ -415,7 +415,7 @@ class TestFormatStrategies:
             f = DeltaFormat()
             f.append(spark.range(1), str(tmp_path / "__delta_probe"))
         except Exception as exc:  # noqa: BLE001 — any runtime absence skips
-            _pytest.skip(f"Delta runtime unavailable: {exc!r:.120}")
+            _pytest.skip(f"Delta runtime unavailable (expected in this sandbox, optional by design — README: The Delta test gate): {exc!r:.120}")
         return f
 
     def test_append_then_read_roundtrip(self, spark, tmp_path, fmt):

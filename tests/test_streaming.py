@@ -43,7 +43,7 @@ def _delta_fmt_or_skip(spark, tmp_path):
         fmt = DeltaFormat()
         fmt.append(spark.range(1), str(tmp_path / "__delta_probe"))
     except Exception as exc:  # noqa: BLE001
-        pytest.skip(f"Delta runtime unavailable: {exc!r:.120}")
+        pytest.skip(f"Delta runtime unavailable (expected in this sandbox, optional by design — README: The Delta test gate): {exc!r:.120}")
     return fmt
 
 
