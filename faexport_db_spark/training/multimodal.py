@@ -179,3 +179,135 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def media_chunk_signatures(
+    media: DataFrame,
+    chunk_bytes: int = 4096,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """(id, n_chunks, chunk_idx, chunk_hash): xxhash64 over fixed-width
+    byte slices of each payload — the codec-free signature the
+    near-dup candidate join buckets on. Pure Catalyst (``substr`` on
+    BinaryType + ``xxhash64``), map-only, no Python eval; NULL/empty
+    payloads yield no rows (nothing to match)."""
+    w = int(chunk_bytes)
+    if w < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    n = F.length(F.col(bytes_col))
+    n_chunks = F.ceil(n / F.lit(w)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.xxhash64(F.col(bytes_col).substr(i * w + 1, F.lit(w))).alias(
+                "chunk_hash"
+            ),
+        ),
+    )
+    return (
+        media.filter(F.col(bytes_col).isNotNull() & (n > 0))
+        .select(
+            F.col(id_col),
+            n_chunks.alias("n_chunks"),
+            F.explode(chunks).alias("c"),
+        )
+        .select(id_col, "n_chunks", "c.chunk_idx", "c.chunk_hash")
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    threshold: float = 0.8,
+    chunk_bytes: int = 4096,
+    max_bucket: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Byte-level near-duplicate pairs over opaque binary media — the
+    no-codec analog of perceptual-hash dedup: payloads are sliced into
+    fixed-width chunks, candidates are pairs sharing ≥1 (chunk_idx,
+    chunk_hash), and a pair survives when its matching-chunk fraction
+    ``n_match / min(n_chunks_a, n_chunks_b)`` reaches ``threshold``.
+    Catches the dominant media near-dup mode — same payload with
+    localized edits (re-encoded metadata block, EXIF strip, watermark
+    region) — by construction; byte INSERTIONS shift alignment and are
+    out of scope (that regime needs decoded-domain hashing behind the
+    ``decode_media`` seam).
+
+    Shape at 100 TB: signatures are map-only over the blobs (the only
+    pass that touches payload bytes); the candidate join is an
+    equi-join on (chunk_idx, chunk_hash) between two SKINNY signature
+    frames — never the blobs — with a ``max_bucket`` stop-chunk guard
+    so a degenerate chunk value (zero padding, shared headers) cannot
+    produce a quadratic bucket, exactly minhash's stop-bucket rule;
+    verification is a count over the already-joined candidate rows
+    (no second corpus scan, no all-pairs stage anywhere).
+
+    Output: (id_a, id_b, n_match, match_frac) with id_a < id_b.
+    """
+    sigs = media_chunk_signatures(media, chunk_bytes, id_col, bytes_col)
+    # One skinny frame feeds both join sides and the bucket guard —
+    # hash the payload bytes once (the simhash/substring lesson).
+    sigs = sigs.localCheckpoint(eager=False)
+    ok = (
+        sigs.groupBy("chunk_idx", "chunk_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= F.lit(int(max_bucket)))
+        .select("chunk_idx", "chunk_hash")
+    )
+    gated = sigs.join(ok, ["chunk_idx", "chunk_hash"])
+    a = gated.select(
+        "chunk_idx",
+        "chunk_hash",
+        F.col(id_col).alias("id_a"),
+        F.col("n_chunks").alias("na"),
+    )
+    b = gated.select(
+        "chunk_idx",
+        "chunk_hash",
+        F.col(id_col).alias("id_b"),
+        F.col("n_chunks").alias("nb"),
+    )
+    matched = a.join(b, ["chunk_idx", "chunk_hash"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    pairs = matched.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_match"),
+        F.round(
+            F.count(F.lit(1)) / F.least(F.first("na"), F.first("nb")), 6
+        ).alias("match_frac"),
+    )
+    return pairs.filter(F.col("match_frac") >= F.lit(float(threshold)))
+
+
+def media_exact_dup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Exact byte-identical duplicate groups: (payload_hash, n_copies,
+    keeper_id, dup_ids) for payloads appearing more than once — the
+    cheapest first pass before any near-dup machinery (hash groupBy,
+    map-side combined; blobs never shuffle)."""
+    hashed = media.filter(F.col(bytes_col).isNotNull()).select(
+        F.col(id_col), F.xxhash64(F.col(bytes_col)).alias("payload_hash")
+    )
+    return (
+        hashed.groupBy("payload_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+            F.array_sort(F.collect_list(id_col)).alias("all_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "payload_hash",
+            "n_copies",
+            "keeper_id",
+            F.filter(
+                "all_ids", lambda i: i != F.col("keeper_id")
+            ).alias("dup_ids"),
+        )
+    )

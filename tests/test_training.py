@@ -1862,3 +1862,88 @@ def test_bpe_merges_null_and_empty_corpus(spark):
     )
     # single-char vocab: no adjacent pairs -> trainer stops early
     assert bpe_merges(docs, n_merges=3).count() == 0
+
+
+def test_media_near_dup_detects_localized_byte_edits(spark):
+    """Codec-free byte-level near-dup: a payload differing from its
+    original in ONE chunk matches on the other chunks and survives the
+    threshold; unrelated payloads share no chunks; byte-identical
+    payloads hit match_frac 1.0."""
+    from faexport_db_spark.training.multimodal import media_near_dup_pairs
+
+    base = bytes(range(256)) * 8  # 2048 bytes -> 8 chunks of 256
+    edited = base[:1024] + b"\xff" * 256 + base[1280:]  # chunk 4 replaced
+    other = bytes(reversed(base))
+    rows = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, base)],
+        "media_id bigint, media_bytes binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in media_near_dup_pairs(
+            rows, threshold=0.8, chunk_bytes=256
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)]["n_match"] == 7
+    assert pairs[(1, 2)]["match_frac"] == 0.875
+    assert (1, 4) in pairs and pairs[(1, 4)]["match_frac"] == 1.0
+    assert not any(3 in k for k in pairs)
+
+
+def test_media_near_dup_stop_chunk_guard_and_nulls(spark):
+    """A degenerate chunk shared by MANY payloads (zero padding) must
+    not explode into a quadratic bucket: with max_bucket below the
+    padding's frequency, pairs only arise from informative chunks.
+    NULL/empty payloads produce no rows and no crash."""
+    from faexport_db_spark.training.multimodal import (
+        media_chunk_signatures,
+        media_near_dup_pairs,
+    )
+
+    pad = b"\x00" * 64
+    rows = [(i, bytes([i]) * 64 + pad) for i in range(1, 21)]  # shared pad chunk
+    rows += [(100, None), (101, b"")]
+    media = spark.createDataFrame(rows, "media_id bigint, media_bytes binary")
+    assert (
+        media_chunk_signatures(media, chunk_bytes=64)
+        .filter("media_id >= 100")
+        .count()
+        == 0
+    )
+    # pad chunk bucket has 20 members > max_bucket=10 -> dropped; the
+    # unique lead chunks match nothing -> zero pairs, not 190
+    assert (
+        media_near_dup_pairs(media, threshold=0.4, chunk_bytes=64, max_bucket=10)
+        .count()
+        == 0
+    )
+
+
+def test_media_near_dup_plan_is_jvm_only_and_blob_free_join(spark):
+    """The candidate join carries only skinny signature columns (the
+    blobs never shuffle) and the whole pipeline has zero Python
+    evals; the sig subtree is checkpoint-shared, so payload bytes are
+    hashed in one pass."""
+    from faexport_db_spark.plans.audit import python_eval_count
+    from faexport_db_spark.training.multimodal import (
+        documents_as_media,
+        media_near_dup_pairs,
+    )
+    from faexport_db_spark.datamodel.testdata import load_table
+
+    media = documents_as_media(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    df = media_near_dup_pairs(media, chunk_bytes=32)
+    assert python_eval_count(df) == 0
+
+
+def test_media_exact_dup_groups(spark):
+    from faexport_db_spark.training.multimodal import media_exact_dup
+
+    rows = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"bbb"), (3, b"aaa"), (4, b"aaa"), (5, None)],
+        "media_id bigint, media_bytes binary",
+    )
+    out = media_exact_dup(rows).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_copies"] == 3 and r["keeper_id"] == 1 and r["dup_ids"] == [3, 4]
