@@ -1198,6 +1198,132 @@ def bpe_merges(
     )
 
 
+def build_substring_index(
+    docs: DataFrame,
+    index_path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus' DISTINCT ``min_tokens``-gram fingerprints —
+    the substring analog of the passage-tile index: arriving batches
+    find their duplicate spans against everything accepted so far
+    without re-hashing the corpus. One narrow bigint column (gh),
+    sorted within partitions for row-group min/max pruning on probe
+    joins; a parameter sidecar rejects probes hashed with a different
+    gram width."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    k = int(min_tokens)
+    base = _token_arrays(docs, k, text_col, id_col)
+    (
+        base.select(F.explode(_gram_hashes(k)).alias("gh"))
+        .distinct()
+        .sortWithinPartitions("gh")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    write_index_meta(
+        docs.sparkSession, index_path, "substring_grams", {"min_tokens": k}
+    )
+
+
+def append_substring_index(
+    batch: DataFrame,
+    index_path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Add a batch's gram fingerprints to the index (probe is
+    deliberately read-only — callers order store/index mutations
+    themselves, the passage-probe crash-ordering lesson). Appends only
+    grams NOT already indexed, keeping the index a distinct set."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    k = int(min_tokens)
+    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k})
+    new = (
+        _token_arrays(batch, k, text_col, id_col)
+        .select(F.explode(_gram_hashes(k)).alias("gh"))
+        .distinct()
+        .join(spark.read.parquet(index_path), "gh", "left_anti")
+        .localCheckpoint(eager=True)  # pin before the path mutates
+    )
+    new.sortWithinPartitions("gh").write.mode("append").parquet(index_path)
+
+
+def duplicate_substring_spans_against_index(
+    batch: DataFrame,
+    index_path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental substring-span detection: maximal runs in the BATCH
+    whose grams are already in the corpus index OR repeat within the
+    batch itself — the third granularity's analog of
+    ``passage_dedup_against_index``. Same output shape as
+    :func:`duplicate_substring_spans`.
+
+    Shape at 100 TB: the index (corpus-sized, one bigint column) is
+    probed with a LEFT-SEMI against the batch's broadcast distinct
+    grams — the corpus-sized side is scanned once with row-group
+    pruning and never shuffled; hit grams (batch-bounded) broadcast
+    back to mark positions. Island merging and the span-text re-slice
+    are batch-local."""
+    from pyspark.sql import Window
+
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    k = int(min_tokens)
+    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k})
+    base = _token_arrays(batch, k, text_col, id_col)
+    positions = base.select(
+        id_col, F.posexplode(_gram_hashes(k)).alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    hit = (
+        spark.read.parquet(index_path)
+        .join(
+            F.broadcast(positions.select("gh").distinct()), "gh", "left_semi"
+        )
+        .select("gh")
+        .distinct()
+    )
+    batch_dup = (
+        positions.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("gh")
+    )
+    dup = hit.unionByName(batch_dup).distinct()
+    marked = positions.join(F.broadcast(dup), "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        marked.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return spans.join(base, id_col).select(
+        id_col,
+        "span_start",
+        "n_tokens",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"),
+                (F.col("span_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 def _token_arrays(
     docs: DataFrame, min_tokens: int, text_col: str, id_col: str
 ) -> DataFrame:

@@ -1947,3 +1947,61 @@ def test_media_exact_dup_groups(spark):
     assert len(out) == 1
     r = out[0]
     assert r["n_copies"] == 3 and r["keeper_id"] == 1 and r["dup_ids"] == [3, 4]
+
+
+def test_substring_index_incremental_probe_and_append(spark, tmp_path):
+    """Incremental third-granularity: a batch doc copying 8+ corpus
+    tokens is flagged at its own offset; novel docs pass clean;
+    within-batch repeats are caught without the index; appended
+    batches extend detection; a gram-width mismatch fails loud."""
+    import pytest
+
+    from faexport_db_spark.training.text import (
+        append_substring_index,
+        build_substring_index,
+        duplicate_substring_spans_against_index,
+    )
+
+    shared = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(1, f"{shared} c1 c2 c3"), (2, "k l m n o p q r s t")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "gram_idx")
+    build_substring_index(corpus, idx, min_tokens=8)
+
+    nine = "n1 n2 n3 n4 n5 n6 n7 n8 n9"
+    batch = spark.createDataFrame(
+        [
+            (10, f"u1 u2 {shared} u3"),      # copies corpus substring at pos 2
+            (11, "v1 v2 v3 v4 v5 v6 v7 v8 v9"),  # novel
+            (12, f"{nine} w1"),              # within-batch pair with 13
+            (13, f"x1 {nine}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["n_tokens"])
+        for r in duplicate_substring_spans_against_index(
+            batch, idx, min_tokens=8
+        ).collect()
+    }
+    assert (10, 2, 8) in spans
+    assert (12, 0, 9) in spans and (13, 1, 9) in spans
+    assert not any(d == 11 for d, _s, _n in spans)
+
+    # append batch's grams: a LATER batch repeating doc 11's text now hits
+    append_substring_index(batch, idx, min_tokens=8)
+    later = spark.createDataFrame(
+        [(20, "y0 v1 v2 v3 v4 v5 v6 v7 v8 v9")], "doc_id bigint, text string"
+    )
+    spans2 = {
+        (r["doc_id"], r["span_start"], r["n_tokens"])
+        for r in duplicate_substring_spans_against_index(
+            later, idx, min_tokens=8
+        ).collect()
+    }
+    assert (20, 1, 9) in spans2
+
+    with pytest.raises(ValueError):
+        duplicate_substring_spans_against_index(later, idx, min_tokens=5)
