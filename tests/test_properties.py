@@ -668,3 +668,121 @@ def test_salted_join_equals_plain_join_property(spark, lrows, rrows, n_salt, how
     salted = salted_join(left, right, "k", n_salt=n_salt, how=how)
     plain = left.join(right, "k", how)
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def _ref_substring_spans(docs: list[tuple[int, str | None]], k: int) -> set:
+    """Brute-force reference for duplicate_substring_spans: count every
+    k-gram over the corpus, mark positions whose gram repeats, merge
+    consecutive positions into maximal runs."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs if t is not None and t.split()}
+    grams: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    spans = set()
+    for d, ts in toks.items():
+        dup = [
+            i for i in range(len(ts) - k + 1) if grams[tuple(ts[i : i + k])] > 1
+        ]
+        runs: list[list[int]] = []
+        for i in dup:
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        for s, e in runs:
+            n = e - s + k
+            spans.add((d, s, n, " ".join(ts[s : s + n])))
+    return spans
+
+
+def test_substring_spans_match_python_reference(spark):
+    """Deterministic high-collision corpora (3-token vocab, doc length
+    straddling the gram width) — island merging, maximality, offsets
+    and span text all agree with the brute-force reference, including
+    corpora with NULLs, empties, and sub-width docs."""
+    import random
+
+    from faexport_db_spark.training.text import duplicate_substring_spans
+
+    rnd = random.Random(7)
+    vocab = ["x", "y", "z"]
+    for trial in range(8):
+        docs: list[tuple[int, str | None]] = []
+        for d in range(12):
+            roll = rnd.random()
+            if roll < 0.08:
+                docs.append((d, None))
+            elif roll < 0.16:
+                docs.append((d, ""))
+            else:
+                n = rnd.randint(1, 12)
+                docs.append((d, " ".join(rnd.choice(vocab) for _ in range(n))))
+        k = rnd.choice([3, 4, 5])
+        got = {
+            (r["doc_id"], r["span_start"], r["n_tokens"], r["span_text"])
+            for r in duplicate_substring_spans(
+                spark.createDataFrame(docs, "doc_id bigint, text string"),
+                min_tokens=k,
+            ).collect()
+        }
+        want = _ref_substring_spans(docs, k)
+        assert got == want, f"trial {trial} k={k}: {got ^ want}"
+
+
+def _ref_bpe(corpus_words: list[str], n_merges: int) -> list[tuple]:
+    """Brute-force BPE reference: frequency-weighted pair counts,
+    lexicographic tie-break, greedy left-to-right merge."""
+    from collections import Counter
+
+    freq = Counter(corpus_words)
+    seqs = {w: list(w) for w in freq}
+    merges = []
+    for it in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in freq.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        top = max(pc.values())
+        lhs, rhs = min(k for k, v in pc.items() if v == top)
+        merges.append((it, lhs, rhs, lhs + rhs, top))
+        for w, s in seqs.items():
+            out: list[str] = []
+            for sym in s:
+                if out and out[-1] == lhs and sym == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(sym)
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Random tiny-alphabet corpora (maximal pair collisions and
+    aaaa-style overlap chains): the trainer's merge table equals the
+    brute-force reference in order, counts and tie-breaks."""
+    import random
+
+    from faexport_db_spark.training.text import bpe_merges
+
+    rnd = random.Random(11)
+    for trial in range(5):
+        words = [
+            "".join(rnd.choice("ab") for _ in range(rnd.randint(1, 5)))
+            for _ in range(rnd.randint(4, 20))
+        ]
+        docs = [(0, " ".join(words))]
+        got = [
+            tuple(r)
+            for r in bpe_merges(
+                spark.createDataFrame(docs, "doc_id bigint, text string"),
+                n_merges=3,
+            ).collect()
+        ]
+        want = _ref_bpe(words, 3)
+        assert got == want, f"trial {trial}: {got} != {want}"
