@@ -786,3 +786,56 @@ def test_bpe_merges_match_python_reference(spark):
         ]
         want = _ref_bpe(words, 3)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_substring_removal_matches_python_reference(spark):
+    """Removal form: tokens cut are exactly those covered by NON-keeper
+    duplicated-gram occurrences (keeper = lowest (doc_id, pos) per
+    gram), on high-collision random corpora with NULL/empty/short
+    docs mixed in."""
+    import random
+    from collections import defaultdict
+
+    from faexport_db_spark.training.text import substring_dedup
+
+    rnd = random.Random(23)
+    for trial in range(6):
+        docs: list[tuple[int, str | None]] = []
+        for d in range(10):
+            roll = rnd.random()
+            if roll < 0.1:
+                docs.append((d, None))
+            else:
+                n = rnd.randint(1, 12)
+                docs.append(
+                    (d, " ".join(rnd.choice("xyz") for _ in range(n)))
+                )
+        k = rnd.choice([3, 4])
+
+        occ = defaultdict(list)
+        toks = {d: t.split() for d, t in docs if t is not None}
+        for d in sorted(toks):
+            ts = toks[d]
+            for i in range(len(ts) - k + 1):
+                occ[tuple(ts[i : i + k])].append((d, i))
+        cut = defaultdict(set)
+        for places in occ.values():
+            if len(places) > 1:
+                for d, i in places[1:]:  # places sorted by (d, i) already
+                    cut[d].update(range(i, i + k))
+        want = {}
+        for d, t in docs:
+            if t is None:
+                continue
+            ts = toks[d]
+            kept = [w for i, w in enumerate(ts) if i not in cut[d]]
+            want[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_removed"])
+            for r in substring_dedup(
+                spark.createDataFrame(docs, "doc_id bigint, text string"),
+                min_tokens=k,
+            ).collect()
+        }
+        assert got == want, f"trial {trial} k={k}"
