@@ -1088,6 +1088,88 @@ def substring_dedup(
         )
         .select(id_col, "pos")
     )
+    return _remove_cut_positions(allb, cut, k, id_col)
+
+
+def substring_dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
+    """Incremental substring REMOVAL: cut every batch token covered by
+    a gram the corpus index already holds (the corpus' occurrence is
+    the keeper by definition — it was accepted first) or by a
+    non-batch-first occurrence of a within-batch repeat; rebuild each
+    doc from its survivors. The removal twin of
+    :func:`duplicate_substring_spans_against_index`, completing the
+    build/probe/remove symmetry the line and passage granularities
+    already have. With ``append``, the batch's NOVEL grams join the
+    index afterwards (probe-then-append ordering, the passage-probe
+    crash-ordering lesson — callers streaming through a store should
+    append only after the cleaned output is durably written).
+
+    Output: (id, clean_text, n_tokens, n_tokens_removed), one row per
+    batch doc with text."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    k = int(min_tokens)
+    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k})
+    allb = (
+        batch.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    )
+    base = allb.filter(F.size("__toks") >= k)
+    positions = base.select(
+        id_col, F.posexplode(_gram_hashes(k)).alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    hit = (
+        spark.read.parquet(index_path)
+        .join(F.broadcast(positions.select("gh").distinct()), "gh", "left_semi")
+        .select("gh")
+        .distinct()
+        .withColumn("__indexed", F.lit(True))
+    )
+    per_gram = positions.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "__keeper"
+        ),
+    )
+    cut = (
+        positions.join(per_gram, "gh")
+        .join(F.broadcast(hit), "gh", "left")
+        .filter(
+            F.coalesce(F.col("__indexed"), F.lit(False))  # corpus keeps it
+            | (
+                (F.col("__cnt") > 1)
+                & ~(
+                    (F.col(id_col) == F.col("__keeper.kid"))
+                    & (F.col("pos") == F.col("__keeper.kpos"))
+                )
+            )
+        )
+        .select(id_col, "pos")
+    )
+    out = _remove_cut_positions(allb, cut, k, id_col)
+    if append:
+        out = out.localCheckpoint(eager=True)  # pin before the index mutates
+        append_substring_index(batch, index_path, k, text_col, id_col)
+    return out
+
+
+def _remove_cut_positions(
+    allb: DataFrame, cut: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Rebuild docs with every token covered by a cut gram position
+    removed: merge cut positions into [s, e) intervals per doc (a run
+    of grams covers run + k - 1 tokens), then one codegen'd array
+    filter over the token array — no explode of covered positions."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     intervals = (
         cut.withColumn("__grp", F.col("pos") - F.row_number().over(w))

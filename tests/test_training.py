@@ -2005,3 +2005,49 @@ def test_substring_index_incremental_probe_and_append(spark, tmp_path):
 
     with pytest.raises(ValueError):
         duplicate_substring_spans_against_index(later, idx, min_tokens=5)
+
+
+def test_substring_removal_against_index(spark, tmp_path):
+    """Incremental removal: batch tokens covered by corpus-indexed
+    grams are cut (the corpus is the keeper), within-batch repeats
+    keep their batch-first occurrence, novel text passes; with
+    append=True a later batch deduped against the grown index."""
+    from faexport_db_spark.training.text import (
+        build_substring_index,
+        substring_dedup_against_index,
+    )
+
+    shared = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(1, f"{shared} c1 c2")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "gidx")
+    build_substring_index(corpus, idx, min_tokens=8)
+
+    nine = "m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    batch = spark.createDataFrame(
+        [
+            (10, f"u1 {shared} u2"),   # indexed substring -> cut, fillers stay
+            (11, "fresh text only here"),
+            (12, f"{nine} w1"),        # batch-first keeper of nine
+            (13, f"x1 {nine}"),        # repeat -> cut
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_against_index(
+            batch, idx, min_tokens=8, append=True
+        ).collect()
+    }
+    assert out[10]["clean_text"] == "u1 u2" and out[10]["n_tokens_removed"] == 8
+    assert out[11]["clean_text"] == "fresh text only here"
+    assert out[12]["n_tokens_removed"] == 0
+    assert out[13]["clean_text"] == "x1" and out[13]["n_tokens_removed"] == 9
+
+    # appended: doc 12's nine is now indexed -> a later repeat is cut
+    later = spark.createDataFrame(
+        [(20, f"z9 {nine}")], "doc_id bigint, text string"
+    )
+    out2 = substring_dedup_against_index(later, idx, min_tokens=8).collect()[0]
+    assert out2["clean_text"] == "z9" and out2["n_tokens_removed"] == 9
