@@ -604,6 +604,100 @@ def start_streaming_passage_dedup(
     return writer.start()
 
 
+def substring_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Substring-level analog of ``passage_dedup_batch_against_store``
+    — the third granularity's streaming form: every batch token
+    covered by a gram the corpus index holds (or by a non-batch-first
+    within-batch repeat) is CUT, cleaned non-empty docs append to the
+    store, THEN the index. Same commit-marker protocol and store-FIRST
+    ordering as the passage stream (a gram-first crash would re-clean
+    the retried batch to empty against its own grams and silently drop
+    its text).
+
+    Index exactness: what gets appended is the grams of the SURVIVOR
+    text (not the raw batch) — removal can join previously-separated
+    tokens into new grams that genuinely exist in the stored text, and
+    a novel gram whose every occurrence was cut by overlapping
+    coverage exists in no stored text, so indexing the survivors keeps
+    the invariant "index == grams of the stored corpus" exact.
+
+    Retry convergence: after a store-append crash the probe re-runs
+    against the unchanged index, re-cleans identically and re-appends
+    exact duplicates the maintenance dedup collapses; after BOTH
+    appends it re-cleans to empty against the batch's own grams,
+    appends nothing, and just completes the marker."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.text import (
+        append_substring_index,
+        build_substring_index,
+        substring_dedup_against_index,
+    )
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
+    batch = batch.select(id_col, text_col)
+    if not HadoopFs(spark, index_path).exists(
+        f"{index_path.rstrip('/')}/_index_meta.json"
+    ):
+        # first batch bootstraps an empty index (sidecar + zero grams)
+        build_substring_index(
+            batch.filter(F.lit(False)), index_path, min_tokens, text_col, id_col
+        )
+    cleaned = substring_dedup_against_index(
+        batch, index_path, min_tokens, text_col, id_col, append=False
+    )
+    survivors = (
+        cleaned.filter(F.length("clean_text") > 0)
+        .select(F.col(id_col), F.col("clean_text").alias(text_col))
+        .localCheckpoint(eager=True)  # pin before any mutation
+    )
+    fmt.append(survivors, store_path)
+    append_substring_index(survivors, index_path, min_tokens, text_col, id_col)
+    mark()
+    return survivors
+
+
+def start_streaming_substring_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``substring_dedup_batch_against_store`` into a streaming
+    query via foreachBatch. ``source`` is any streaming DataFrame with
+    (doc_id, text) columns."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        substring_dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def line_dedup_batch_against_store(
     batch: DataFrame,
     store_path: str,

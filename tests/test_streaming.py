@@ -1176,3 +1176,91 @@ def test_cdc_tombstone_gates_late_lower_seq_upsert(spark, tmp_path):
         for r in cdc_apply(full_log, ["k"], "seq").collect()
     }
     assert got == want == {1: (40, "a4")}
+
+
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_substring_dedup_cleans_across_batches(spark, tmp_path, fmt_name):
+    """Substring-level streaming dedup (third granularity): batch 2's
+    ≥8-token runs repeating batch 1's text are cut via the growing
+    gram index even though they straddle any tile boundary; cleaned
+    docs land in the store; a doc whose every token is covered never
+    does."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        start_streaming_substring_dedup,
+    )
+
+    fmt = STORE_FORMATS[fmt_name]()
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    batches = [
+        [(1, f"{shared} a1 a2"), (2, "b1 b2 b3 b4 b5 b6 b7 b8 b9")],
+        # 10 embeds batch 1's run mid-doc; 11 is ENTIRELY covered
+        [(10, f"c1 {shared} c2"), (11, shared)],
+    ]
+    schema = "doc_id bigint, text string"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_substring_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True}, min_tokens=8, fmt=fmt,
+        )
+        q.awaitTermination(120)
+
+    rows = {r["doc_id"]: r["text"] for r in fmt.read(spark, store).collect()}
+    assert set(rows) == {1, 2, 10}
+    assert rows[1].startswith(shared)   # first occurrence kept whole
+    assert rows[10] == "c1 c2"          # embedded repeat cut, fillers stay
+    # doc 11 was entirely covered -> cleaned empty, never stored
+
+
+def test_substring_stream_retry_windows_converge(spark, tmp_path):
+    """Both crash windows of the substring stream converge: a retry
+    after the store append (index unchanged) re-appends duplicates the
+    maintenance dedup collapses — never loses text; a retry after BOTH
+    appends cleans the batch to empty against its own grams and only
+    completes the marker."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        substring_dedup_batch_against_store,
+    )
+    from faexport_db_spark.training.text import (
+        append_substring_index,
+        build_substring_index,
+        substring_dedup_against_index,
+    )
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    schema = "doc_id bigint, text string"
+    batch = spark.createDataFrame(
+        [(1, "p1 p2 p3 p4 p5 p6 p7 p8 p9")], schema
+    )
+
+    # window A: crash AFTER the store append, BEFORE the gram append —
+    # first attempt replayed manually up to the crash point.
+    build_substring_index(batch.filter(F.lit(False)), index, 8)
+    cleaned = substring_dedup_against_index(batch, index, 8)
+    survivors = cleaned.select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    ).localCheckpoint(eager=True)
+    survivors.write.mode("append").parquet(store)  # store landed, grams did NOT
+    # retry (no marker was written): full batch apply
+    out = substring_dedup_batch_against_store(batch, store, index, min_tokens=8)
+    assert out is not None
+    stored = [r["text"] for r in spark.read.parquet(store).collect()]
+    assert stored and all(t == "p1 p2 p3 p4 p5 p6 p7 p8 p9" for t in stored)
+    # duplicates collapse under exact dedup; text never lost
+    assert len(set(stored)) == 1
+
+    # window B: crash AFTER both appends, BEFORE the marker — simulate
+    # by re-applying the same batch (still no marker): it must clean to
+    # empty against its own grams and append nothing new.
+    n_before = spark.read.parquet(store).count()
+    out2 = substring_dedup_batch_against_store(batch, store, index, min_tokens=8)
+    assert out2 is not None and out2.count() == 0
+    assert spark.read.parquet(store).count() == n_before
