@@ -715,3 +715,17 @@ def test_substring_dedup_plan_shape(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df))) <= 2
     js = join_strategies(df)
     assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0
+
+
+def test_stamp_bounds_plan_shape(spark, sf_small):
+    """The bounded stamp differential is one limited scan folded into
+    a single global aggregate — 1 scan, 1 exchange, limit present."""
+    df = QUERIES["c12_stamp_bounds_checked"](spark, sf_small)
+    assert shuffle_count(df) <= 1
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Limit" in plan

@@ -839,3 +839,50 @@ def test_substring_removal_matches_python_reference(spark):
             ).collect()
         }
         assert got == want, f"trial {trial} k={k}"
+
+
+def test_media_near_dup_matches_python_reference(spark):
+    """Random payloads with random single/multi-chunk edits: surviving
+    pairs and their match fractions equal the brute-force chunk
+    comparison (no stop-chunk cap in play)."""
+    import random
+    from itertools import combinations
+
+    from faexport_db_spark.training.multimodal import media_near_dup_pairs
+
+    rnd = random.Random(31)
+    CHUNK = 32
+    for trial in range(4):
+        payloads = {}
+        base = bytes(rnd.getrandbits(8) for _ in range(CHUNK * rnd.randint(3, 6)))
+        payloads[1] = base
+        # edited copy: flip 1-2 whole chunks
+        b = bytearray(base)
+        for c in rnd.sample(range(len(base) // CHUNK), rnd.randint(1, 2)):
+            for j in range(c * CHUNK, (c + 1) * CHUNK):
+                b[j] ^= 0xFF
+        payloads[2] = bytes(b)
+        payloads[3] = bytes(rnd.getrandbits(8) for _ in range(len(base)))
+        payloads[4] = base  # exact copy
+
+        def chunks(p):
+            return [p[i : i + CHUNK] for i in range(0, len(p), CHUNK)]
+
+        want = {}
+        for a, c in combinations(sorted(payloads), 2):
+            ca, cb = chunks(payloads[a]), chunks(payloads[c])
+            n = sum(1 for x, y in zip(ca, cb) if x == y)
+            frac = n / min(len(ca), len(cb))
+            if n > 0 and frac >= 0.5:
+                want[(a, c)] = (n, round(frac, 6))
+
+        rows = spark.createDataFrame(
+            list(payloads.items()), "media_id bigint, media_bytes binary"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_match"], r["match_frac"])
+            for r in media_near_dup_pairs(
+                rows, threshold=0.5, chunk_bytes=CHUNK
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
