@@ -1406,6 +1406,56 @@ def duplicate_substring_spans_against_index(
     )
 
 
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table (``bpe_merges`` output order) to the
+    corpus — the encoder half of the tokenizer story: each word splits
+    to characters, then every merge applies in training order with the
+    same greedy non-overlapping left-to-right fold the trainer used.
+
+    Pure Catalyst: the merge sequence compiles to nested ``aggregate``
+    folds inside one ``transform`` over the token array — zero Python,
+    zero shuffles, map-only over the corpus (the merge table is a
+    driver-side literal, exactly as a tokenizer vocabulary ships to
+    executors in a broadcast — but folded into the plan since it is
+    tiny). Output: (id, n_ws_tokens, n_chars, n_bpe_tokens) — the
+    realized fertility ``bytes_per_token`` estimates from the outside.
+    """
+
+    def apply_one(syms: Column, lhs: str, rhs: str) -> Column:
+        return F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lhs + rhs))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    def encode_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for lhs, rhs in merges:
+            syms = apply_one(syms, lhs, rhs)
+        return F.size(syms)
+
+    toks = tokens_expr(text_col)
+    counts = F.transform(toks, encode_word)
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.aggregate(
+            counts, F.lit(0), lambda acc, c: acc + c
+        ).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 def _token_arrays(
     docs: DataFrame, min_tokens: int, text_col: str, id_col: str
 ) -> DataFrame:

@@ -2051,3 +2051,67 @@ def test_substring_removal_against_index(spark, tmp_path):
     )
     out2 = substring_dedup_against_index(later, idx, min_tokens=8).collect()[0]
     assert out2["clean_text"] == "z9" and out2["n_tokens_removed"] == 9
+
+
+def test_bpe_apply_encodes_with_trained_merges(spark):
+    """Encoder half: applying the trainer's merges in order reproduces
+    the greedy fold per word — 'aaaa' with merges [(a,a),(aa,aa)]
+    becomes ONE symbol; untouched words stay character-length; the
+    plan is JVM-only and shuffle-free."""
+    from faexport_db_spark.plans import shuffle_count
+    from faexport_db_spark.plans.audit import python_eval_count
+    from faexport_db_spark.training.text import bpe_apply, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa xy"), (2, "aaaa xy zw")],
+        "doc_id bigint, text string",
+    )
+    learned = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(docs, n_merges=2).collect()
+    ]
+    assert learned == [("a", "a"), ("aa", "aa")]
+    out = {r["doc_id"]: r for r in bpe_apply(docs, learned).collect()}
+    # doc 1: aaaa->1 sym x3, xy->2 chars (no merge learned for it)
+    assert out[1]["n_bpe_tokens"] == 3 * 1 + 2
+    assert out[2]["n_bpe_tokens"] == 1 + 2 + 2
+    assert out[1]["n_ws_tokens"] == 4 and out[2]["n_ws_tokens"] == 3
+
+    df = bpe_apply(docs, learned)
+    assert shuffle_count(df) == 0 and python_eval_count(df) == 0
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    """Random corpora: encoded symbol counts equal the brute-force
+    train-then-encode reference for the same merge table."""
+    import random
+
+    from faexport_db_spark.training.text import bpe_apply, bpe_merges
+
+    rnd = random.Random(17)
+    for trial in range(3):
+        words = [
+            "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+            for _ in range(rnd.randint(5, 15))
+        ]
+        docs = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id bigint, text string"
+        )
+        learned = [
+            (r["lhs"], r["rhs"]) for r in bpe_merges(docs, n_merges=3).collect()
+        ]
+
+        def encode(w):
+            syms = list(w)
+            for lhs, rhs in learned:
+                out = []
+                for s in syms:
+                    if out and out[-1] == lhs and s == rhs:
+                        out[-1] = lhs + rhs
+                    else:
+                        out.append(s)
+                syms = out
+            return len(syms)
+
+        want = sum(encode(w) for w in words)
+        got = bpe_apply(docs, learned).collect()[0]["n_bpe_tokens"]
+        assert got == want, f"trial {trial}: {got} != {want}"
