@@ -698,6 +698,108 @@ def start_streaming_substring_dedup(
     return writer.start()
 
 
+def media_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    threshold: float = 0.8,
+    chunk_bytes: int = 4096,
+    max_bucket: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Byte-level media analog of ``embed_dedup_batch_against_store``:
+    one micro-batch of opaque payloads is chunk-signed ONCE (map-side,
+    pure Catalyst), probed against the persisted chunk-signature index
+    for near-dups of the accepted corpus, self-deduped within the
+    batch (lowest id wins; exact copies match at frac 1.0), and the
+    survivors + their signature rows are appended — batch N+1 dedups
+    against batch N with no corpus re-signing. Same commit-marker
+    protocol, parameter-sidecar validation and store-strategy seam as
+    the other dedup streams; the signature index stays raw parquet."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.multimodal import (
+        build_media_chunk_index,
+        media_chunk_signatures,
+        media_near_dup_against_index,
+        media_near_dup_pairs,
+    )
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
+    batch = batch.select(id_col, bytes_col)
+    if not HadoopFs(spark, index_path).exists(
+        f"{index_path.rstrip('/')}/_index_meta.json"
+    ):
+        # first batch bootstraps an empty index (sidecar + zero rows)
+        build_media_chunk_index(
+            batch.filter(F.lit(False)), index_path, chunk_bytes, id_col, bytes_col
+        )
+    sigs = media_chunk_signatures(
+        batch, chunk_bytes, id_col, bytes_col
+    ).localCheckpoint(eager=True)  # sign the payload bytes exactly once
+
+    cross = media_near_dup_against_index(
+        batch, index_path, threshold, chunk_bytes, max_bucket,
+        id_col, bytes_col, sigs=sigs,
+    )
+    dup_ids = cross.select(F.col("id_a").alias(id_col)).distinct()
+    self_pairs = media_near_dup_pairs(
+        batch, threshold, chunk_bytes, max_bucket, id_col, bytes_col, sigs=sigs
+    )
+    dup_ids = dup_ids.unionByName(
+        self_pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+
+    survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)  # pin before mutation
+    fmt.append(survivors, store_path)
+    (
+        sigs.join(
+            F.broadcast(survivors.select(id_col)), id_col, "left_semi"
+        )
+        .sortWithinPartitions("chunk_hash")
+        .write.mode("append")
+        .parquet(index_path)
+    )
+    mark()  # both appends durable → re-delivery of this batch is a no-op
+    return survivors
+
+
+def start_streaming_media_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``media_dedup_batch_against_store`` into a streaming query
+    via foreachBatch. ``source`` is any streaming DataFrame with
+    (media_id, media_bytes) columns."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        media_dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def line_dedup_batch_against_store(
     batch: DataFrame,
     store_path: str,

@@ -224,6 +224,7 @@ def media_near_dup_pairs(
     max_bucket: int = 1024,
     id_col: str = "media_id",
     bytes_col: str = "media_bytes",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Byte-level near-duplicate pairs over opaque binary media — the
     no-codec analog of perceptual-hash dedup: payloads are sliced into
@@ -246,11 +247,17 @@ def media_near_dup_pairs(
     (no second corpus scan, no all-pairs stage anywhere).
 
     Output: (id_a, id_b, n_match, match_frac) with id_a < id_b.
+    ``sigs`` short-circuits signature computation with a precomputed
+    ``media_chunk_signatures`` frame — streaming callers sign each
+    batch once and feed every step from that one frame (the
+    ``entries`` pattern of ``cosine_near_dup_pairs_lsh``).
     """
-    sigs = media_chunk_signatures(media, chunk_bytes, id_col, bytes_col)
-    # One skinny frame feeds both join sides and the bucket guard —
-    # hash the payload bytes once (the simhash/substring lesson).
-    sigs = sigs.localCheckpoint(eager=False)
+    if sigs is None:
+        # One skinny frame feeds both join sides and the bucket guard —
+        # hash the payload bytes once (the simhash/substring lesson).
+        sigs = media_chunk_signatures(
+            media, chunk_bytes, id_col, bytes_col
+        ).localCheckpoint(eager=False)
     ok = (
         sigs.groupBy("chunk_idx", "chunk_hash")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -311,3 +318,89 @@ def media_exact_dup(
             ).alias("dup_ids"),
         )
     )
+
+
+def build_media_chunk_index(
+    media: DataFrame,
+    index_path: str,
+    chunk_bytes: int = 4096,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> None:
+    """Persist the corpus' chunk signatures — (media_id, n_chunks,
+    chunk_idx, chunk_hash), sorted by chunk_hash for row-group
+    min/max pruning on probe joins — plus a parameter sidecar that
+    rejects probes sliced with a different chunk width."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    (
+        media_chunk_signatures(media, chunk_bytes, id_col, bytes_col)
+        .sortWithinPartitions("chunk_hash")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    write_index_meta(
+        media.sparkSession, index_path, "media_chunks",
+        {"chunk_bytes": int(chunk_bytes)},
+    )
+
+
+def media_near_dup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    chunk_bytes: int = 4096,
+    max_bucket: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch of payloads and the indexed
+    corpus — the incremental analog of ``media_near_dup_pairs``: the
+    corpus-sized index is probed with a left-semi against the batch's
+    broadcast distinct chunk keys (scanned once, pruned, never
+    shuffled by value), matched corpus chunks pass the same
+    ``max_bucket`` stop-chunk guard, and the match fraction uses each
+    side's own chunk count. Output: (id_a = batch id, id_b = indexed
+    id, n_match, match_frac)."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    check_index_meta(
+        spark, index_path, "media_chunks", {"chunk_bytes": int(chunk_bytes)}
+    )
+    if sigs is None:
+        sigs = media_chunk_signatures(
+            batch, chunk_bytes, id_col, bytes_col
+        ).localCheckpoint(eager=False)
+    bkeys = sigs.select("chunk_idx", "chunk_hash").distinct()
+    matched = (
+        spark.read.parquet(index_path)
+        .join(F.broadcast(bkeys), ["chunk_idx", "chunk_hash"], "left_semi")
+    )
+    ok = (
+        matched.groupBy("chunk_idx", "chunk_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= F.lit(int(max_bucket)))
+        .select("chunk_idx", "chunk_hash")
+    )
+    a = sigs.select(
+        "chunk_idx", "chunk_hash",
+        F.col(id_col).alias("id_a"), F.col("n_chunks").alias("na"),
+    )
+    b = matched.join(ok, ["chunk_idx", "chunk_hash"]).select(
+        "chunk_idx", "chunk_hash",
+        F.col(id_col).alias("id_b"), F.col("n_chunks").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_hash"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.round(
+                F.count(F.lit(1)) / F.least(F.first("na"), F.first("nb")), 6
+            ).alias("match_frac"),
+        )
+    )
+    return pairs.filter(F.col("match_frac") >= F.lit(float(threshold)))

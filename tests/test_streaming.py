@@ -1264,3 +1264,66 @@ def test_substring_stream_retry_windows_converge(spark, tmp_path):
     out2 = substring_dedup_batch_against_store(batch, store, index, min_tokens=8)
     assert out2 is not None and out2.count() == 0
     assert spark.read.parquet(store).count() == n_before
+
+
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_media_dedup_across_batches(spark, tmp_path, fmt_name):
+    """Byte-level media streaming dedup: batch 2's payload that is a
+    one-chunk edit of batch 1's accepted payload is cut via the
+    signature index; novel payloads survive; within-batch exact copies
+    keep the lowest id."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        start_streaming_media_dedup,
+    )
+
+    fmt = STORE_FORMATS[fmt_name]()
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    base = bytes(range(256)) * 8                       # 8 chunks of 256
+    edited = base[:1024] + b"\xee" * 256 + base[1280:]  # 7/8 match
+    novel = bytes(reversed(base))
+    batches = [
+        [(1, base), (2, base)],        # 2 is an exact in-batch copy of 1
+        [(10, edited), (11, novel)],   # 10 near-dups the stored 1
+    ]
+    schema = "media_id bigint, media_bytes binary"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_media_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True},
+            threshold=0.8, chunk_bytes=256, fmt=fmt,
+        )
+        q.awaitTermination(120)
+
+    ids = sorted(r["media_id"] for r in fmt.read(spark, store).collect())
+    assert ids == [1, 11]  # 2 = exact in-batch copy, 10 = cross-batch near-dup
+
+
+def test_media_dedup_redelivery_is_noop(spark, tmp_path):
+    from faexport_db_spark.streaming.dedup_stream import (
+        media_dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    schema = "media_id bigint, media_bytes binary"
+    b = spark.createDataFrame([(1, bytes(range(64)) * 8)], schema)
+    out = media_dedup_batch_against_store(
+        b, store, index, chunk_bytes=64, batch_id=0, stream_id="m"
+    )
+    assert out is not None and out.count() == 1
+    n = spark.read.parquet(store).count()
+    # marker short-circuits the redelivered batch wholesale
+    assert (
+        media_dedup_batch_against_store(
+            b, store, index, chunk_bytes=64, batch_id=0, stream_id="m"
+        )
+        is None
+    )
+    assert spark.read.parquet(store).count() == n
