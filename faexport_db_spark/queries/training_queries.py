@@ -2637,3 +2637,218 @@ def t_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count(F.when(F.col("j") >= F.col("threshold"), 1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r07 session-2 additions: media driver ops (the multimodal family had
+# library + property-test coverage but no oracle-backed driver row),
+# HTML extraction, and fuzzy (MinHash) decontamination.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_media_exact_dedup",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE text IS NOT NULL
+    )
+    SELECT min(doc_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           max(doc_id) AS last_dup
+    FROM c GROUP BY text HAVING count(*) > 1
+    """,
+)
+def t_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-identical media dedup over opaque BinaryType payloads
+    (media_exact_dup), run on documents-as-media plus a planted copy of
+    every payload so every group has ≥2 members. Payloads here are the
+    docs' utf-8 bytes, so the oracle can group on the text itself —
+    byte-group equality ⇔ text-group equality — pinning the binary
+    digest grouping, keeper selection and dup-list assembly. The
+    engine-specific payload_hash and the ArrayType dup list are
+    projected out (driver canonicalizer takes scalars); array_max of
+    the dup list rides along as ``last_dup`` to pin membership."""
+    from faexport_db_spark.training.multimodal import (
+        documents_as_media,
+        media_exact_dup,
+    )
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    copies = media.select(
+        (F.col("media_id") + 1000000).alias("media_id"),
+        "media_bytes",
+        "media_type",
+        "meta",
+    )
+    groups = media_exact_dup(media.unionByName(copies))
+    return groups.select(
+        "keeper_id",
+        "n_copies",
+        F.array_max("dup_ids").alias("last_dup"),
+    )
+
+
+@register(
+    "t_media_near_dup_checked",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, 'Z' || substr(text, 2) AS mt,
+             CAST(ceil(len(text) / 16.0) AS INT) AS n
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    m AS (
+      SELECT doc_id, n,
+             len(list_filter(generate_series(0, n - 1),
+                             i -> substr(text, i*16+1, 16) = substr(mt, i*16+1, 16)))
+               AS n_match
+      FROM d
+    )
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           CAST(n_match AS BIGINT) AS n_match,
+           round(n_match * 1.0 / n, 6) AS match_frac
+    FROM m
+    WHERE n_match > 0 AND n_match * 1.0 / n >= 0.8
+    """,
+)
+def t_media_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of the byte-level media near-dup
+    pipeline: plant a copy of every payload with its FIRST byte flipped
+    (fixture texts never start with 'Z' and are pure ASCII, so the
+    flip is length-preserving and changes exactly chunk 0). With
+    16-byte chunks each planted pair must match exactly n-1 of its n
+    aligned chunks — the oracle recomputes the per-chunk byte equality
+    in SQL, pinning chunk geometry, the (chunk_idx, chunk_hash)
+    candidate join, the match count and the min-denominator fraction.
+    Restricted to the planted axis, as the minhash/simhash checked
+    companions are."""
+    from faexport_db_spark.training.multimodal import (
+        documents_as_media,
+        media_near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    media = documents_as_media(docs).unionByName(
+        documents_as_media(mutated)
+    )
+    pairs = media_near_dup_pairs(media, threshold=0.8, chunk_bytes=16)
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
+_HTML_WRAP_SQL = """
+      '<html><head><title>' || source || '</title>'
+      || '<style>p { margin: 0 2px; }</style></head><body><h1>Doc '
+      || CAST(doc_id AS VARCHAR)
+      || '</h1><script type="text/javascript">if (x < 1) { f("&amp;"); }</script><p>'
+      || text
+      || '</p><div class="footer">&lt;generated&gt; &amp; &quot;archived&quot;&nbsp;'
+      || lang || '</div></body></html>'
+"""
+
+
+@register(
+    "t_html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS html
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s1 AS (SELECT doc_id,
+                  regexp_replace(html, '<script[^>]*>[\\s\\S]*?</script>', ' ', 'g') AS t
+           FROM h),
+    s2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>[\\s\\S]*?</style>', ' ', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(replace(t,
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+           FROM s3)
+    SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted
+    FROM s4
+    """,
+)
+def t_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (html_extract) over deterministically
+    synthesized markup: each doc is wrapped in a realistic page — head
+    title, style block, h1, an inline script whose body contains both a
+    bare '<' and an entity, and an entity-bearing footer — then the
+    extraction chain (script/style subtree removal, tag strip, one-pass
+    entity decode, whitespace collapse) must reproduce, byte for byte,
+    the same chain expressed in ANSI SQL. Map-only, zero Python, zero
+    shuffles."""
+    from faexport_db_spark.training.text import html_extract
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>p { margin: 0 2px; }</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><script type="text/javascript">if (x < 1) { f("&amp;"); }</script><p>'),
+        F.col("text"),
+        F.lit('</p><div class="footer">&lt;generated&gt; &amp; &quot;archived&quot;&nbsp;'),
+        F.col("lang"),
+        F.lit("</div></body></html>"),
+    )
+    return html_extract(
+        docs.select("doc_id", html.alias("html")), html_col="html"
+    )
+
+
+_FUZZY_DECON_ORACLE = f"""
+    WITH b AS (SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL AND doc_id % 97 = 0),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM b),
+    tm AS (SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(text, '^\\S+', 'zzz')), '\\s+') AS toks
+           FROM b),
+    sh  AS (SELECT doc_id, {_TRIGRAM_SHINGLES_SQL} AS s FROM t),
+    shm AS (SELECT doc_id, {_TRIGRAM_SHINGLES_SQL} AS s FROM tm),
+    j AS (
+      SELECT m.doc_id + 1000000 AS corpus_id, a.doc_id + 2000000 AS bench_id,
+             round(len(list_intersect(a.s, m.s)) * 1.0
+                   / (len(a.s) + len(m.s) - len(list_intersect(a.s, m.s))), 6) AS jaccard
+      FROM sh a JOIN shm m USING (doc_id)
+    )
+    SELECT corpus_id, bench_id, jaccard FROM j WHERE jaccard >= 0.6
+"""
+
+
+@register("t_fuzzy_decontaminate_checked", oracle=_FUZZY_DECON_ORACLE)
+def t_fuzzy_decontaminate_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of fuzzy decontamination
+    (fuzzy_contamination_pairs): benchmark = every 97th doc; the corpus
+    carries a first-token-mutated copy of each benchmark doc (the
+    leaked-paraphrase case exact 13-gram decontamination can miss when
+    the paraphrase breaks every long gram). Each planted (mutated
+    corpus doc, benchmark doc) pair must surface with exactly the
+    trigram-shingle Jaccard the oracle computes — pinning corpus
+    signing, the broadcast benchmark band join, the matched-slice
+    stop-bucket guard and the cross-frame verify. Restricted to the
+    planted axis (jaccard ≈ 0.9 there, where 16-band/4-row LSH recall
+    is ~1 − 5e-8; borderline natural pairs are deliberately excluded —
+    at jaccard 0.6 LSH misses ~11% by design)."""
+    from faexport_db_spark.training.dedup import fuzzy_contamination_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    bench_src = docs.filter(F.col("doc_id") % 97 == 0)
+    bench = bench_src.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    mutated = bench_src.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = fuzzy_contamination_pairs(corpus, bench, threshold=0.6)
+    return pairs.filter(F.col("bench_id") == F.col("corpus_id") + 1000000)

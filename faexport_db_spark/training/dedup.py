@@ -905,3 +905,95 @@ def corpus_overlap(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate contamination pairs between a training corpus and
+    a benchmark set: MinHash-LSH candidates, exact-Jaccard verified —
+    the fuzzy companion of ``text.decontaminate`` (whose exact n-gram
+    rule misses a benchmark doc that was lightly paraphrased or
+    whitespace-mangled before it leaked into the crawl).
+
+    Shape at 100 TB: the corpus is signed once, map-side (the same
+    narrow ``minhash_band_rows`` projection the self-join dedup uses);
+    the benchmark side is SMALL (eval sets are thousands of docs), so
+    its band rows broadcast and candidates come from a map-side
+    broadcast equi-join on (band_idx, band_hash) — the corpus-sized
+    frame never shuffles for candidate generation. The stop-bucket
+    guard is computed from the matched slice itself (candidate-scale,
+    not corpus-scale), so the corpus signing subtree appears in the
+    plan exactly once. Verification rejoins both texts through the
+    usual single-scan broadcast membership join.
+
+    Corpus and benchmark ids must be disjoint (they meet inside the
+    verify stage's union). Output: (corpus_id, bench_id, jaccard) with
+    jaccard ≥ threshold.
+    """
+    bench_banded = minhash_band_rows(
+        benchmark, text_col, id_col, num_perm, bands, shingle_n
+    ).withColumnRenamed(id_col, "__bench_id")
+    corp_banded = minhash_band_rows(
+        corpus, text_col, id_col, num_perm, bands, shingle_n
+    )
+    matched = corp_banded.join(
+        F.broadcast(bench_banded), ["band_idx", "band_hash"]
+    )
+    if max_bucket is not None:
+        # Degenerate buckets (a boilerplate band shared by millions of
+        # corpus docs) are detected on the matched slice — already
+        # candidate-scale — instead of re-scanning corpus signatures.
+        oversized = (
+            matched.groupBy("band_idx", "band_hash")
+            .agg(F.countDistinct(id_col).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        matched = matched.join(
+            F.broadcast(oversized), ["band_idx", "band_hash"], "left_anti"
+        )
+    cand = matched.select(
+        F.col(id_col).alias("id_a"), F.col("__bench_id").alias("id_b")
+    )
+    both = corpus.select(id_col, text_col).unionByName(
+        benchmark.select(id_col, text_col)
+    )
+    out = _verify_jaccard(both, cand, text_col, id_col, shingle_n, threshold)
+    return out.select(
+        F.col("id_a").alias("corpus_id"),
+        F.col("id_b").alias("bench_id"),
+        "jaccard",
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Clean corpus after fuzzy decontamination: drops every corpus doc
+    within MinHash Jaccard ``threshold`` of ANY benchmark doc. The
+    contaminated id set is candidate-scale, so it broadcasts into the
+    final anti-join — one extra corpus scan, nothing corpus-sized
+    shuffles."""
+    pairs = fuzzy_contamination_pairs(
+        corpus, benchmark, text_col, id_col,
+        num_perm, bands, shingle_n, threshold, max_bucket,
+    )
+    contaminated = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")

@@ -35,7 +35,7 @@ json_docs = st.dictionaries(st.sampled_from("abcdef"), json_values, max_size=4)
 
 
 @given(st.lists(json_docs, max_size=6))
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_json_fold_is_per_key_last_wins(history):
     """M5 invariant: every output key's value comes from the LAST doc
     in history containing that key (db.py:10-17 overlay-wins fold)."""
@@ -80,7 +80,7 @@ def test_expression_fold_matches_python_golden_fold(spark):
 
 
 @given(st.lists(json_docs | st.none(), max_size=6))
-@settings(max_examples=100)
+@settings(max_examples=100, deadline=None)
 def test_json_fold_none_entries_are_transparent(history):
     """Null extra_data snapshots neither contribute nor reset keys."""
     folded = _fold_json_history(
@@ -129,7 +129,7 @@ def _mk_pdf(rows):
 
 
 @given(file_rows)
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_file_fold_invariants(rows):
     """M7 invariants that hold for EVERY history (models/file.py:50-72):
     one output per site_file_id; url/size, once recorded, stay non-null
@@ -165,7 +165,7 @@ def test_file_fold_invariants(rows):
 
 
 @given(file_rows)
-@settings(max_examples=100)
+@settings(max_examples=100, deadline=None)
 def test_file_fold_single_row_identity(rows):
     """Folding a single snapshot's files returns them unchanged."""
     pdf = _mk_pdf(rows[:1])
