@@ -729,3 +729,66 @@ def test_stamp_bounds_plan_shape(spark, sf_small):
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Limit" in plan
+
+
+def test_html_extract_is_map_only(spark, sf_small):
+    """The HTML extraction chain is a pure narrow projection: one scan,
+    zero exchanges, zero Python evals — it must run at parquet-scan
+    speed at 100 TB."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    df = QUERIES["t_html_extract"](spark, sf_small)
+    assert shuffle_count(df) == 0
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_benchmark_never_corpus(spark, sf_small):
+    """Fuzzy decontamination: candidates come from a BROADCAST join
+    (the small benchmark band rows are the broadcast side — the
+    corpus-sized band frame must never broadcast), the stop-bucket
+    guard works the matched slice (candidate-scale), and no cartesian
+    anywhere. SortMergeJoin on the corpus side would mean the corpus
+    shuffled for candidates — forbidden."""
+    from faexport_db_spark.plans.audit import formatted_plan
+    from faexport_db_spark.training.dedup import fuzzy_contamination_pairs
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    out = fuzzy_contamination_pairs(docs, bench)
+    js = join_strategies(out)
+    assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0
+    assert js["BroadcastHashJoin"] >= 2  # band candidates + verify membership
+    plan = formatted_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # Candidate generation must not sort-merge the corpus band frame:
+    # the only acceptable SMJ is none (bench bands broadcast).
+    assert js.get("SortMergeJoin", 0) == 0
+
+
+def test_media_driver_ops_plan_shape(spark, sf_small):
+    """Registered media ops: exact dedup is one digest groupBy over the
+    planted union (2 scans, ≤2 exchanges incl. AQE coalesce, no joins);
+    the near-dup checked op keeps blobs out of joins (signature frames
+    only) with no cartesian and no Python."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    exact = QUERIES["t_media_exact_dedup"](spark, sf_small)
+    assert shuffle_count(exact) <= 2
+    plan = formatted_plan(exact)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    js = join_strategies(exact)
+    assert sum(js.values()) == 0
+
+    near = QUERIES["t_media_near_dup_checked"](spark, sf_small)
+    njs = join_strategies(near)
+    assert njs["CartesianProduct"] == 0 and njs["BroadcastNestedLoopJoin"] == 0
+    nplan = formatted_plan(near)
+    assert "BatchEvalPython" not in nplan and "ArrowEvalPython" not in nplan

@@ -2115,3 +2115,74 @@ def test_bpe_apply_matches_python_reference(spark):
         want = sum(encode(w) for w in words)
         got = bpe_apply(docs, learned).collect()[0]["n_bpe_tokens"]
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_html_extract_semantics(spark):
+    """Edge semantics the oracle-backed driver op can't isolate:
+    one-pass entity decode (&amp;lt; yields literal '&lt;', never
+    double-decodes to '<'), script bodies containing closing tags of
+    OTHER elements are dropped wholesale, NULL html rows filtered,
+    multiple script/style blocks all removed."""
+    from faexport_db_spark.training.text import html_extract
+
+    rows = [
+        (1, "<p>a &amp;lt; b</p>"),
+        (2, '<script>x = "</p>";</script><p>kept</p><style>a{}</style>'),
+        (3, None),
+        (4, "<script>one</script>mid<script>two</script> tail"),
+        (5, "  <div>collapse    me</div>  "),
+        (6, "&quot;q&quot;&nbsp;&#39;s&#39; &gt;&lt;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    got = {r["doc_id"]: r["extracted"] for r in html_extract(df).collect()}
+    assert got == {
+        1: "a &lt; b",
+        2: "kept",
+        4: "mid tail",
+        5: "collapse me",
+        6: "\"q\" 's' ><",
+    }
+
+
+def test_fuzzy_decontaminate_drops_paraphrased_benchmark_docs(spark):
+    """The clean-corpus form: a corpus doc that is a light paraphrase
+    of a benchmark doc (first word swapped — breaks every long exact
+    n-gram) is dropped; unrelated docs survive; an empty benchmark
+    leaves the corpus untouched."""
+    from faexport_db_spark.training.dedup import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base.replace("the quick", "a quick")),  # paraphrased leak
+            (2, "completely unrelated text about spark physical plans and shuffles here"),
+            (3, base),  # verbatim leak
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in fuzzy_decontaminate(corpus, bench).collect())
+    assert kept == [2]
+
+    empty_bench = spark.createDataFrame([], "doc_id bigint, text string")
+    kept_all = sorted(
+        r["doc_id"] for r in fuzzy_decontaminate(corpus, empty_bench).collect()
+    )
+    assert kept_all == [1, 2, 3]
+
+
+def test_fuzzy_contamination_stop_bucket_guard(spark):
+    """A degenerate band bucket (every corpus doc identical ⇒ all 16
+    bands collide) is skipped when max_bucket is tiny — no pairs — and
+    admitted when the guard is lifted."""
+    from faexport_db_spark.training.dedup import fuzzy_contamination_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(8)], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([(100, text)], "doc_id bigint, text string")
+    guarded = fuzzy_contamination_pairs(corpus, bench, max_bucket=4)
+    assert guarded.count() == 0
+    open_pairs = fuzzy_contamination_pairs(corpus, bench, max_bucket=None)
+    assert open_pairs.count() == 8
