@@ -2852,3 +2852,37 @@ def t_fuzzy_decontaminate_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus = docs.unionByName(mutated)
     pairs = fuzzy_contamination_pairs(corpus, bench, threshold=0.6)
     return pairs.filter(F.col("bench_id") == F.col("corpus_id") + 1000000)
+
+
+@register(
+    "t_winnowing",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                i -> md5(array_to_string(toks[i : i + 2], ' '))) AS gl
+          FROM t),
+    s AS (SELECT doc_id,
+                 list_transform(
+                   generate_series(0, greatest(len(gl) - 4, 0)),
+                   s -> list_reduce(
+                          list_transform(generate_series(1, 4),
+                                         j -> struct_pack(mh := gl[s + j],
+                                                          mp := s + j - 1)),
+                          (acc, x) -> CASE WHEN x.mh IS NOT NULL AND x.mh <= acc.mh
+                                           THEN x ELSE acc END)) AS sel
+          FROM g),
+    u AS (SELECT doc_id, unnest(sel) AS f FROM s)
+    SELECT DISTINCT doc_id, CAST(f.mp AS BIGINT) AS pos, f.mh AS fp FROM u
+    """,
+)
+def t_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3 word grams, window w=4) — the MOSS
+    local fingerprinting guarantee the mod-p sketch lacks. The oracle
+    replays gram hashing, the rightmost-min window fold and the
+    distinct selection with DuckDB list lambdas, pinning positions and
+    hashes value-for-value."""
+    from faexport_db_spark.training.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)

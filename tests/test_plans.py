@@ -792,3 +792,18 @@ def test_media_driver_ops_plan_shape(spark, sf_small):
     assert njs["CartesianProduct"] == 0 and njs["BroadcastNestedLoopJoin"] == 0
     nplan = formatted_plan(near)
     assert "BatchEvalPython" not in nplan and "ArrowEvalPython" not in nplan
+
+
+def test_winnowing_is_map_only(spark, sf_small):
+    """Winnowing fingerprinting is one narrow projection: 1 scan, 0
+    exchanges, no Python — fingerprint selection must run at parquet
+    scan speed; only the selected set ever feeds a downstream join."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    df = QUERIES["t_winnowing"](spark, sf_small)
+    assert shuffle_count(df) == 0
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

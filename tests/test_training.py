@@ -2186,3 +2186,57 @@ def test_fuzzy_contamination_stop_bucket_guard(spark):
     assert guarded.count() == 0
     open_pairs = fuzzy_contamination_pairs(corpus, bench, max_bucket=None)
     assert open_pairs.count() == 8
+
+
+def test_winnowing_guarantee_shared_runs_share_a_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. §4): with k=3, w=4,
+    any two docs sharing a run of ≥ w+k−1 = 6 tokens share at least
+    one selected fingerprint HASH. Cases plant a 6-token run at
+    different offsets inside otherwise-unique filler (one Spark job,
+    repo batch style); a disjoint-text control pair must share
+    nothing."""
+    import random
+
+    from faexport_db_spark.training.text import winnowing_fingerprints
+
+    rnd = random.Random(11)
+    shared_runs = [
+        " ".join(f"run{c}_{i}" for i in range(6)) for c in range(5)
+    ]
+
+    def filler(tag, n):
+        return " ".join(f"{tag}_{rnd.randint(0, 10**9)}_{j}" for j in range(n))
+
+    rows = []
+    for c, run in enumerate(shared_runs):
+        rows.append((2 * c, f"{filler(f'a{c}', rnd.randint(0, 8))} {run} {filler(f'b{c}', rnd.randint(0, 8))}".strip()))
+        rows.append((2 * c + 1, f"{filler(f'c{c}', rnd.randint(0, 8))} {run} {filler(f'd{c}', rnd.randint(0, 8))}".strip()))
+    rows.append((100, filler("x", 12)))
+    rows.append((101, filler("y", 12)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for c in range(len(shared_runs)):
+        assert by_doc[2 * c] & by_doc[2 * c + 1], f"case {c}: no shared fingerprint"
+    assert not (by_doc[100] & by_doc[101])
+
+
+def test_winnowing_density_and_short_docs(spark):
+    """Selected density sits near the paper's 2/(w+1) of grams (loose
+    bounds — selection is distinct-collapsed), and a doc shorter than
+    one window still emits exactly its global rightmost-min."""
+    from faexport_db_spark.training.text import winnowing_fingerprints
+
+    long_doc = " ".join(f"tok{i % 37}x{i % 11}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "only four little tokens")],
+        "doc_id bigint, text string",
+    )
+    out = winnowing_fingerprints(docs, k=3, w=4).collect()
+    n_long = sum(1 for r in out if r["doc_id"] == 1)
+    n_grams = 400 - 2
+    assert 0.2 * n_grams < n_long < 0.6 * n_grams
+    short = [r for r in out if r["doc_id"] == 2]
+    assert len(short) == 1 and 0 <= short[0]["pos"] <= 1
