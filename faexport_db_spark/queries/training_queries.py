@@ -2886,3 +2886,126 @@ def t_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.text import winnowing_fingerprints
 
     return winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+def _cdc_chunks_cte(src_sql: str) -> str:
+    """DuckDB CTE chain computing CDC chunk structs per row of
+    ``src_sql`` (columns: doc_id, tag, text) under the same
+    (window=8, boundary prefix '0', min_chunk=16) rule as
+    ``cdc_chunk_spans`` — fixture payloads are the docs' utf-8 bytes
+    and pure ASCII, so character arithmetic on text equals byte
+    arithmetic on the payload. The sequential min-chunk gate is a
+    RECURSIVE CTE (each step takes the smallest candidate ≥ min_chunk
+    past the previous boundary) because DuckDB 1.0's ``list_reduce``
+    is unusable for stateful folds here: a LIST-typed accumulator
+    collapses to its last append once the ELSE-keeps-acc branch
+    interleaves, and even scalar accumulators leak state ACROSS ROWS
+    under vectorized evaluation (verified against a Python reference;
+    both misbehaviors reproduce standalone). Callers must open the
+    query with WITH RECURSIVE."""
+    return f"""
+    __src AS ({src_sql}),
+    __d AS (SELECT doc_id, tag, text, CAST(len(text) AS BIGINT) AS L
+            FROM __src WHERE text IS NOT NULL AND len(text) > 0),
+    __c AS (SELECT doc_id, tag, L,
+              list_filter(generate_series(CAST(8 AS BIGINT), L),
+                          i -> md5(substr(text, CAST(i - 7 AS INT), 8))[1:1] = '0') AS cand
+            FROM __d),
+    __r AS (
+      SELECT doc_id, tag, CAST(0 AS BIGINT) AS b FROM __c
+      UNION ALL
+      SELECT c.doc_id, c.tag,
+             list_min(list_filter(c.cand, i -> i - r.b >= 16)) AS b
+      FROM __r r JOIN __c c ON r.doc_id = c.doc_id AND r.tag = c.tag
+      WHERE list_min(list_filter(c.cand, i -> i - r.b >= 16)) IS NOT NULL
+    ),
+    __a AS (SELECT doc_id, tag, list_sort(list(b)) AS acc
+            FROM __r GROUP BY doc_id, tag),
+    __b AS (SELECT d.doc_id, d.tag, d.text,
+              CASE WHEN acc[len(acc)] = d.L THEN acc
+                   ELSE list_append(acc, d.L) END AS bounds
+            FROM __a a JOIN __d d ON a.doc_id = d.doc_id AND a.tag = d.tag),
+    __ch AS (SELECT doc_id, tag,
+               list_transform(generate_series(1, len(bounds) - 1),
+                 j -> struct_pack(
+                        chunk_idx := CAST(j - 1 AS BIGINT),
+                        cstart    := bounds[j],
+                        clen      := bounds[j + 1] - bounds[j],
+                        chunk_md5 := md5(substr(text, CAST(bounds[j] + 1 AS INT),
+                                                CAST(bounds[j + 1] - bounds[j] AS INT))))) AS cl
+             FROM __b)
+    """
+
+
+_CDC_CHUNKING_ORACLE = f"""
+    WITH RECURSIVE {_cdc_chunks_cte("SELECT doc_id, 0 AS tag, text FROM documents")},
+    u AS (SELECT doc_id, unnest(cl) AS c FROM __ch)
+    SELECT doc_id AS media_id, c.chunk_idx, c.cstart AS start,
+           c.clen AS length, c.chunk_md5 FROM u
+"""
+
+
+@register("t_cdc_chunking", oracle=_CDC_CHUNKING_ORACLE)
+def t_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (cdc_chunk_spans) over documents-as-
+    media payloads: boundary rule, min-chunk gate, chunk offsets,
+    lengths and md5s must all equal the oracle's SQL replay of the
+    same rule — pinning the full chunk table value-for-value."""
+    from faexport_db_spark.training.multimodal import cdc_chunk_spans
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media_bytes"),
+    )
+    return cdc_chunk_spans(media)
+
+
+_CDC_NEAR_DUP_ORACLE = f"""
+    WITH RECURSIVE {_cdc_chunks_cte(
+        "SELECT doc_id, 0 AS tag, text FROM documents "
+        "UNION ALL SELECT doc_id, 1 AS tag, 'XY ' || text FROM documents"
+    )},
+    h AS (SELECT doc_id, tag,
+                 list_distinct(list_transform(cl, c -> c.chunk_md5)) AS hl
+          FROM __ch),
+    p AS (SELECT o.doc_id AS doc_id,
+                 CAST(len(list_intersect(o.hl, m.hl)) AS BIGINT) AS n_shared,
+                 least(len(o.hl), len(m.hl)) AS denom
+          FROM h o JOIN h m ON o.doc_id = m.doc_id
+          WHERE o.tag = 0 AND m.tag = 1)
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, n_shared,
+           round(n_shared * 1.0 / denom, 6) AS match_frac
+    FROM p WHERE n_shared > 0 AND n_shared * 1.0 / denom >= 0.5
+"""
+
+
+@register("t_media_cdc_near_dup_checked", oracle=_CDC_NEAR_DUP_ORACLE)
+def t_media_cdc_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of INSERTION-robust media near-dup
+    (media_cdc_near_dup_pairs): plant a copy of every payload with 3
+    bytes prepended — the alignment shift that defeats the fixed-width
+    chunk scheme by construction. Content-defined boundaries re-align
+    after the first cut, so each planted pair shares most distinct
+    chunk hashes; the oracle recomputes both chunkings and the exact
+    distinct-hash intersection in SQL. Whatever fraction each pair
+    truly shares, both sides compute the same number — the threshold
+    cut is identical — so the row set matches value-for-value.
+    Restricted to the planted axis (natural exact-dup texts create
+    identical off-axis pairs in both engines' libraries, but the
+    planted axis keeps the driver row focused and deterministic)."""
+    from faexport_db_spark.training.multimodal import media_cdc_near_dup_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media_bytes"),
+    )
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(F.concat(F.lit("XY "), F.col("text")), "utf-8").alias("media_bytes"),
+    )
+    pairs = media_cdc_near_dup_pairs(
+        media.unionByName(mutants), threshold=0.5
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)

@@ -20,7 +20,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -404,3 +404,145 @@ def media_near_dup_against_index(
         )
     )
     return pairs.filter(F.col("match_frac") >= F.lit(float(threshold)))
+
+
+def cdc_chunk_spans(
+    media: DataFrame,
+    window: int = 8,
+    boundary_prefix: str = "0",
+    min_chunk: int = 16,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Content-defined chunking over opaque binary payloads (the
+    FastCDC/LBFS family): a chunk boundary falls AFTER byte ``i``
+    whenever the hash of the trailing ``window`` bytes lands in the
+    boundary set (md5 hex starting with ``boundary_prefix`` — p=16^-len
+    per position, so expected chunk size ≈ min_chunk + 16^len), with a
+    sequential ``min_chunk`` gate exactly as real CDC enforces. Because
+    boundaries depend on CONTENT, not offsets, an insertion re-aligns
+    within one chunk — the fixed-width ``media_chunk_signatures``
+    scheme's documented blind spot.
+
+    Pure Catalyst, map-only: candidate positions, the min-chunk fold
+    and the chunk re-slice all run inside one narrow projection. The
+    per-byte position sequence makes this form right for payloads up
+    to ~1 MB (fixture scale and typical thumbnails/text blobs); for
+    multi-MB media route the same boundary rule through a numpy
+    ``mapInPandas`` kernel behind the ``decode_media`` seam — same
+    output contract. md5 keeps boundaries engine-portable.
+
+    Output: (id, chunk_idx, start, length, chunk_md5) — 0-based byte
+    offsets; every payload byte belongs to exactly one chunk.
+    """
+    w = int(window)
+    payload = F.col(bytes_col)
+    L = F.length(payload).cast("bigint")
+    cand = F.when(
+        L >= w,
+        F.filter(
+            F.sequence(F.lit(w).cast("bigint"), L),
+            lambda i: F.md5(payload.substr(i - (w - 1), F.lit(w))).startswith(
+                boundary_prefix
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    accepted = F.aggregate(
+        cand,
+        F.array(F.lit(0).cast("bigint")),
+        lambda acc, i: F.when(
+            i - F.element_at(acc, -1) >= min_chunk, F.concat(acc, F.array(i))
+        ).otherwise(acc),
+    )
+    bounds_expr = F.when(
+        F.element_at(accepted, -1) == L, accepted
+    ).otherwise(F.concat(accepted, F.array(L)))
+
+    def chunks_of(b: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(b) - 1),
+            lambda j: F.struct(
+                (j - 1).cast("bigint").alias("chunk_idx"),
+                F.element_at(b, j).alias("start"),
+                (F.element_at(b, j + 1) - F.element_at(b, j)).alias("length"),
+                F.md5(
+                    payload.substr(
+                        (F.element_at(b, j) + 1).cast("int"),
+                        (F.element_at(b, j + 1) - F.element_at(b, j)).cast("int"),
+                    )
+                ).alias("chunk_md5"),
+            ),
+        )
+
+    # Let-bind the bounds array (one evaluation of the candidate filter
+    # + min-chunk fold feeds every per-chunk lookup).
+    chunks = F.element_at(F.transform(F.array(bounds_expr), chunks_of), 1)
+    return (
+        media.filter(payload.isNotNull() & (L > 0))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.start", "c.length", "c.chunk_md5")
+    )
+
+
+def media_cdc_near_dup_pairs(
+    media: DataFrame,
+    threshold: float = 0.5,
+    window: int = 8,
+    boundary_prefix: str = "0",
+    min_chunk: int = 16,
+    max_bucket: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Insertion-robust byte-level media near-dup pairs: candidates
+    share a content-defined chunk HASH (no positional alignment — the
+    fixed-width scheme's failure mode), verified by the fraction of
+    distinct chunk hashes shared, ``n_shared / min(|A|, |B|)``.
+
+    Same 100 TB shape as ``media_near_dup_pairs``: signatures are the
+    only pass over payload bytes; the candidate join is an equi-join
+    between skinny (id, chunk_md5) frames with a stop-chunk guard
+    (shared headers/zero runs would otherwise go quadratic);
+    verification is a count over joined candidate rows. Output:
+    (id_a, id_b, n_shared, match_frac) with id_a < id_b.
+    """
+    if sigs is None:
+        sigs = cdc_chunk_spans(
+            media, window, boundary_prefix, min_chunk, id_col, bytes_col
+        )
+    entries = (
+        sigs.select(F.col(id_col), "chunk_md5")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = entries.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ok = (
+        entries.groupBy("chunk_md5")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= F.lit(int(max_bucket)))
+        .select("chunk_md5")
+    )
+    gated = entries.join(ok, "chunk_md5")
+    a = gated.select("chunk_md5", F.col(id_col).alias("id_a"))
+    b = gated.select("chunk_md5", F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    frac = F.col("n_shared") / F.least("na", "nb")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(frac >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(frac, 6).alias("match_frac"),
+        )
+    )

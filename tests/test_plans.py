@@ -807,3 +807,26 @@ def test_winnowing_is_map_only(spark, sf_small):
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_ops_plan_shape(spark, sf_small):
+    """CDC chunking is one narrow projection (1 scan, 0 exchanges, no
+    Python); the CDC near-dup candidate join moves only skinny
+    (id, chunk_md5) frames — no cartesian, no Python, and the chunk
+    signature subtree is lazy-checkpointed so payload bytes are
+    hashed once."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    ch = QUERIES["t_cdc_chunking"](spark, sf_small)
+    assert shuffle_count(ch) == 0
+    plan = formatted_plan(ch)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    nd = QUERIES["t_media_cdc_near_dup_checked"](spark, sf_small)
+    js = join_strategies(nd)
+    assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0
+    nplan = formatted_plan(nd)
+    assert "BatchEvalPython" not in nplan and "ArrowEvalPython" not in nplan

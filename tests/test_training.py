@@ -2240,3 +2240,75 @@ def test_winnowing_density_and_short_docs(spark):
     assert 0.2 * n_grams < n_long < 0.6 * n_grams
     short = [r for r in out if r["doc_id"] == 2]
     assert len(short) == 1 and 0 <= short[0]["pos"] <= 1
+
+
+def test_cdc_chunking_matches_python_reference_and_covers_payload(spark):
+    """CDC chunk geometry vs a brute-force Python replay of the same
+    (window=8, '0'-prefix, min_chunk=16) rule on random byte strings:
+    identical boundaries, md5s, full coverage, no overlap. Also pins
+    the short-payload (< window) single-chunk case and NULL/empty
+    filtering."""
+    import hashlib
+    import random
+
+    from faexport_db_spark.training.multimodal import cdc_chunk_spans
+
+    rnd = random.Random(23)
+    payloads = [
+        bytes(rnd.randrange(256) for _ in range(n))
+        for n in (0, 3, 8, 44, 200, 700)
+    ]
+    rows = [(i, p) for i, p in enumerate(payloads)] + [(99, None)]
+    media = spark.createDataFrame(rows, "media_id bigint, media_bytes binary")
+    got = {}
+    for r in cdc_chunk_spans(media).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["chunk_md5"])
+        )
+
+    def ref_chunks(p):
+        L = len(p)
+        if L == 0:
+            return []
+        bounds = [0]
+        for i in range(8, L + 1):
+            if (
+                hashlib.md5(p[i - 8 : i]).hexdigest().startswith("0")
+                and i - bounds[-1] >= 16
+            ):
+                bounds.append(i)
+        if bounds[-1] != L:
+            bounds.append(L)
+        return [
+            (j, bounds[j], bounds[j + 1] - bounds[j],
+             hashlib.md5(p[bounds[j] : bounds[j + 1]]).hexdigest())
+            for j in range(len(bounds) - 1)
+        ]
+
+    for i, p in enumerate(payloads):
+        assert sorted(got.get(i, [])) == ref_chunks(p), f"payload {i}"
+    assert 99 not in got
+
+
+def test_cdc_near_dup_survives_insertion_fixed_width_does_not(spark):
+    """The reason CDC exists: after a 3-byte insertion the fixed-width
+    scheme shares ~nothing (every aligned chunk shifted) while the
+    CDC scheme re-aligns after one chunk and the pair clears a 0.5
+    distinct-hash fraction."""
+    import random
+
+    from faexport_db_spark.training.multimodal import (
+        media_cdc_near_dup_pairs,
+        media_near_dup_pairs,
+    )
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(600))
+    media = spark.createDataFrame(
+        [(1, base), (2, b"XYZ" + base)],
+        "media_id bigint, media_bytes binary",
+    )
+    fixed = media_near_dup_pairs(media, threshold=0.3, chunk_bytes=16).collect()
+    assert fixed == []
+    cdc = media_cdc_near_dup_pairs(media, threshold=0.5).collect()
+    assert len(cdc) == 1 and cdc[0]["match_frac"] >= 0.5
