@@ -937,3 +937,113 @@ def start_streaming_line_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def media_cdc_dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    threshold: float = 0.5,
+    window: int = 8,
+    boundary_prefix: str = "0",
+    min_chunk: int = 16,
+    max_bucket: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Insertion-robust streaming media dedup: the CDC analog of
+    ``media_dedup_batch_against_store`` — each micro-batch is
+    CDC-chunked ONCE, probed against the persisted entry index for
+    near-dups of the accepted corpus (alignment-free: a re-encoded
+    copy with bytes inserted still collides on content-defined chunk
+    hashes), self-deduped within the batch (lowest id wins), and the
+    survivors + their index entries appended. Same commit-marker
+    protocol, parameter-sidecar validation and store-strategy seam as
+    the fixed-width stream; mid-batch crash window is identical
+    (marker granularity is whole-batch — see module docstring)."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.multimodal import (
+        _cdc_entries,
+        build_cdc_chunk_index,
+        media_cdc_near_dup_against_index,
+        media_cdc_near_dup_pairs,
+    )
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, index_path, batch_id, stream_id)
+    if committed:
+        return None
+    batch = batch.select(id_col, bytes_col)
+    if not HadoopFs(spark, index_path).exists(
+        f"{index_path.rstrip('/')}/_index_meta.json"
+    ):
+        build_cdc_chunk_index(
+            batch.filter(F.lit(False)), index_path,
+            window, boundary_prefix, min_chunk, id_col, bytes_col,
+        )
+    from faexport_db_spark.training.multimodal import cdc_chunk_spans
+
+    sigs = cdc_chunk_spans(
+        batch, window, boundary_prefix, min_chunk, id_col, bytes_col
+    ).localCheckpoint(eager=True)  # chunk the payload bytes exactly once
+
+    cross = media_cdc_near_dup_against_index(
+        batch, index_path, threshold, window, boundary_prefix, min_chunk,
+        max_bucket, id_col, bytes_col, sigs=sigs,
+    )
+    dup_ids = cross.select(F.col("id_a").alias(id_col)).distinct()
+    self_pairs = media_cdc_near_dup_pairs(
+        batch, threshold, window, boundary_prefix, min_chunk,
+        max_bucket, id_col, bytes_col, sigs=sigs,
+    )
+    dup_ids = dup_ids.unionByName(
+        self_pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+
+    survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)  # pin before mutation
+    fmt.append(survivors, store_path)
+    (
+        _cdc_entries(
+            batch, window, boundary_prefix, min_chunk, id_col, bytes_col,
+            sigs=sigs,
+        )
+        .join(F.broadcast(survivors.select(id_col)), id_col, "left_semi")
+        .sortWithinPartitions("chunk_md5")
+        .write.mode("append")
+        .parquet(index_path)
+    )
+    mark()  # both appends durable → re-delivery of this batch is a no-op
+    return survivors
+
+
+def start_streaming_media_cdc_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **dedup_kwargs,
+):
+    """Wire ``media_cdc_dedup_batch_against_store`` into a streaming
+    query via foreachBatch. ``source`` is any streaming DataFrame with
+    (media_id, media_bytes) columns."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        media_cdc_dedup_batch_against_store(
+            batch_df, store_path, index_path,
+            batch_id=batch_id, stream_id=sid, **dedup_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -507,16 +507,9 @@ def media_cdc_near_dup_pairs(
     verification is a count over joined candidate rows. Output:
     (id_a, id_b, n_shared, match_frac) with id_a < id_b.
     """
-    if sigs is None:
-        sigs = cdc_chunk_spans(
-            media, window, boundary_prefix, min_chunk, id_col, bytes_col
-        )
-    entries = (
-        sigs.select(F.col(id_col), "chunk_md5")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sizes = entries.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    entries = _cdc_entries(
+        media, window, boundary_prefix, min_chunk, id_col, bytes_col, sigs=sigs
+    ).localCheckpoint(eager=False)
     ok = (
         entries.groupBy("chunk_md5")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -524,25 +517,147 @@ def media_cdc_near_dup_pairs(
         .select("chunk_md5")
     )
     gated = entries.join(ok, "chunk_md5")
-    a = gated.select("chunk_md5", F.col(id_col).alias("id_a"))
-    b = gated.select("chunk_md5", F.col(id_col).alias("id_b"))
+    a = gated.select(
+        "chunk_md5", F.col(id_col).alias("id_a"), F.col("n_hashes").alias("na")
+    )
+    b = gated.select(
+        "chunk_md5", F.col(id_col).alias("id_b"), F.col("n_hashes").alias("nb")
+    )
     shared = (
         a.join(b, "chunk_md5")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    frac = F.col("n_shared") / F.least("na", "nb")
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(frac >= F.lit(float(threshold)))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            F.round(frac, 6).alias("match_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(
+                F.count(F.lit(1)) / F.least(F.first("na"), F.first("nb")), 6
+            ).alias("match_frac"),
         )
+    )
+    return shared.filter(
+        F.col("match_frac") >= F.lit(float(threshold))
+    ).select(
+        "id_a", "id_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "match_frac",
+    )
+
+
+def _cdc_entries(
+    media: DataFrame,
+    window: int,
+    boundary_prefix: str,
+    min_chunk: int,
+    id_col: str,
+    bytes_col: str,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_hashes, chunk_md5) — one row per DISTINCT chunk hash per
+    payload with the payload's distinct-hash count carried inline
+    (one collect_set shuffle; downstream joins never re-join sizes).
+    The shared currency of the CDC dedup paths: the self-join form
+    buckets it, the persisted index stores it, the incremental probe
+    joins on it."""
+    if sigs is None:
+        sigs = cdc_chunk_spans(
+            media, window, boundary_prefix, min_chunk, id_col, bytes_col
+        )
+    per_id = sigs.groupBy(id_col).agg(F.collect_set("chunk_md5").alias("hs"))
+    return per_id.select(
+        F.col(id_col),
+        F.size("hs").cast("bigint").alias("n_hashes"),
+        F.explode("hs").alias("chunk_md5"),
+    )
+
+
+def build_cdc_chunk_index(
+    media: DataFrame,
+    index_path: str,
+    window: int = 8,
+    boundary_prefix: str = "0",
+    min_chunk: int = 16,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> None:
+    """Persist the corpus' CDC entries — (media_id, n_hashes,
+    chunk_md5) sorted by chunk_md5 for row-group min/max pruning on
+    probe joins — plus a parameter sidecar that rejects probes chunked
+    under a different boundary rule (a mismatched rule would silently
+    match nothing)."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    (
+        _cdc_entries(media, window, boundary_prefix, min_chunk, id_col, bytes_col)
+        .sortWithinPartitions("chunk_md5")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    write_index_meta(
+        media.sparkSession, index_path, "media_cdc_chunks",
+        {"window": int(window), "boundary_prefix": boundary_prefix,
+         "min_chunk": int(min_chunk)},
+    )
+
+
+def media_cdc_near_dup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    window: int = 8,
+    boundary_prefix: str = "0",
+    min_chunk: int = 16,
+    max_bucket: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Insertion-robust near-dup pairs between a NEW batch and the
+    CDC-indexed corpus — incremental analog of
+    ``media_cdc_near_dup_pairs``: only the batch is chunked; the
+    corpus-sized index is scanned once, pruned by a left-semi against
+    the batch's broadcast distinct chunk hashes, and never shuffled by
+    value before the guard. Output: (id_a = batch id, id_b = indexed
+    id, n_shared, match_frac)."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    check_index_meta(
+        spark, index_path, "media_cdc_chunks",
+        {"window": int(window), "boundary_prefix": boundary_prefix,
+         "min_chunk": int(min_chunk)},
+    )
+    entries = _cdc_entries(
+        batch, window, boundary_prefix, min_chunk, id_col, bytes_col, sigs=sigs
+    ).localCheckpoint(eager=False)
+    bkeys = entries.select("chunk_md5").distinct()
+    matched = spark.read.parquet(index_path).join(
+        F.broadcast(bkeys), "chunk_md5", "left_semi"
+    )
+    ok = (
+        matched.groupBy("chunk_md5")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= F.lit(int(max_bucket)))
+        .select("chunk_md5")
+    )
+    a = entries.select(
+        "chunk_md5", F.col(id_col).alias("id_a"), F.col("n_hashes").alias("na")
+    )
+    b = matched.join(ok, "chunk_md5").select(
+        "chunk_md5", F.col(id_col).alias("id_b"), F.col("n_hashes").alias("nb")
+    )
+    pairs = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(
+                F.count(F.lit(1)) / F.least(F.first("na"), F.first("nb")), 6
+            ).alias("match_frac"),
+        )
+    )
+    return pairs.filter(F.col("match_frac") >= F.lit(float(threshold))).select(
+        "id_a", "id_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "match_frac",
     )

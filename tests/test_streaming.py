@@ -1327,3 +1327,103 @@ def test_media_dedup_redelivery_is_noop(spark, tmp_path):
         is None
     )
     assert spark.read.parquet(store).count() == n
+
+
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_media_cdc_dedup_insertion_across_batches(spark, tmp_path, fmt_name):
+    """CDC streaming media dedup: batch 2's payload with bytes
+    INSERTED near the front of batch 1's accepted payload — the case
+    the fixed-width stream structurally misses — is cut via the
+    content-defined entry index; a novel payload survives; an exact
+    in-batch copy keeps the lowest id."""
+    import random
+
+    from faexport_db_spark.streaming.dedup_stream import (
+        start_streaming_media_cdc_dedup,
+    )
+
+    fmt = STORE_FORMATS[fmt_name]()
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rnd = random.Random(31)
+    base = bytes(rnd.randrange(256) for _ in range(800))
+    inserted = base[:5] + b"\x01\x02\x03" + base[5:]  # shifts every byte after 5
+    novel = bytes(rnd.randrange(256) for _ in range(800))
+    batches = [
+        [(1, base), (2, base)],
+        [(10, inserted), (11, novel)],
+    ]
+    schema = "media_id bigint, media_bytes binary"
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_media_cdc_dedup(
+            spark, stream, store, index, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True},
+            threshold=0.5, fmt=fmt,
+        )
+        q.awaitTermination(120)
+
+    ids = sorted(r["media_id"] for r in fmt.read(spark, store).collect())
+    assert ids == [1, 11]
+
+
+def test_media_cdc_dedup_redelivery_and_incremental_parity(spark, tmp_path):
+    """Marker short-circuits a redelivered batch; and the incremental
+    probe form finds exactly the pairs the self-join form finds when
+    the corpus is indexed up front (batch-parity for the CDC family)."""
+    import random
+
+    from faexport_db_spark.streaming.dedup_stream import (
+        media_cdc_dedup_batch_against_store,
+    )
+    from faexport_db_spark.training.multimodal import (
+        build_cdc_chunk_index,
+        media_cdc_near_dup_against_index,
+        media_cdc_near_dup_pairs,
+    )
+
+    rnd = random.Random(41)
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    schema = "media_id bigint, media_bytes binary"
+    payload = bytes(rnd.randrange(256) for _ in range(600))
+    b = spark.createDataFrame([(1, payload)], schema)
+    out = media_cdc_dedup_batch_against_store(
+        b, store, index, batch_id=0, stream_id="mc"
+    )
+    assert out is not None and out.count() == 1
+    n = spark.read.parquet(store).count()
+    assert (
+        media_cdc_dedup_batch_against_store(
+            b, store, index, batch_id=0, stream_id="mc"
+        )
+        is None
+    )
+    assert spark.read.parquet(store).count() == n
+
+    # incremental vs self-join parity on an inserted-byte mutant
+    corpus = spark.createDataFrame(
+        [(i, bytes(rnd.randrange(256) for _ in range(500))) for i in range(5)],
+        schema,
+    )
+    idx2 = str(tmp_path / "index2")
+    build_cdc_chunk_index(corpus, idx2)
+    probe_rows = [(100 + i, b"QQ" + p) for i, p in
+                  [(r["media_id"], r["media_bytes"]) for r in corpus.collect()]]
+    probe = spark.createDataFrame(probe_rows, schema)
+    inc = {
+        (r["id_a"], r["id_b"], r["match_frac"])
+        for r in media_cdc_near_dup_against_index(probe, idx2).collect()
+    }
+    both = corpus.unionByName(probe)
+    self_pairs = {
+        (r["id_b"], r["id_a"], r["match_frac"])
+        for r in media_cdc_near_dup_pairs(both).collect()
+        if r["id_b"] >= 100  # (corpus, probe) axis, reorder to (probe, corpus)
+    }
+    assert inc == self_pairs and len(inc) == 5
