@@ -3009,3 +3009,42 @@ def t_media_cdc_near_dup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.unionByName(mutants), threshold=0.5
     )
     return pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+
+
+@register(
+    "t_winnowing_pairs",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                i -> md5(array_to_string(toks[i : i + 2], ' '))) AS gl
+          FROM t),
+    s AS (SELECT doc_id,
+                 list_transform(
+                   generate_series(0, greatest(len(gl) - 4, 0)),
+                   s -> list_reduce(
+                          list_transform(generate_series(1, 4),
+                                         j -> struct_pack(mh := gl[s + j],
+                                                          mp := s + j - 1)),
+                          (acc, x) -> CASE WHEN x.mh IS NOT NULL AND x.mh <= acc.mh
+                                           THEN x ELSE acc END)) AS sel
+          FROM g),
+    u AS (SELECT DISTINCT doc_id, f.mh AS fp
+          FROM (SELECT doc_id, unnest(sel) AS f FROM s)),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM p GROUP BY 1, 2
+    """,
+)
+def t_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs (winnowing_match_pairs): documents
+    sharing selected fingerprints, with the count of distinct shared
+    fingerprints — the cheap candidate stage the w+k−1 guarantee buys.
+    The stop-fingerprint guard (10k) is a no-op at fixture SF (max
+    posting list 24 at sf0.1), so the oracle joins the full selected
+    sets."""
+    from faexport_db_spark.training.text import winnowing_match_pairs
+
+    return winnowing_match_pairs(_docs(spark, sf_dir), k=3, w=4)

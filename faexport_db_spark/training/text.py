@@ -1908,3 +1908,34 @@ def winnowing_fingerprints(
             F.col("s.mh").alias("fp"),
         )
     )
+
+
+def winnowing_match_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_bucket: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate match pairs from shared winnowing fingerprints — what
+    the selection exists FOR: documents sharing any token run of
+    ≥ w+k−1 are guaranteed to collide on a fingerprint, at ~2/(w+1)
+    of the gram-index cost of the full shared-shingle join
+    (``t_ngram_jaccard_pairs``' candidate stage). Same bucket shape as
+    every LSH path: distinct (doc, fp) entries groupBy the fingerprint
+    and expand pairs within the posting list (never all-pairs), with
+    the ``max_bucket`` stop-fingerprint guard for boilerplate runs.
+    Output: (id_a, id_b, n_shared) with id_a < id_b — feed to an
+    exact verifier (Jaccard/containment) as with every candidate op.
+    """
+    from faexport_db_spark.training.dedup import _bucket_pairs
+
+    entries = winnowing_fingerprints(docs, k, w, text_col, id_col).select(
+        F.col(id_col), "fp"
+    )
+    pairs = _bucket_pairs(entries, ["fp"], F.col(id_col), max_bucket)
+    return (
+        pairs.groupBy(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

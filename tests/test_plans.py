@@ -830,3 +830,19 @@ def test_cdc_ops_plan_shape(spark, sf_small):
     assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0
     nplan = formatted_plan(nd)
     assert "BatchEvalPython" not in nplan and "ArrowEvalPython" not in nplan
+
+
+def test_winnowing_pairs_bucket_join_no_cartesian(spark, sf_small):
+    """Winnowing candidate pairs: one fingerprint scan feeds the
+    bucket groupBy + within-bucket expansion — no self-join of the
+    corpus, no cartesian, no Python."""
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    df = QUERIES["t_winnowing_pairs"](spark, sf_small)
+    js = join_strategies(df)
+    assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

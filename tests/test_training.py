@@ -2312,3 +2312,19 @@ def test_cdc_near_dup_survives_insertion_fixed_width_does_not(spark):
     assert fixed == []
     cdc = media_cdc_near_dup_pairs(media, threshold=0.5).collect()
     assert len(cdc) == 1 and cdc[0]["match_frac"] >= 0.5
+
+
+def test_winnowing_pairs_find_planted_shared_run(spark):
+    """Pairs surface exactly the planted shared-run pair (guarantee in
+    candidate form) and nothing between disjoint docs."""
+    from faexport_db_spark.training.text import winnowing_match_pairs
+
+    run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"uniq1a uniq1b {run} uniq1c"),
+        (2, f"uniq2a {run} uniq2b uniq2c"),
+        (3, "totally disjoint text with nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["id_a"], r["id_b"]) for r in winnowing_match_pairs(docs).collect()}
+    assert (1, 2) in got and not any(3 in p for p in got)
