@@ -1047,3 +1047,72 @@ def start_streaming_media_cdc_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def fuzzy_decontaminate_batch_against_benchmark(
+    batch: DataFrame,
+    benchmark: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Streaming fuzzy decontamination: each micro-batch of corpus
+    docs drops everything within MinHash Jaccard ``threshold`` of the
+    STATIC benchmark set and appends the clean survivors. Unlike the
+    dedup streams there is no growing index — the benchmark is fixed,
+    its band rows broadcast per batch (eval sets are small; at larger
+    benchmark scale persist them once with ``minhash_build_index`` and
+    probe that instead) — so the only cross-batch state is the commit
+    marker that makes re-delivered batches a no-op. Batch and
+    benchmark ids must be disjoint (they meet in the verify union)."""
+    from faexport_db_spark.training.dedup import fuzzy_decontaminate
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, store_path, batch_id, stream_id)
+    if committed:
+        return None
+    clean = fuzzy_decontaminate(
+        batch.select(id_col, text_col), benchmark.select(id_col, text_col),
+        text_col, id_col, num_perm, bands, shingle_n, threshold, max_bucket,
+    ).localCheckpoint(eager=True)  # pin before mutation
+    fmt.append(clean, store_path)
+    mark()
+    return clean
+
+
+def start_streaming_fuzzy_decontaminate(
+    spark: SparkSession,
+    source: DataFrame,
+    benchmark: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **decon_kwargs,
+):
+    """Wire ``fuzzy_decontaminate_batch_against_benchmark`` into a
+    streaming query via foreachBatch. ``source`` is any streaming
+    DataFrame with (doc_id, text) columns; ``benchmark`` is a static
+    frame."""
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        fuzzy_decontaminate_batch_against_benchmark(
+            batch_df, benchmark, store_path,
+            batch_id=batch_id, stream_id=sid, **decon_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1427,3 +1427,60 @@ def test_media_cdc_dedup_redelivery_and_incremental_parity(spark, tmp_path):
         if r["id_b"] >= 100  # (corpus, probe) axis, reorder to (probe, corpus)
     }
     assert inc == self_pairs and len(inc) == 5
+
+
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_fuzzy_decontaminate(spark, tmp_path, fmt_name):
+    """Each batch drops paraphrased benchmark leaks (first word swapped
+    — exact 13-grams all broken) and verbatim leaks, keeps novel docs;
+    redelivery of a committed batch is a no-op."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        fuzzy_decontaminate_batch_against_benchmark,
+        start_streaming_fuzzy_decontaminate,
+    )
+
+    fmt = STORE_FORMATS[fmt_name]()
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the old river bank"
+    )
+    benchmark = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id bigint, text string"
+    )
+    schema = "doc_id bigint, text string"
+    batches = [
+        [(1, bench_text.replace("the quick", "a quick")),  # paraphrased leak
+         (2, "novel doc one about catalyst plans and adaptive execution here")],
+        [(10, bench_text),                                  # verbatim leak
+         (11, "novel doc two about shuffle partitions and broadcast thresholds")],
+    ]
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_fuzzy_decontaminate(
+            spark, stream, benchmark, store, checkpoint=f"{ckpt}/b{i}",
+            trigger={"availableNow": True}, fmt=fmt,
+        )
+        q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in fmt.read(spark, store).collect())
+    assert ids == [2, 11]
+
+    # direct-API redelivery no-op via the marker
+    b = spark.createDataFrame(batches[0], schema)
+    n = fmt.read(spark, store).count()
+    out = fuzzy_decontaminate_batch_against_benchmark(
+        b, benchmark, store, batch_id=0, stream_id="d", fmt=fmt
+    )
+    assert out is not None  # first delivery under this namespace appends
+    n2 = fmt.read(spark, store).count()
+    assert (
+        fuzzy_decontaminate_batch_against_benchmark(
+            b, benchmark, store, batch_id=0, stream_id="d", fmt=fmt
+        )
+        is None
+    )
+    assert fmt.read(spark, store).count() == n2 and n2 == n + 1
