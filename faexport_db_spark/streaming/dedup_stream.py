@@ -14,6 +14,12 @@ operator state could not hold a corpus-lifetime seen-set; the index
 can, because probing it is one broadcast-join scan per batch
 (training/dedup.py::minhash_dedup_against_index).
 
+The same batch-against-store shape carries the exact granularities
+(line/passage/substring), embedding/semantic vectors, byte-level
+media (fixed-width AND insertion-robust CDC entries), and the
+index-free fuzzy-decontamination stream (static benchmark, the
+marker is the only cross-batch state).
+
 Within-batch self-duplicates are handled by the self-join formulation
 on the (small) batch alone — the two halves the incremental API splits
 are both applied here.

@@ -1826,7 +1826,11 @@ def html_extract(
 
     A real extractor adds boilerplate removal (nav/footer text-density
     pruning a la trafilatura); that is a scoring pass over this
-    output's block structure, not a different plumbing shape.
+    output's block structure, not a different plumbing shape. Known
+    regex-chain limits, shared by every regex extractor: a quoted
+    attribute value containing ``>`` truncates that tag's strip, and
+    mismatched ``<script`` blocks drop to end-of-document — acceptable
+    for crawl-scale filtering, not for DOM-fidelity use.
     """
     c = F.col(html_col)
     c = F.regexp_replace(c, r"<script[^>]*>[\s\S]*?</script>", " ")
