@@ -28,6 +28,13 @@ numbers:
 - Embedding LSH (12 bits x 6 tables, t=0.99): recall 308/310 ≈ 0.994
   on planted pairs with true cosine ≥ 0.99 (the two misses sit at the
   threshold boundary — expected ~0.97 there).
+- Winnowing pairs (k=3, w=4, guard off):      recall 5000/5000 = 1.0
+  EXACTLY — the copies' unmutated runs all reach w+k−1 tokens, where
+  selection is guaranteed to collide; a miss is a bug.
+- CDC media near-dup (3-byte front insertion, t=0.5):
+  recall 4000/4000 = 1.0 on ≈400-byte payloads — boundaries re-align
+  after the first content-defined cut, the regime where the
+  fixed-width chunk scheme scores 0 by construction.
 
 tests/test_recall.py asserts floors slightly below these.
 """

@@ -176,3 +176,45 @@ def test_ivfpq_residual_recall_at_least_matches_plain(spark):
     print("ivfpq recall plain:", plain, "residual:", residual)
     assert residual >= plain
     assert residual >= 0.2  # regression floor under the measured 0.26
+
+
+def test_winnowing_candidate_generation_is_complete(spark, doc_corpus):
+    """Winnowing's w+k−1 guarantee at scale: the synthetic copies
+    mutate every k-th word with k ≥ 8, so every planted pair shares
+    unmutated runs of ≥ 7 tokens ≥ w+k−1 = 6 — with the stop guard
+    off, candidate recall on the planted axis must be EXACTLY 1.0
+    (like simhash's pigeonhole completeness, a miss is a bug, not a
+    tuning artifact)."""
+    from faexport_db_spark.training.text import winnowing_match_pairs
+
+    found = winnowing_match_pairs(doc_corpus, k=3, w=4, max_bucket=None)
+    truth = planted_pairs(spark, 5_000, OFFSET)
+    stats = pair_recall(found, truth)
+    assert stats["recall"] == 1.0, stats
+
+
+def test_cdc_insertion_near_dup_recall_floor(spark):
+    """CDC media dedup under the adversarial-for-fixed-width edit: a
+    3-byte front insertion on every payload. Deterministic synthetic
+    corpus (4k docs ≈ 400-byte payloads); measured recall on the
+    planted axis is 4000/4000 = 1.0 at threshold 0.5 (boundaries
+    re-align after the first cut; a payload would need most of its
+    chunks inside the first span to fall below 0.5) — floor asserted
+    slightly below at 0.995."""
+    from faexport_db_spark.training.multimodal import media_cdc_near_dup_pairs
+
+    docs = synthetic_near_dup_docs(spark, n_base=4_000, n_dup=0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media_bytes"),
+    )
+    mutants = docs.select(
+        (F.col("doc_id") + OFFSET).alias("media_id"),
+        F.encode(F.concat(F.lit("XY "), F.col("text")), "utf-8").alias("media_bytes"),
+    )
+    found = media_cdc_near_dup_pairs(
+        media.unionByName(mutants), threshold=0.5
+    ).select("id_a", "id_b")
+    truth = planted_pairs(spark, 4_000, OFFSET)
+    stats = pair_recall(found, truth)
+    assert stats["recall"] >= 0.995, stats
