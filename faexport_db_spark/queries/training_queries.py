@@ -3048,3 +3048,85 @@ def t_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.training.text import winnowing_match_pairs
 
     return winnowing_match_pairs(_docs(spark, sf_dir), k=3, w=4)
+
+
+_MEDIA_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE
+    __corpus AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE text IS NOT NULL
+      UNION ALL SELECT doc_id + 2000000, 'Z' || substr(text, 2) FROM documents WHERE text IS NOT NULL
+      UNION ALL SELECT doc_id + 3000000, 'XY ' || text FROM documents WHERE text IS NOT NULL
+    ),
+    __k AS (SELECT min(doc_id) AS keep FROM __corpus GROUP BY text),
+    __d1 AS (SELECT doc_id FROM __corpus
+             WHERE doc_id NOT IN (SELECT keep FROM __k)),
+    __r1 AS (SELECT doc_id, text FROM __corpus
+             WHERE doc_id NOT IN (SELECT doc_id FROM __d1)),
+    __f AS (SELECT doc_id, text, CAST(ceil(len(text) / 16.0) AS INT) AS n FROM __r1),
+    __fc AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i, text FROM __f),
+    __fh AS (SELECT doc_id, n, i, substr(text, CAST(i * 16 + 1 AS INT), 16) AS c FROM __fc),
+    __fp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m,
+                    min(a.n) AS na, min(b.n) AS nb
+             FROM __fh a JOIN __fh b
+               ON a.i = b.i AND a.c = b.c AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    __d2 AS (SELECT DISTINCT id_b AS doc_id FROM __fp
+             WHERE m * 1.0 / least(na, nb) >= 0.8),
+    __r2 AS (SELECT doc_id, text FROM __r1
+             WHERE doc_id NOT IN (SELECT doc_id FROM __d2)),
+    {_cdc_chunks_cte("SELECT doc_id, 0 AS tag, text FROM __r2")},
+    __h AS (SELECT doc_id, list_distinct(list_transform(cl, c -> c.chunk_md5)) AS hl
+            FROM __ch),
+    __hu AS (SELECT doc_id, len(hl) AS nh, unnest(hl) AS h FROM __h),
+    __cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS s,
+                    min(a.nh) AS na, min(b.nh) AS nb
+             FROM __hu a JOIN __hu b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    __d3 AS (SELECT DISTINCT id_b AS doc_id FROM __cp
+             WHERE s * 1.0 / least(na, nb) >= 0.5),
+    __cnt AS (SELECT (SELECT count(*) FROM __corpus) AS t,
+                     (SELECT count(*) FROM __d1) AS n1,
+                     (SELECT count(*) FROM __d2) AS n2,
+                     (SELECT count(*) FROM __d3) AS n3)
+    SELECT 1 AS stage, 'exact' AS mechanism,
+           CAST(n1 AS BIGINT) AS n_dropped, CAST(t - n1 AS BIGINT) AS n_remaining
+    FROM __cnt
+    UNION ALL
+    SELECT 2, 'fixed_chunk', CAST(n2 AS BIGINT), CAST(t - n1 - n2 AS BIGINT) FROM __cnt
+    UNION ALL
+    SELECT 3, 'cdc_chunk', CAST(n3 AS BIGINT), CAST(t - n1 - n2 - n3 AS BIGINT) FROM __cnt
+"""
+
+
+@register("t_media_pipeline", oracle=_MEDIA_PIPELINE_ORACLE)
+def t_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media corpus-build capstone (media_dedup_pipeline_report) on a
+    corpus with the three duplicate kinds planted orthogonally: exact
+    byte copies (stage 1's prey), length-preserving first-byte edits
+    (aligned chunks — stage 2), and 3-byte front insertions (alignment
+    shift — only stage 3's content-defined chunks can catch them).
+    The oracle replays all three stages SEQUENTIALLY in SQL — group-
+    by-payload keep-lowest, aligned (idx, chunk) join at t=0.8, CDC
+    distinct-hash join at t=0.5 — so the per-stage attribution counts
+    must match exactly, not just the final survivor count."""
+    from faexport_db_spark.training.multimodal import media_dedup_pipeline_report
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+
+    def as_media(frame, offset, text_expr):
+        return frame.select(
+            (F.col("doc_id") + offset).alias("media_id"),
+            F.encode(text_expr, "utf-8").alias("media_bytes"),
+        )
+
+    corpus = (
+        as_media(docs, 0, F.col("text"))
+        .unionByName(as_media(docs, 1000000, F.col("text")))
+        .unionByName(as_media(
+            docs, 2000000,
+            F.concat(F.lit("Z"), F.expr("substring(text, 2)")),
+        ))
+        .unionByName(as_media(docs, 3000000, F.concat(F.lit("XY "), F.col("text"))))
+    )
+    return media_dedup_pipeline_report(corpus)

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -660,4 +661,81 @@ def media_cdc_near_dup_against_index(
         "id_a", "id_b",
         F.col("n_shared").cast("bigint").alias("n_shared"),
         "match_frac",
+    )
+
+
+def media_dedup_pipeline_report(
+    media: DataFrame,
+    fixed_threshold: float = 0.8,
+    fixed_chunk_bytes: int = 16,
+    cdc_threshold: float = 0.5,
+    max_bucket: int = 10_000,
+    id_col: str = "media_id",
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """The media corpus-build capstone: the three dedup granularities
+    staged cheapest-first, with per-stage attribution — the report a
+    pipeline owner reads to see WHICH mechanism pays for itself on a
+    corpus. Stage 1 drops exact byte copies (digest groupBy, keep
+    lowest id); stage 2 drops aligned near-dups of the remainder
+    (fixed-width chunk scheme — localized length-preserving edits);
+    stage 3 drops alignment-shifted near-dups of what's left
+    (content-defined chunks — insertions/re-encodes). Drop rule per
+    near-dup stage: any id appearing as the HIGHER end of a surviving
+    pair (deterministic without a connected-components pass; chains
+    collapse to their lowest id exactly as keep-lowest exact dedup
+    does).
+
+    Scale shape: stage ordering is the economics — each near-dup
+    stage sees only the previous stage's survivors, and every stage is
+    the already-scale-shaped operator (digest groupBy / skinny chunk
+    equi-joins with stop guards). Dropped-id sets can be corpus-sized,
+    so remainder filtering is a key anti-join, never a broadcast.
+    Output: (stage, mechanism, n_dropped, n_remaining), 3 rows.
+    """
+    media = media.filter(F.col(bytes_col).isNotNull()).select(id_col, bytes_col)
+    hashed = media.select(
+        F.col(id_col), F.xxhash64(F.col(bytes_col)).alias("__ph")
+    )
+    keepers = hashed.groupBy("__ph").agg(F.min(id_col).alias(id_col))
+    d1 = hashed.join(keepers.select(id_col), id_col, "left_anti").select(id_col)
+    r1 = media.join(d1, id_col, "left_anti")
+    d2 = (
+        media_near_dup_pairs(
+            r1, fixed_threshold, fixed_chunk_bytes, max_bucket, id_col, bytes_col
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    r2 = r1.join(d2, id_col, "left_anti")
+    d3 = (
+        media_cdc_near_dup_pairs(
+            r2, cdc_threshold, max_bucket=max_bucket,
+            id_col=id_col, bytes_col=bytes_col,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    total = media.agg(F.count(F.lit(1)).alias("__total"))
+
+    def stage_row(stage: int, mech: str, dropped: DataFrame) -> DataFrame:
+        return dropped.agg(F.count(F.lit(1)).alias("n_dropped")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(mech).alias("mechanism"),
+            F.col("n_dropped").cast("bigint"),
+        )
+
+    stages = (
+        stage_row(1, "exact", d1)
+        .unionByName(stage_row(2, "fixed_chunk", d2))
+        .unionByName(stage_row(3, "cdc_chunk", d3))
+    )
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        stages.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_remaining",
+            (F.col("__total") - F.sum("n_dropped").over(w)).cast("bigint"),
+        )
+        .select("stage", "mechanism", "n_dropped", "n_remaining")
     )

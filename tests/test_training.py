@@ -2328,3 +2328,29 @@ def test_winnowing_pairs_find_planted_shared_run(spark):
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {(r["id_a"], r["id_b"]) for r in winnowing_match_pairs(docs).collect()}
     assert (1, 2) in got and not any(3 in p for p in got)
+
+
+def test_media_pipeline_attributes_each_duplicate_kind_to_its_stage(spark):
+    """One payload with one duplicate of each kind: the exact copy
+    falls to stage 1, the length-preserving edit to stage 2, the
+    insertion to stage 3 — and a novel payload survives everything."""
+    import random
+
+    from faexport_db_spark.training.multimodal import media_dedup_pipeline_report
+
+    rnd = random.Random(13)
+    base = bytes(rnd.randrange(256) for _ in range(600))
+    novel = bytes(rnd.randrange(256) for _ in range(600))
+    rows = [
+        (1, base),
+        (2, base),                       # exact copy
+        (3, b"\x00" + base[1:]),        # length-preserving edit (aligned)
+        (4, b"XY" + base),              # insertion (alignment shift)
+        (5, novel),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, media_bytes binary")
+    got = {
+        r["stage"]: (r["n_dropped"], r["n_remaining"])
+        for r in media_dedup_pipeline_report(media).collect()
+    }
+    assert got == {1: (1, 4), 2: (1, 3), 3: (1, 2)}
