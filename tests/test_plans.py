@@ -846,3 +846,17 @@ def test_winnowing_pairs_bucket_join_no_cartesian(spark, sf_small):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_media_pipeline_no_cartesian_no_python(spark, sf_small):
+    """Capstone plan: stage filtering is key anti-joins (drop sets can
+    be corpus-sized — never broadcast corpus-sized frames into them is
+    the library's rule; the only nested-loop is the 1-row total
+    crossJoin), chunk joins stay skinny, zero Python evals."""
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    df = QUERIES["t_media_pipeline"](spark, sf_small)
+    js = join_strategies(df)
+    assert js["CartesianProduct"] == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
