@@ -437,6 +437,14 @@ def cdc_chunk_spans(
     offsets; every payload byte belongs to exactly one chunk.
     """
     w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if int(min_chunk) < 1:
+        raise ValueError(f"min_chunk must be >= 1, got {min_chunk}")
+    if not boundary_prefix or any(c not in "0123456789abcdef" for c in boundary_prefix):
+        raise ValueError(
+            f"boundary_prefix must be non-empty lowercase hex, got {boundary_prefix!r}"
+        )
     payload = F.col(bytes_col)
     L = F.length(payload).cast("bigint")
     cand = F.when(

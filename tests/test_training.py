@@ -2354,3 +2354,15 @@ def test_media_pipeline_attributes_each_duplicate_kind_to_its_stage(spark):
         for r in media_dedup_pipeline_report(media).collect()
     }
     assert got == {1: (1, 4), 2: (1, 3), 3: (1, 2)}
+
+
+def test_cdc_chunking_rejects_degenerate_parameters(spark):
+    import pytest as _pytest
+
+    from faexport_db_spark.training.multimodal import cdc_chunk_spans
+
+    media = spark.createDataFrame([(1, b"x" * 50)], "media_id bigint, media_bytes binary")
+    for kwargs in ({"window": 0}, {"min_chunk": 0}, {"boundary_prefix": ""},
+                   {"boundary_prefix": "G"}):
+        with _pytest.raises(ValueError):
+            cdc_chunk_spans(media, **kwargs)
