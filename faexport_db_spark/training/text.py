@@ -1943,3 +1943,84 @@ def winnowing_match_pairs(
         pairs.groupBy(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+def build_winnowing_index(
+    docs: DataFrame,
+    index_path: str,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus' selected winnowing fingerprints — distinct
+    (doc_id, fp), sorted by fp for row-group min/max pruning on probe
+    joins — plus a parameter sidecar (a probe winnowed with different
+    k/w selects different fingerprints and would silently match
+    nothing)."""
+    from faexport_db_spark.training.indexmeta import write_index_meta
+
+    (
+        winnowing_fingerprints(docs, k, w, text_col, id_col)
+        .select(id_col, "fp")
+        .distinct()
+        .sortWithinPartitions("fp")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    write_index_meta(
+        docs.sparkSession, index_path, "winnowing_fps",
+        {"k": int(k), "w": int(w), "scheme": "md5grams1"},
+    )
+
+
+def winnowing_match_against_index(
+    batch: DataFrame,
+    index_path: str,
+    k: int = 3,
+    w: int = 4,
+    max_bucket: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate matches between a NEW batch and the winnowing-indexed
+    corpus — the incremental form: only the batch is fingerprinted
+    (map-only); the corpus index is scanned once, pruned by a
+    left-semi against the batch's broadcast distinct fingerprints, and
+    the w+k−1 guarantee carries over (a shared long-enough run between
+    a batch doc and ANY indexed doc must collide). ``max_bucket``
+    skips boilerplate fingerprints by indexed posting-list size.
+    Output: (id_a = batch id, id_b = indexed id, n_shared)."""
+    from faexport_db_spark.training.indexmeta import check_index_meta
+
+    spark = batch.sparkSession
+    check_index_meta(
+        spark, index_path, "winnowing_fps",
+        {"k": int(k), "w": int(w), "scheme": "md5grams1"},
+    )
+    entries = (
+        winnowing_fingerprints(batch, k, w, text_col, id_col)
+        .select(id_col, "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bkeys = entries.select("fp").distinct()
+    matched = spark.read.parquet(index_path).join(
+        F.broadcast(bkeys), "fp", "left_semi"
+    )
+    if max_bucket is not None:
+        oversized = (
+            matched.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("fp")
+        )
+        matched = matched.join(F.broadcast(oversized), "fp", "left_anti")
+    a = entries.select("fp", F.col(id_col).alias("id_a"))
+    b = matched.select("fp", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -2366,3 +2366,41 @@ def test_cdc_chunking_rejects_degenerate_parameters(spark):
                    {"boundary_prefix": "G"}):
         with _pytest.raises(ValueError):
             cdc_chunk_spans(media, **kwargs)
+
+
+def test_winnowing_index_probe_parity_and_meta_gate(spark, tmp_path):
+    """The incremental probe finds exactly the (batch, corpus) pairs
+    the self-join form finds on the union, and a probe with mismatched
+    k/w is rejected by the sidecar."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.text import (
+        build_winnowing_index,
+        winnowing_match_against_index,
+        winnowing_match_pairs,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [(1, f"c1x c1y {run} c1z"), (2, "c2 only unrelated words here truly")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, f"b1x {run} b1y"), (101, "novel words nothing shared anywhere")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "widx")
+    build_winnowing_index(corpus, idx)
+    inc = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnowing_match_against_index(batch, idx).collect()
+    }
+    both = corpus.unionByName(batch)
+    self_form = {
+        (r["id_b"], r["id_a"], r["n_shared"])
+        for r in winnowing_match_pairs(both).collect()
+        if r["id_b"] >= 100 and r["id_a"] < 100
+    }
+    assert inc == self_form and (100, 1) in {(a, b) for a, b, _ in inc}
+    with _pytest.raises(ValueError):
+        winnowing_match_against_index(batch, idx, k=4)
