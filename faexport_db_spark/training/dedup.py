@@ -265,10 +265,14 @@ def _verify_jaccard(
     # shuffle bytes and long-compare array_intersect.
     # Candidate pairs arrive with cross-band duplicates (a true
     # near-dup agrees on MANY bands — measured ~13x inflation on a
-    # dup-dense corpus). Collapse them BEFORE the member explode: the
-    # distinct shuffles only id pairs (16 bytes each), while every
-    # surviving duplicate would ship both shingle arrays through the
-    # per-pair groupBy — the dominant shuffle at scale.
+    # dup-dense corpus). They collapse INSIDE the membership groupBy:
+    # ``collect_set`` dedups map-side (partial aggregation), so the
+    # duplicates never cross the wire as anything but pre-combined
+    # hash-set entries — one exchange where the earlier
+    # ``pairs.distinct()`` + ``collect_list`` formulation paid two
+    # (r07 follow-up to the r06 single-subtree rewrite). Only id pairs
+    # ride this shuffle either way; the shingle arrays join in AFTER,
+    # restricted to candidate docs.
     # Pre-group the pair set into a per-id membership table so the
     # candidate subtree appears in the plan exactly ONCE (the earlier
     # member + distinct-ids formulation embedded it twice, and the
@@ -277,11 +281,11 @@ def _verify_jaccard(
     # shape as the embedding path's _pair_cosines; the inner broadcast
     # join both restricts the corpus to candidate docs and attaches
     # each one's pair list.
-    member = pairs.distinct().select(
+    member = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
     )
     grouped = member.groupBy("mid").agg(
-        F.collect_list(F.struct("id_a", "id_b")).alias("ps")
+        F.collect_set(F.struct("id_a", "id_b")).alias("ps")
     )
     joined = (
         fan_out(docs)
