@@ -183,14 +183,16 @@ def _pair_cosines(
     The post-join explode only fans out stored columns, so nothing
     expensive re-evaluates per pair-membership row. Candidates arrive
     with cross-table duplicates (a true near-dup collides in up to
-    n_tables tables); the distinct shuffles only id pairs, where each
-    surviving duplicate would ship both vectors through the per-pair
-    groupBy."""
-    member = pairs.distinct().select(
+    n_tables tables); they collapse inside the membership
+    ``collect_set`` (map-side partial dedup — one exchange where a
+    dedicated distinct paid two; the r07 _verify_jaccard change,
+    mirrored). Either way only id pairs ride this shuffle; vectors
+    join in after, restricted to candidate ids."""
+    member = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
     )
     grouped = member.groupBy("mid").agg(
-        F.collect_list(F.struct("id_a", "id_b")).alias("ps")
+        F.collect_set(F.struct("id_a", "id_b")).alias("ps")
     )
     vecs = (
         fan_out(corpus)
