@@ -281,7 +281,11 @@ def test_dedup_pipeline_shuffle_ceilings(spark, sf_small):
     regression even when results stay correct."""
     assert shuffle_count(QUERIES["t_simhash_dedup"](spark, sf_small)) <= 4
     assert shuffle_count(QUERIES["t_passage_dedup"](spark, sf_small)) <= 2
-    assert shuffle_count(QUERIES["t_minhash_lsh_dedup"](spark, sf_small)) <= 9
+    # r07: the verify stage's candidate distinct folded into the
+    # membership collect_set — fan-out + band groupBy + member groupBy
+    # + per-pair groupBy is the whole pipeline now.
+    assert shuffle_count(QUERIES["t_minhash_lsh_dedup"](spark, sf_small)) <= 3
+    assert shuffle_count(QUERIES["t_embed_cosine_dedup_lsh"](spark, sf_small)) <= 3
 
 
 def test_semantic_dedup_shuffle_ceilings(spark, sf_small):
