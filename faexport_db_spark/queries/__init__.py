@@ -65,6 +65,17 @@ _REWRITTEN: list[str] = [
     # would park it in the already-checked bucket — force it into the
     # window so r07 records the fixed rows-only row.
     "t_semantic_dedup",
+    # r07 session 2: the shared verify stages (_verify_jaccard and
+    # _pair_cosines) folded their candidate-pair distinct into the
+    # membership collect_set — every oracle-backed op flowing through
+    # them re-enters the window so the rewrite earns same-round
+    # driver rows (locally oracle-green at sf0.01 already).
+    "t_minhash_lsh_checked",
+    "t_minhash_incremental_checked",
+    "t_embed_lsh_checked",
+    "t_embed_incremental_checked",
+    "t_semantic_dedup_checked",
+    "t_semantic_incremental_checked",
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory
