@@ -3130,3 +3130,42 @@ def t_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(as_media(docs, 3000000, F.concat(F.lit("XY "), F.col("text"))))
     )
     return media_dedup_pipeline_report(corpus)
+
+
+@register(
+    "t_html_links",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><a href="https://example.com/' || source || '/'
+               || CAST(doc_id AS VARCHAR)
+               || '">self</a><p>body</p><a class="x" href="https://example.com/lang/'
+               || lang || '">lang</a><a name="no-href-anchor">skip</a></body></html>'
+               AS html
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(html, '<a[^>]*\shref="([^"]*)"', 1)) AS href,
+                 generate_subscripts(regexp_extract_all(html, '<a[^>]*\shref="([^"]*)"', 1), 1) AS ord
+          FROM h)
+    SELECT doc_id, CAST(ord - 1 AS BIGINT) AS link_no, href FROM u
+    """,
+)
+def t_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (html_links) over synthesized markup with two
+    hrefs per doc (one attribute-bearing) and one href-less anchor
+    that must NOT match — ordinals and urls pinned value-for-value by
+    the SQL replay."""
+    from faexport_db_spark.training.text import html_links
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit('<html><body><a href="https://example.com/'),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">self</a><p>body</p><a class="x" href="https://example.com/lang/'),
+        F.col("lang"),
+        F.lit('">lang</a><a name="no-href-anchor">skip</a></body></html>'),
+    )
+    return html_links(docs.select("doc_id", html.alias("html")))

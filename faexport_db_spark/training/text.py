@@ -2024,3 +2024,31 @@ def winnowing_match_against_index(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+def html_links(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Outlink extraction — the crawl-pipeline companion of
+    ``html_extract``: every ``href`` of an ``<a>`` tag, with its
+    0-based ordinal within the document, feeding link-graph
+    construction / frontier scheduling. Map-only pure Catalyst
+    (``regexp_extract_all`` + ``posexplode``), RE2-compatible pattern
+    (no lookarounds), runs at scan speed at 100 TB; NULL html rows and
+    anchor-less docs yield no rows.
+
+    Same fidelity contract as ``html_extract``: regex-level parsing —
+    attribute values containing ``>`` or unquoted hrefs are out of
+    scope (DOM-fidelity needs a parser, not a different plan shape).
+    Output: (id, link_no, href).
+    """
+    links = F.expr(
+        f"regexp_extract_all({html_col}, '<a[^>]*\\\\shref=\"([^\"]*)\"', 1)"
+    )
+    return (
+        docs.filter(F.col(html_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(links).alias("link_no", "href"))
+        .select(id_col, F.col("link_no").cast("bigint").alias("link_no"), "href")
+    )

@@ -864,3 +864,17 @@ def test_media_pipeline_no_cartesian_no_python(spark, sf_small):
     assert js["CartesianProduct"] == 0
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_links_is_map_only(spark, sf_small):
+    """Link extraction is one narrow projection — 1 scan, 0 exchanges,
+    no Python."""
+    import re
+
+    from faexport_db_spark.plans.audit import formatted_plan
+
+    df = QUERIES["t_html_links"](spark, sf_small)
+    assert shuffle_count(df) == 0
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2404,3 +2404,20 @@ def test_winnowing_index_probe_parity_and_meta_gate(spark, tmp_path):
     assert inc == self_form and (100, 1) in {(a, b) for a, b, _ in inc}
     with _pytest.raises(ValueError):
         winnowing_match_against_index(batch, idx, k=4)
+
+
+def test_html_links_ordinals_and_edge_cases(spark):
+    """Hrefs extracted in document order with 0-based ordinals;
+    anchors without href, NULL html, and link-free docs yield no
+    rows; single-quoted hrefs are (documented) out of regex scope."""
+    from faexport_db_spark.training.text import html_links
+
+    rows = [
+        (1, '<a href="u1">x</a> mid <a rel="next" href="u2">y</a>'),
+        (2, '<a name="n">no href</a><p>text</p>'),
+        (3, None),
+        (4, "<a href='single-quoted'>skip</a>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    got = sorted((r["doc_id"], r["link_no"], r["href"]) for r in html_links(df).collect())
+    assert got == [(1, 0, "u1"), (1, 1, "u2")]
