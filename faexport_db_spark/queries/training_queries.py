@@ -3169,3 +3169,51 @@ def t_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('">lang</a><a name="no-href-anchor">skip</a></body></html>'),
     )
     return html_links(docs.select("doc_id", html.alias("html")))
+
+
+@register(
+    "t_substring_removal",
+    oracle=f"""
+    WITH corpus AS ({_SUBSTRING_PLANTED_SQL}),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM corpus WHERE text IS NOT NULL),
+    g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 8)) AS pos
+                FROM t WHERE len(toks) >= 8)),
+    occ AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gram) AS cnt,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM g),
+    cutpos AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+               FROM occ WHERE cnt > 1 AND rn > 1),
+    tok AS (SELECT doc_id, unnest(toks) AS w,
+                   generate_subscripts(toks, 1) - 1 AS p
+            FROM t),
+    kept AS (SELECT k.doc_id, k.w, k.p
+             FROM tok k LEFT JOIN cutpos c ON k.doc_id = c.doc_id AND k.p = c.p
+             WHERE c.doc_id IS NULL),
+    agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def t_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL form of substring-level dedup (substring_dedup):
+    every duplicated ≥8-token gram occurrence except its corpus-first
+    (lowest id, pos) keeper has its covered tokens cut, documents
+    rebuilt from the survivors. Same planted corpus as the span
+    detector; the oracle replays gram marking (gram STRINGS — equality
+    matches the engine's fixed-width xxhash64 keys modulo 2^-64
+    collisions), the (doc, pos) keeper rule, per-position coverage and
+    the ordered rebuild, pinning clean_text byte-for-byte."""
+    from faexport_db_spark.training.text import substring_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return substring_dedup(_substring_planted(docs), min_tokens=8)
