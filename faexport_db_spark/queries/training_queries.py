@@ -3140,22 +3140,26 @@ def t_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              '<html><body><a href="https://example.com/' || source || '/'
                || CAST(doc_id AS VARCHAR)
                || '">self</a><p>body</p><a class="x" href="https://example.com/lang/'
-               || lang || '">lang</a><a name="no-href-anchor">skip</a></body></html>'
+               || lang || '">lang</a><a name="no-href-anchor">skip</a>'
+               || '<area shape="rect" href="https://example.com/map">'
+               || '</body></html>'
                AS html
       FROM documents WHERE text IS NOT NULL
     ),
     u AS (SELECT doc_id,
-                 unnest(regexp_extract_all(html, '<a[^>]*\shref="([^"]*)"', 1)) AS href,
-                 generate_subscripts(regexp_extract_all(html, '<a[^>]*\shref="([^"]*)"', 1), 1) AS ord
+                 unnest(regexp_extract_all(html, '<a(\s[^>]*)?\shref="([^"]*)"', 2)) AS href,
+                 generate_subscripts(regexp_extract_all(html, '<a(\s[^>]*)?\shref="([^"]*)"', 2), 1) AS ord
           FROM h)
     SELECT doc_id, CAST(ord - 1 AS BIGINT) AS link_no, href FROM u
     """,
 )
 def t_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (html_links) over synthesized markup with two
-    hrefs per doc (one attribute-bearing) and one href-less anchor
-    that must NOT match — ordinals and urls pinned value-for-value by
-    the SQL replay."""
+    hrefs per doc (one attribute-bearing), one href-less anchor that
+    must NOT match, and one href-bearing ``<area>`` tag that must NOT
+    match either (the tag-name boundary — a pattern without it reads
+    any tag starting with 'a' as an anchor) — ordinals and urls pinned
+    value-for-value by the SQL replay."""
     from faexport_db_spark.training.text import html_links
 
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -3166,7 +3170,9 @@ def t_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit('">self</a><p>body</p><a class="x" href="https://example.com/lang/'),
         F.col("lang"),
-        F.lit('">lang</a><a name="no-href-anchor">skip</a></body></html>'),
+        F.lit('">lang</a><a name="no-href-anchor">skip</a>'),
+        F.lit('<area shape="rect" href="https://example.com/map">'),
+        F.lit("</body></html>"),
     )
     return html_links(docs.select("doc_id", html.alias("html")))
 

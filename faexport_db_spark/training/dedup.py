@@ -939,15 +939,26 @@ def fuzzy_contamination_pairs(
     plan exactly once. Verification rejoins both texts through the
     usual single-scan broadcast membership join.
 
-    Corpus and benchmark ids must be disjoint (they meet inside the
-    verify stage's union). Output: (corpus_id, bench_id, jaccard) with
-    jaccard ≥ threshold.
+    Corpus and benchmark ids are independent spaces and MAY overlap:
+    both sides are namespaced into (side, key) struct ids before the
+    two frames meet, so a shared raw id can never mix the two texts
+    inside the verify stage's per-id shingle extraction. Output:
+    (corpus_id, bench_id, jaccard) with jaccard ≥ threshold, ids in
+    their original type.
     """
+    corp_ns = corpus.select(
+        F.struct(F.lit("c").alias("side"), F.col(id_col).alias("k")).alias(id_col),
+        text_col,
+    )
+    bench_ns = benchmark.select(
+        F.struct(F.lit("b").alias("side"), F.col(id_col).alias("k")).alias(id_col),
+        text_col,
+    )
     bench_banded = minhash_band_rows(
-        benchmark, text_col, id_col, num_perm, bands, shingle_n
+        bench_ns, text_col, id_col, num_perm, bands, shingle_n
     ).withColumnRenamed(id_col, "__bench_id")
     corp_banded = minhash_band_rows(
-        corpus, text_col, id_col, num_perm, bands, shingle_n
+        corp_ns, text_col, id_col, num_perm, bands, shingle_n
     )
     matched = corp_banded.join(
         F.broadcast(bench_banded), ["band_idx", "band_hash"]
@@ -968,13 +979,11 @@ def fuzzy_contamination_pairs(
     cand = matched.select(
         F.col(id_col).alias("id_a"), F.col("__bench_id").alias("id_b")
     )
-    both = corpus.select(id_col, text_col).unionByName(
-        benchmark.select(id_col, text_col)
-    )
+    both = corp_ns.unionByName(bench_ns)
     out = _verify_jaccard(both, cand, text_col, id_col, shingle_n, threshold)
     return out.select(
-        F.col("id_a").alias("corpus_id"),
-        F.col("id_b").alias("bench_id"),
+        F.col("id_a.k").alias("corpus_id"),
+        F.col("id_b.k").alias("bench_id"),
         "jaccard",
     )
 

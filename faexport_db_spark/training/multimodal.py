@@ -298,12 +298,17 @@ def media_exact_dup(
     """Exact byte-identical duplicate groups: (payload_hash, n_copies,
     keeper_id, dup_ids) for payloads appearing more than once — the
     cheapest first pass before any near-dup machinery (hash groupBy,
-    map-side combined; blobs never shuffle)."""
+    map-side combined; blobs never shuffle). Groups form on TWO
+    independent digests (xxhash64 + md5) so a 64-bit birthday collision
+    at billion-item scale cannot merge distinct payloads into one
+    group; the reported ``payload_hash`` stays the xxhash64 value."""
     hashed = media.filter(F.col(bytes_col).isNotNull()).select(
-        F.col(id_col), F.xxhash64(F.col(bytes_col)).alias("payload_hash")
+        F.col(id_col),
+        F.xxhash64(F.col(bytes_col)).alias("payload_hash"),
+        F.md5(F.col(bytes_col)).alias("__pm"),
     )
     return (
-        hashed.groupBy("payload_hash")
+        hashed.groupBy("payload_hash", "__pm")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min(id_col).alias("keeper_id"),
@@ -702,10 +707,18 @@ def media_dedup_pipeline_report(
     Output: (stage, mechanism, n_dropped, n_remaining), 3 rows.
     """
     media = media.filter(F.col(bytes_col).isNotNull()).select(id_col, bytes_col)
+    # Stage 1 DROPS data, so a single 64-bit digest is not enough: at
+    # multi-billion-item scale a birthday collision on xxhash64 alone
+    # is plausible and would silently discard a distinct payload. Two
+    # independent digests (xxhash64 + md5, 192 combined bits) make the
+    # surviving collision probability negligible while the blobs still
+    # never shuffle — both hashes are computed map-side in one scan.
     hashed = media.select(
-        F.col(id_col), F.xxhash64(F.col(bytes_col)).alias("__ph")
+        F.col(id_col),
+        F.xxhash64(F.col(bytes_col)).alias("__ph"),
+        F.md5(F.col(bytes_col)).alias("__pm"),
     )
-    keepers = hashed.groupBy("__ph").agg(F.min(id_col).alias(id_col))
+    keepers = hashed.groupBy("__ph", "__pm").agg(F.min(id_col).alias(id_col))
     d1 = hashed.join(keepers.select(id_col), id_col, "left_anti").select(id_col)
     r1 = media.join(d1, id_col, "left_anti")
     d2 = (

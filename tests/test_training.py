@@ -2171,6 +2171,39 @@ def test_fuzzy_decontaminate_drops_paraphrased_benchmark_docs(spark):
     assert kept_all == [1, 2, 3]
 
 
+def test_fuzzy_contamination_overlapping_ids(spark):
+    """Corpus and benchmark ids are independent spaces: a corpus doc
+    sharing a raw id with a benchmark doc must keep ITS OWN text
+    through the verify stage. Pre-namespacing, the union by raw id let
+    ``F.max`` pick one shingle array for both sides, reporting the
+    colliding pair at jaccard 1.0 regardless of the actual texts."""
+    from faexport_db_spark.training.dedup import (
+        fuzzy_contamination_pairs,
+        fuzzy_decontaminate,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base.replace("the quick", "a quick")),  # paraphrased leak
+            (2, "completely unrelated text about spark physical plans and shuffles here"),
+            (100, base.replace("river bank", "creek bed")),  # leak, id collides with bench
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+    pairs = {
+        (r["corpus_id"], r["bench_id"]): r["jaccard"]
+        for r in fuzzy_contamination_pairs(corpus, bench).collect()
+    }
+    assert set(pairs) == {(1, 100), (100, 100)}
+    # The colliding pair's jaccard reflects the two DIFFERENT texts —
+    # a paraphrase, strictly below 1.0 — not a self-compare.
+    assert pairs[(100, 100)] < 1.0
+    kept = sorted(r["doc_id"] for r in fuzzy_decontaminate(corpus, bench).collect())
+    assert kept == [2]
+
+
 def test_fuzzy_contamination_stop_bucket_guard(spark):
     """A degenerate band bucket (every corpus doc identical ⇒ all 16
     bands collide) is skipped when max_bucket is tiny — no pairs — and
@@ -2417,7 +2450,11 @@ def test_html_links_ordinals_and_edge_cases(spark):
         (2, '<a name="n">no href</a><p>text</p>'),
         (3, None),
         (4, "<a href='single-quoted'>skip</a>"),
+        # Tags that merely START with 'a' are not anchors: none of
+        # these may contribute an outlink (the tag-name boundary).
+        (5, '<area shape="rect" href="m1"><abbr href="m2">t</abbr><audio href="m3">'),
+        (6, '<area href="m4"><a href="real">keep</a>'),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, html string")
     got = sorted((r["doc_id"], r["link_no"], r["href"]) for r in html_links(df).collect())
-    assert got == [(1, 0, "u1"), (1, 1, "u2")]
+    assert got == [(1, 0, "u1"), (1, 1, "u2"), (6, 0, "real")]
