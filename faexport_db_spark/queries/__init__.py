@@ -57,25 +57,18 @@ _SENTINELS = ["merged_entity", "m5_extra_data_merge", "m7_clash_fold_checked"]
 # they re-enter the window right after the sentinels (VERDICT r03
 # item 6). Clear this list when a round ships no rewrites.
 _REWRITTEN: list[str] = [
-    # r07: the raw semantic-dedup registration was rewritten to project
-    # driver-hashable columns (vec_id + vector fingerprint) after its
-    # r06 row crashed the driver's pandas canonicalizer on the
-    # ArrayType embedding column (VERDICT r06 "What's wrong" #1). It is
-    # a no-oracle raw with an archived red row, so the rotation alone
-    # would park it in the already-checked bucket — force it into the
-    # window so r07 records the fixed rows-only row.
-    "t_semantic_dedup",
-    # r07 session 2: the shared verify stages (_verify_jaccard and
-    # _pair_cosines) folded their candidate-pair distinct into the
-    # membership collect_set — every oracle-backed op flowing through
-    # them re-enters the window so the rewrite earns same-round
-    # driver rows (locally oracle-green at sf0.01 already).
-    "t_minhash_lsh_checked",
-    "t_minhash_incremental_checked",
-    "t_embed_lsh_checked",
-    "t_embed_incremental_checked",
-    "t_semantic_dedup_checked",
-    "t_semantic_incremental_checked",
+    # r08 (ADVICE r07 fixes — each one changes op semantics, so the
+    # archived green rows are stale evidence):
+    # html_links regex gained the tag-name boundary (<area>/<abbr>
+    # hrefs no longer extracted) and its fixture grew a decoy.
+    "t_html_links",
+    # fuzzy_contamination_pairs namespaces corpus/benchmark ids into
+    # (side, key) structs before the verify-stage union.
+    "t_fuzzy_decontaminate_checked",
+    # media exact dedup groups on two independent digests
+    # (xxhash64 + md5) in both the reporting op and pipeline stage 1.
+    "t_media_exact_dedup",
+    "t_media_pipeline",
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory

@@ -3223,3 +3223,266 @@ def t_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return substring_dedup(_substring_planted(docs), min_tokens=8)
+
+
+@register(
+    "t_hll_registers",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    r AS (SELECT CAST(h % 256 AS INT) AS bucket, h // 256 AS rest FROM h)
+    SELECT bucket,
+           CAST(max(CASE WHEN rest = 0 THEN 53
+                         ELSE 52 - length(bin(rest)) + 1 END) AS INT) AS register
+    FROM r GROUP BY bucket
+    """,
+)
+def t_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog sketch state (hll_register_table, p=8)
+    over the orders fact's customer key: the (bucket, register) table
+    is pure integer arithmetic on md5-derived hashes, so the oracle
+    replays every register exactly — the sketch STATE, not just its
+    estimate, is pinned. Mergeability (max per bucket) and the
+    estimate's accuracy are property-tested locally."""
+    from faexport_db_spark.training.pipeline import hll_register_table
+
+    return hll_register_table(load_table(spark, sf_dir, "orders"), "o_custkey", p=8)
+
+
+@register(
+    "t_dsir_weights",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, unnest(toks) AS g FROM t
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS INT) AS b
+      FROM g
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+    tgt AS (SELECT b.b, count(*) AS ct FROM b
+            JOIN documents d USING (doc_id) WHERE d.lang = 'zh' GROUP BY b.b),
+    tots AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS nr,
+                    (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt),
+    ratio AS (
+      SELECT coalesce(raw.b, tgt.b) AS b,
+             ln((coalesce(ct, 0) + 1) / (nt + 4096.0))
+               - ln((coalesce(cr, 0) + 1) / (nr + 4096.0)) AS lr
+      FROM raw FULL OUTER JOIN tgt ON raw.b = tgt.b, tots
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logw
+      FROM b JOIN ratio USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.dsir_logw, 0.0) AS dsir_logw
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (dsir_weights): every document scored
+    for resemblance to the zh slice (the registered stand-in for the
+    paper's wiki-like target) over hashed unigram+bigram buckets —
+    counts, smoothing, and the per-doc log-weight sum replayed
+    value-for-value in SQL."""
+    from faexport_db_spark.training.pipeline import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.filter(F.col("lang") == "zh"))
+
+
+@register(
+    "t_bloom_decontaminate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                   i -> array_to_string(toks[i:i+4], ' '))) AS g
+      FROM t
+    ),
+    bp AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(g || '#' || s), 1, 15)) AS BIGINT) % 4194304 AS pos
+      FROM g, unnest([0, 1, 2]) AS u(s) WHERE doc_id % 50 = 0
+    ),
+    cp AS (
+      SELECT doc_id, g, s,
+             CAST(('0x' || substr(md5(g || '#' || s), 1, 15)) AS BIGINT) % 4194304 AS pos
+      FROM g, unnest([0, 1, 2]) AS u(s)
+    ),
+    bad AS (
+      SELECT DISTINCT doc_id FROM cp
+      WHERE pos IN (SELECT pos FROM bp)
+      GROUP BY doc_id, g HAVING count(DISTINCT s) = 3
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def t_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (bloom_decontaminate, m=2^22, k=3,
+    5-grams) against the same doc_id%50 benchmark slice t_decontaminate
+    uses: the filter's md5-derived bit positions are engine-neutral, so
+    the oracle rebuilds the identical filter and replays the exact kept
+    set — false positives included."""
+    from faexport_db_spark.training.text import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return bloom_decontaminate(docs, bench)
+
+
+@register(
+    "t_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST(sum(pow(n_docs, 0.7)) AS DOUBLE) AS z FROM c)
+    SELECT stratum, n_docs,
+           round(n_docs / CAST(n_total AS DOUBLE), 6) AS p_raw,
+           round(pow(n_docs, 0.7) / z, 6) AS q_temp,
+           round((pow(n_docs, 0.7) / z) / (n_docs / CAST(n_total AS DOUBLE)), 6) AS boost
+    FROM c, t
+    """,
+)
+def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (temperature_mixture,
+    α=0.7) over the language strata — raw share, flattened share and
+    the oversampling boost per stratum, all replayed in SQL."""
+    from faexport_db_spark.training.pipeline import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), "lang", 0.7)
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """DuckDB replica of the full tokenize path: the trainer's
+    CTE-unrolled merge derivation (same construction as
+    ``_bpe_oracle_sql`` — control-char-delimited symbol strings, one
+    ``replace`` per merge with greedy non-overlapping left-to-right
+    semantics) extended to carry the WORD through, so the final
+    per-word symbol counts re-aggregate into per-document BPE token
+    counts. An independent formulation of the encoder (string
+    simulation) cross-checking the Spark side's Catalyst array fold."""
+    L, R = "\x02", "\x03"
+    rx = f"{L}([^{L}{R}]*){R}"
+    parts = [
+        f"""
+    words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL) u
+      WHERE len(w) > 0 GROUP BY w
+    ),
+    w0 AS (
+      SELECT w, freq,
+             '{L}' || array_to_string(string_split(w, ''), '{R}{L}') || '{R}' AS s
+      FROM words
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""
+    x{i} AS (SELECT freq, regexp_extract_all(s, '{rx}', 1) AS syms FROM w{i}),
+    e{i} AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+             FROM x{i} WHERE len(syms) >= 2),
+    p{i} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM e{i} GROUP BY 1, 2),
+    t{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    w{i + 1} AS (SELECT w, freq, replace(s,
+                  (SELECT '{L}' || lhs || '{R}{L}' || rhs || '{R}' FROM t{i}),
+                  (SELECT '{L}' || lhs || rhs || '{R}' FROM t{i})) AS s
+                 FROM w{i})"""
+        )
+    parts.append(
+        f"""
+    wc AS (SELECT w, len(regexp_extract_all(s, '{rx}', 1)) AS n_sym
+           FROM w{n_merges}),
+    dtext AS (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE text IS NOT NULL),
+    dtok AS (SELECT doc_id, unnest(toks) AS w FROM dtext),
+    agg AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+            FROM dtok JOIN wc USING (w) GROUP BY doc_id)"""
+    )
+    tail = """
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_ws_tokens,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           coalesce(a.n_bpe, 0) AS n_bpe_tokens
+    FROM dtext d LEFT JOIN agg a USING (doc_id)"""
+    return "WITH" + ",".join(parts) + tail
+
+
+@register("t_bpe_encode", oracle=_bpe_encode_oracle_sql(3))
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoder half of the tokenizer story (bpe_apply): train the
+    first 3 merges on the corpus, then encode every document with them
+    — per-doc whitespace-token, char and realized-BPE-token counts.
+    The Spark side encodes via the pure-Catalyst array fold; the
+    oracle re-derives the merges AND re-encodes via an independent
+    string-simulation — two formulations of greedy non-overlapping
+    merge application pinned value-for-value against each other."""
+    from faexport_db_spark.training.text import bpe_apply, bpe_merges
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, n_merges=3).orderBy("it").collect()
+    ]
+    return bpe_apply(docs, learned)
+
+
+@register(
+    "t_hll_merge",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    r AS (SELECT CAST(h % 256 AS INT) AS bucket, h // 256 AS rest FROM h)
+    SELECT bucket,
+           CAST(max(CASE WHEN rest = 0 THEN 53
+                         ELSE 52 - length(bin(rest)) + 1 END) AS INT) AS register
+    FROM r GROUP BY bucket
+    """,
+)
+def t_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge algebra: the orders fact splits into two shards
+    (even/odd orderkey), each shard computes its own HLL register
+    table, and the two merge by elementwise MAX per bucket. The oracle
+    is the DIRECT single-pass register table over the whole fact —
+    merge(shard sketches) == sketch(union) is exactly the property
+    that lets 100 TB keep per-shard sketch sidecars and answer
+    distinct-counts over any shard subset without rescanning."""
+    from faexport_db_spark.training.pipeline import hll_register_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    even = hll_register_table(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", p=8)
+    odd = hll_register_table(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", p=8)
+    return (
+        even.unionByName(odd)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )

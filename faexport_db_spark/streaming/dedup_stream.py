@@ -1078,7 +1078,8 @@ def fuzzy_decontaminate_batch_against_benchmark(
     benchmark scale persist them once with ``minhash_build_index`` and
     probe that instead) — so the only cross-batch state is the commit
     marker that makes re-delivered batches a no-op. Batch and
-    benchmark ids must be disjoint (they meet in the verify union)."""
+    benchmark ids may overlap: ``fuzzy_contamination_pairs``
+    namespaces the two sides internally before they meet."""
     from faexport_db_spark.training.dedup import fuzzy_decontaminate
 
     fmt = fmt or ParquetFormat()
@@ -1114,6 +1115,76 @@ def start_streaming_fuzzy_decontaminate(
         fuzzy_decontaminate_batch_against_benchmark(
             batch_df, benchmark, store_path,
             batch_id=batch_id, stream_id=sid, **decon_kwargs
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def bloom_decontaminate_batch(
+    batch: DataFrame,
+    bloom_words: list[int],
+    store_path: str,
+    n: int = 5,
+    m_bits: int = 1 << 22,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    fmt: TableFormat | None = None,
+) -> DataFrame | None:
+    """Streaming Bloom decontamination: each micro-batch probes a
+    PREBUILT filter (``build_bloom_filter`` output — built once when
+    the stream starts, not per batch) and appends the survivors. The
+    probe is stateless and map-only, so the only cross-batch state is
+    the commit marker that makes re-delivered batches a no-op; the
+    filter itself is a constant-size long array shipped with the
+    closure, the streaming analog of a broadcast tokenizer vocab."""
+    from faexport_db_spark.training.text import bloom_probe_filter
+
+    fmt = fmt or ParquetFormat()
+    spark = batch.sparkSession
+    committed, mark = _batch_marker(spark, store_path, batch_id, stream_id)
+    if committed:
+        return None
+    clean = bloom_probe_filter(
+        batch.select(id_col, text_col), bloom_words, n, m_bits, k, text_col
+    ).localCheckpoint(eager=True)  # pin before mutation
+    fmt.append(clean, store_path)
+    mark()
+    return clean
+
+
+def start_streaming_bloom_decontaminate(
+    spark: SparkSession,
+    source: DataFrame,
+    benchmark: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    n: int = 5,
+    m_bits: int = 1 << 22,
+    k: int = 3,
+    trigger: dict | None = None,
+    **batch_kwargs,
+):
+    """Wire ``bloom_decontaminate_batch`` into a streaming query via
+    foreachBatch. The Bloom filter is built from the static
+    ``benchmark`` ONCE, before the stream starts — every micro-batch
+    reuses the same word array."""
+    from faexport_db_spark.training.text import build_bloom_filter
+
+    words = build_bloom_filter(benchmark, n, m_bits, k)
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_decontaminate_batch(
+            batch_df, words, store_path, n, m_bits, k,
+            batch_id=batch_id, stream_id=sid, **batch_kwargs
         )
 
     writer = source.writeStream.foreachBatch(_process).option(

@@ -30,6 +30,7 @@ from faexport_db_spark.training.text import (
     BPE_ISH_PATTERN,
     quality_features,
     quality_rules,
+    tokens_expr,
 )
 
 
@@ -561,4 +562,194 @@ def vocab_ids(
     )
     return local.select(
         "token", F.col("cnt").cast("bigint").alias("cnt"), token_id.alias("token_id")
+    )
+
+
+def hll_register_table(
+    df: DataFrame, col: str = "text", p: int = 8
+) -> DataFrame:
+    """Portable HyperLogLog sketch STATE: the (bucket, register) table
+    for a distinct-count sketch over ``col``, with engine-neutral
+    md5-derived hashing. Spark's own ``approx_count_distinct`` yields
+    only the final number (and its HLL++ state is
+    implementation-private); this exposes the registers themselves as
+    DATA, which is what makes sketches operational in a pipeline:
+    register tables are mergeable (elementwise MAX per bucket) across
+    partitions, days, or even engines, so a 100 TB corpus can keep
+    per-shard sketch sidecars and answer "distinct across any shard
+    subset" without rescanning — the same reason the BM25/ANN paths
+    persist index sidecars.
+
+    Mechanics (Flajolet et al. 2007): a 60-bit integer hash (15 md5
+    hex chars — identical in any engine with md5, no engine-native
+    hash), low ``p`` bits pick the bucket, and the register is the
+    max over rows of the position of the leftmost 1-bit in the
+    remaining ``60-p`` bits (computed EXACTLY via the binary-string
+    length of the remainder — no float log2, whose boundary rounding
+    differs across engines). One map-side-combining groupBy bounded
+    by 2^p rows; only observed buckets appear.
+
+    Output: (bucket, register) — int, int.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    width = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = (h % m).cast("int")
+    rest = F.shiftright(h, p)  # nonneg: h is 60 bits
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
+    """Driver-side estimate from a (possibly merged) register table —
+    the read path of ``hll_register_table``. Standard HLL with the
+    small-range linear-counting correction; buckets absent from the
+    dict are empty (register 0)."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much more likely its hashed n-gram bag is under a
+    TARGET distribution (the domain you want more of — wiki-like,
+    code-like) than under the raw corpus distribution. Selection =
+    keep the top slice by weight; this computes the weights.
+
+    Features are word unigrams + bigrams hashed into ``buckets``
+    md5-derived buckets (engine-neutral, like the Bloom filter path).
+    Per-doc log-weight = Σ_grams [log p_target(b) - log p_raw(b)]
+    with add-one smoothing over the bucket space.
+
+    Shape at 100 TB: two bucket-count aggregations (map-side
+    combining, output bounded by ``buckets``), then one corpus scan
+    whose exploded grams join the bucket→log-ratio table BROADCAST
+    (4096 rows) and re-aggregate per doc — the corpus never shuffles
+    anything wider than (doc_id, partial sum). In the paper's setting
+    the raw distribution comes from a sample; pass a sampled
+    ``corpus`` to a precomputation wrapper if the full-corpus stats
+    pass is worth skipping — the weights-scan shape is unchanged.
+
+    Output: (id, n_grams, dsir_logw) — bigint, bigint, double(6dp).
+    """
+    toks = tokens_expr(text_col)
+    grams = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+        % buckets
+    ).cast("int")
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(grams).alias("g"))
+            .select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    raw = bucket_counts(corpus, "cr")
+    tgt = bucket_counts(target, "ct")
+    totals = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("nt"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + buckets))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1) / (F.col("nr") + buckets))
+            ).alias("lr"),
+        )
+    )
+    doc_grams = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, bucket.alias("b"))
+    )
+    scored = (
+        doc_grams.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+        )
+    )
+    return corpus.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+        F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the multilingual-training
+    standard from mBERT/XLM-R: q_s ∝ p_s^α): flattens the raw stratum
+    distribution toward uniform as α→0, so low-resource strata are
+    upsampled without hand-written weights — the complement of
+    ``mixture_rates``, which realizes an EXPLICIT target mixture.
+
+    ``boost`` = q_s/p_s is the per-stratum oversampling factor a
+    sampler applies (>1 for under-represented strata). One count
+    aggregation bounded by the number of strata; the normalizer rides
+    a one-row broadcast.
+
+    Output: (stratum, n_docs, p_raw, q_temp, boost), doubles at 6dp.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    p = F.col("n_docs") / F.col("n_total")
+    q = F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(p, 6).alias("p_raw"),
+        F.round(q, 6).alias("q_temp"),
+        F.round(q / p, 6).alias("boost"),
     )

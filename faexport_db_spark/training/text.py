@@ -387,6 +387,122 @@ def decontaminate(
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def _bloom_params_check(m_bits: int, k: int) -> None:
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def _bloom_grams(text_col: str, n: int) -> Column:
+    toks = tokens_expr(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _bloom_pos(g: Column, seed: int, m_bits: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(g, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(m_bits)
+
+
+def _bit_masks() -> Column:
+    """Single-bit masks by bit index (shiftleft needs a literal shift
+    count, so a 64-entry lookup stands in; index 63 is the sign bit).
+    Built lazily: column construction needs an active session."""
+    return F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+
+def build_bloom_filter(
+    benchmark: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 22,
+    k: int = 3,
+    text_col: str = "text",
+) -> list[int]:
+    """Fold a benchmark set into a Bloom filter over its word
+    ``n``-grams: ``m_bits`` bits as a list of m_bits/64 longs. The
+    build aggregates gram positions into ≤ m_bits/64 (word_idx, bits)
+    rows — a map-side combining groupBy bounded by the CONSTANT m, not
+    the benchmark — collected once to assemble the word array. Build
+    once, probe many (the streaming decontamination reuses one filter
+    across every micro-batch)."""
+    _bloom_params_check(m_bits, k)
+    grams = _bloom_grams(text_col, n)
+    # NULL-text rows have no grams: they contribute no bits (a NULL
+    # tokens array would otherwise surface as a spurious "" gram
+    # through concat_ws).
+    bench_pos = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(F.explode(grams).alias("g"))
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), s, m_bits) for s in range(k)])
+            ).alias("pos")
+        )
+    )
+    word_rows = (
+        bench_pos.distinct()
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.element_at(_bit_masks(), (F.col("pos") % 64).cast("int") + 1)
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_probe_filter(
+    corpus: DataFrame,
+    words: list[int],
+    n: int = 5,
+    m_bits: int = 1 << 22,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every corpus doc with an ``n``-gram whose ``k`` positions
+    are all set in the prebuilt filter (``build_bloom_filter`` output,
+    same n/m_bits/k). The probe is a pure per-row expression over the
+    corpus (grams → k md5-derived positions → word test): one scan,
+    map-only, zero shuffles, with only the bitmap (m_bits/8 bytes)
+    riding along as a one-row broadcast. NULL-text docs have no grams
+    and are always kept."""
+    _bloom_params_check(m_bits, k)
+    if len(words) != m_bits // 64:
+        raise ValueError(
+            f"filter has {len(words)} words; m_bits={m_bits} needs {m_bits // 64} "
+            "— probe parameters must match the build"
+        )
+    grams = _bloom_grams(text_col, n)
+    bloom = corpus.sparkSession.createDataFrame([(words,)], "`__bloom` array<long>")
+
+    def _bit_set(p: Column) -> Column:
+        word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1)
+        mask = F.element_at(_bit_masks(), (p % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    def _contained(g: Column) -> Column:
+        out = F.lit(True)
+        for s in range(k):
+            out = out & _bit_set(_bloom_pos(g, s, m_bits))
+        return out
+
+    flagged = F.col(text_col).isNotNull() & F.coalesce(
+        F.exists(grams, _contained), F.lit(False)
+    )
+    return corpus.crossJoin(F.broadcast(bloom)).filter(~flagged).drop("__bloom")
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -400,92 +516,20 @@ def bloom_decontaminate(
     of ``decontaminate``. The exact rule broadcasts the benchmark's
     raw n-gram hash set, which grows linearly with the benchmark; here
     the benchmark folds into a Bloom filter of exactly ``m_bits`` bits
-    (an ``array<long>`` of m_bits/64 words) that is the same size no
-    matter how many eval suites pile into it. Standard Bloom
-    semantics: ZERO false negatives (every true n-gram leak is always
-    dropped) and false-positive drops at ~(1-e^{-k·g/m})^k for g
-    benchmark grams — the deliberate trade for bounded memory.
-
-    Shape at 100 TB: the filter build aggregates benchmark gram
-    positions into ≤ m_bits/64 (word_idx, bits) rows — a map-side
-    combining groupBy bounded by the CONSTANT m, not the benchmark —
-    collected once to assemble the word array. The probe is a pure
-    per-row expression over the corpus (grams → k md5-derived
-    positions → word test), so the corpus-sized side never explodes,
-    never shuffles, and never joins: one scan, map-only, with only the
-    bitmap (m_bits/8 bytes, e.g. 512 KiB at m=2^22) riding along as a
-    one-row broadcast.
+    (``build_bloom_filter``) that is the same size no matter how many
+    eval suites pile into it, and the probe (``bloom_probe_filter``)
+    is map-only over the corpus. Standard Bloom semantics: ZERO false
+    negatives (every true n-gram leak is always dropped) and
+    false-positive drops at ~(1-e^{-k·g/m})^k for g benchmark grams —
+    the deliberate trade for bounded memory.
 
     Hashing is md5-derived integer arithmetic end-to-end (no
     engine-specific hash), so the filter — and therefore the exact
     kept set, false positives included — is reproducible bit-for-bit
     in any engine (the driver oracle replays it in ANSI SQL).
     """
-    if m_bits % 64 != 0 or m_bits <= 0:
-        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    spark = corpus.sparkSession
-    toks = tokens_expr(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-
-    def _pos(g: Column, seed: int) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(g, F.lit(f"#{seed}"))), 1, 15), 16, 10
-        ).cast("long")
-        return h % F.lit(m_bits)
-
-    # Single-bit masks by bit index (shiftleft needs a literal shift
-    # count, so a 64-entry lookup stands in; index 63 is the sign bit).
-    bit_masks = F.array(
-        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
-    )
-
-    n_words = m_bits // 64
-    # NULL-text rows have no grams on either side: they contribute no
-    # bits to the filter and can never be flagged (a NULL tokens array
-    # would otherwise surface as a spurious "" gram through concat_ws).
-    benchmark = benchmark.filter(F.col(text_col).isNotNull())
-    bench_pos = benchmark.select(F.explode(grams).alias("g")).select(
-        F.explode(F.array(*[_pos(F.col("g"), s) for s in range(k)])).alias("pos")
-    )
-    word_rows = (
-        bench_pos.distinct()
-        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
-        .agg(
-            F.bit_or(
-                F.element_at(bit_masks, (F.col("pos") % 64).cast("int") + 1)
-            ).alias("bits")
-        )
-        .collect()
-    )
-    words = [0] * n_words
-    for r in word_rows:
-        words[r["w"]] = r["bits"]
-    bloom = spark.createDataFrame([(words,)], "`__bloom` array<long>")
-
-    def _bit_set(p: Column) -> Column:
-        word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1)
-        mask = F.element_at(bit_masks, (p % 64).cast("int") + 1)
-        return word.bitwiseAND(mask) != 0
-
-    def _contained(g: Column) -> Column:
-        out = F.lit(True)
-        for s in range(k):
-            out = out & _bit_set(_pos(g, s))
-        return out
-
-    flagged = F.col(text_col).isNotNull() & F.coalesce(
-        F.exists(grams, _contained), F.lit(False)
-    )
-    return (
-        corpus.crossJoin(F.broadcast(bloom))
-        .filter(~flagged)
-        .drop("__bloom")
-    )
+    words = build_bloom_filter(benchmark, n, m_bits, k, text_col)
+    return bloom_probe_filter(corpus, words, n, m_bits, k, text_col)
 
 
 def passage_dedup(

@@ -878,3 +878,46 @@ def test_html_links_is_map_only(spark, sf_small):
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_decontaminate_probe_is_shuffle_free(spark, sf_small):
+    """The Bloom probe must be a pure map-side expression over the
+    corpus: the returned plan carries only the one-row bitmap
+    broadcast (nested-loop on a 1-row side), never a shuffle of the
+    corpus and never an explode-groupBy of its grams."""
+    q = QUERIES["t_bloom_decontaminate"](spark, sf_small)
+    assert shuffle_count(q) == 0, q._jdf.queryExecution().toString()
+    assert_plan(q, forbid_join=("SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_dsir_ratio_joins_broadcast(spark, sf_small):
+    """DSIR's bucket→log-ratio table (≤4096 rows) must broadcast into
+    the corpus-gram scan; the corpus side shuffles only for the
+    bounded bucket-count aggregations and the per-doc re-aggregation."""
+    q = QUERIES["t_dsir_weights"](spark, sf_small)
+    strategies = join_strategies(q)
+    assert any("Broadcast" in s for s in strategies), strategies
+    assert shuffle_count(q) <= 6, q._jdf.queryExecution().toString()
+
+
+def test_hll_registers_single_exchange(spark, sf_small):
+    """The register table is ONE map-side-combining groupBy bounded by
+    2^p rows — exactly one shuffle."""
+    q = QUERIES["t_hll_registers"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+
+
+def test_temperature_mix_bounded_exchanges(spark, sf_small):
+    """Stratum counts + one-row normalizer: nothing wider than the
+    stratum table ever moves; the normalizer rides a broadcast."""
+    q = QUERIES["t_temperature_mix"](spark, sf_small)
+    assert shuffle_count(q) <= 3, q._jdf.queryExecution().toString()
+    assert_plan(q, forbid_join=("SortMergeJoin",))
+
+
+def test_bpe_encode_is_map_only(spark, sf_small):
+    """Encoding with a learned merge table is a pure projection: the
+    merge list folds into the plan as literals, so the corpus encode
+    carries zero shuffles and zero joins."""
+    q = QUERIES["t_bpe_encode"](spark, sf_small)
+    assert shuffle_count(q) == 0, q._jdf.queryExecution().toString()

@@ -1484,3 +1484,74 @@ def test_streaming_fuzzy_decontaminate(spark, tmp_path, fmt_name):
         is None
     )
     assert fmt.read(spark, store).count() == n2 and n2 == n + 1
+
+
+@pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+def test_streaming_bloom_decontaminate(spark, tmp_path, fmt_name):
+    """The Bloom filter is built ONCE from the static benchmark; each
+    batch's map-only probe drops every doc sharing a 5-gram with it
+    (no false negatives) and keeps novel docs; redelivery of a
+    committed batch is a no-op; batch parity with the batch API."""
+    from faexport_db_spark.streaming.dedup_stream import (
+        bloom_decontaminate_batch,
+        start_streaming_bloom_decontaminate,
+    )
+    from faexport_db_spark.training.text import (
+        bloom_decontaminate,
+        build_bloom_filter,
+    )
+
+    fmt = STORE_FORMATS[fmt_name]()
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the old river bank"
+    )
+    benchmark = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id bigint, text string"
+    )
+    schema = "doc_id bigint, text string"
+    m_bits = 1 << 16
+    batches = [
+        [(1, bench_text),  # verbatim leak
+         (2, "novel doc one about catalyst plans and adaptive execution here")],
+        [(10, "prefix padding " + bench_text + " suffix padding"),  # embedded leak
+         (11, "novel doc two about shuffle partitions and broadcast thresholds")],
+    ]
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_bloom_decontaminate(
+            spark, stream, benchmark, store, checkpoint=f"{ckpt}/b{i}",
+            m_bits=m_bits, trigger={"availableNow": True}, fmt=fmt,
+        )
+        q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in fmt.read(spark, store).collect())
+    assert ids == [2, 11]
+
+    # batch parity: the stream's kept set equals the batch API's
+    all_docs = spark.createDataFrame(batches[0] + batches[1], schema)
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in bloom_decontaminate(all_docs, benchmark, m_bits=m_bits).collect()
+    )
+    assert batch_kept == ids
+
+    # direct-API redelivery no-op via the marker
+    words = build_bloom_filter(benchmark, m_bits=m_bits)
+    b = spark.createDataFrame(batches[0], schema)
+    out = bloom_decontaminate_batch(
+        b, words, store, m_bits=m_bits, batch_id=0, stream_id="d", fmt=fmt
+    )
+    assert out is not None
+    n2 = fmt.read(spark, store).count()
+    assert (
+        bloom_decontaminate_batch(
+            b, words, store, m_bits=m_bits, batch_id=0, stream_id="d", fmt=fmt
+        )
+        is None
+    )
+    assert fmt.read(spark, store).count() == n2

@@ -2458,3 +2458,102 @@ def test_html_links_ordinals_and_edge_cases(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, html string")
     got = sorted((r["doc_id"], r["link_no"], r["href"]) for r in html_links(df).collect())
     assert got == [(1, 0, "u1"), (1, 1, "u2"), (6, 0, "real")]
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """Register tables are mergeable sketch state: the union's
+    registers equal the per-half elementwise max, and the merged
+    estimate lands within HLL's expected error of the exact count."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import hll_estimate, hll_register_table
+
+    a = spark.range(0, 3000).select((F.col("id") % 900).cast("string").alias("v"))
+    b = spark.range(0, 3000).select(((F.col("id") % 700) + 600).cast("string").alias("v"))
+    p = 8
+
+    def regs(df):
+        return {r["bucket"]: r["register"] for r in hll_register_table(df, "v", p).collect()}
+
+    ra, rb, ru = regs(a), regs(b), regs(a.unionByName(b))
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == ru
+    exact = a.unionByName(b).distinct().count()
+    est = hll_estimate(ru, p)
+    assert abs(est - exact) / exact < 0.25  # 3.8·rsd at m=256
+    with _pytest.raises(ValueError):
+        hll_register_table(a, "v", p=2)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom semantics: every doc sharing a true 5-gram with the
+    benchmark is ALWAYS dropped (no false negatives), regardless of
+    filter size; NULL-text and disjoint docs survive; an empty
+    benchmark keeps everything; bad parameters raise."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.text import bloom_decontaminate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "totally different words with no overlap at all here now"),
+         (3, "prefix words then " + base + " suffix words"),
+         (4, None)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(9, base)], "doc_id bigint, text string")
+    for m_bits in (1 << 10, 1 << 16, 1 << 22):
+        kept = {r["doc_id"] for r in bloom_decontaminate(corpus, bench, m_bits=m_bits).collect()}
+        assert 1 not in kept and 3 not in kept  # true leaks always dropped
+        assert 4 in kept  # NULL text can never be flagged
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bloom_decontaminate(corpus, empty).count() == 4
+    with _pytest.raises(ValueError):
+        bloom_decontaminate(corpus, bench, m_bits=100)  # not a multiple of 64
+    with _pytest.raises(ValueError):
+        bloom_decontaminate(corpus, bench, k=0)
+
+
+def test_dsir_weights_ranks_target_like_docs(spark):
+    """Docs drawn from the target's vocabulary outscore docs from a
+    disjoint vocabulary; tokenless docs score 0 with 0 grams."""
+    from faexport_db_spark.training.pipeline import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(i, "apple banana cherry date fig grape kiwi lemon mango peach")
+         for i in range(10)]
+        + [(i, "red blue green yellow purple orange pink brown black white")
+           for i in range(10, 20)]
+        + [(99, None)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "red blue green yellow purple orange pink brown black white")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+    assert len(rows) == 21
+    assert rows[10]["dsir_logw"] > rows[0]["dsir_logw"]
+    assert rows[99]["n_grams"] == 0 and rows[99]["dsir_logw"] == 0.0
+
+
+def test_temperature_mixture_limits(spark):
+    """α=1 reproduces the raw mixture (boost 1 everywhere); smaller α
+    flattens: the rarest stratum's boost exceeds the commonest's;
+    invalid α raises."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "zh") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    at1 = {r["stratum"]: r for r in temperature_mixture(docs, "lang", 1.0).collect()}
+    assert all(abs(r["boost"] - 1.0) < 1e-9 for r in at1.values())
+    at5 = {r["stratum"]: r for r in temperature_mixture(docs, "lang", 0.5).collect()}
+    assert at5["zh"]["boost"] > 1.0 > at5["en"]["boost"]
+    assert abs(sum(r["q_temp"] for r in at5.values()) - 1.0) < 1e-5
+    with _pytest.raises(ValueError):
+        temperature_mixture(docs, "lang", 0.0)
