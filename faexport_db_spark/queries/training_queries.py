@@ -3486,3 +3486,207 @@ def t_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("register").alias("register"))
     )
+
+
+@register(
+    "t_dsir_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, unnest(toks) AS g FROM t
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS INT) AS b
+      FROM g
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+    tgt AS (SELECT b.b, count(*) AS ct FROM b
+            JOIN documents d USING (doc_id) WHERE d.lang = 'zh' GROUP BY b.b),
+    tots AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS nr,
+                    (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt),
+    ratio AS (
+      SELECT coalesce(raw.b, tgt.b) AS b,
+             ln((coalesce(ct, 0) + 1) / (nt + 4096.0))
+               - ln((coalesce(cr, 0) + 1) / (nr + 4096.0)) AS lr
+      FROM raw FULL OUTER JOIN tgt ON raw.b = tgt.b, tots
+    ),
+    scored AS (
+      SELECT doc_id, round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logw
+      FROM b JOIN ratio USING (b) GROUP BY doc_id
+    ),
+    w AS (
+      SELECT d.doc_id, coalesce(s.dsir_logw, 0.0) AS dsir_logw
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, dsir_logw,
+           CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS BIGINT) AS sel_rank
+    FROM w ORDER BY dsir_logw DESC, doc_id LIMIT 100
+    """,
+)
+def t_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step completing DSIR: top-100 documents by
+    importance weight with a deterministic (weight desc, id) tiebreak
+    — ranks and weights both pinned. At scale this is a bounded
+    TakeOrderedAndProject (k rows per partition → k global), never a
+    full sort; the weights come from the same dsir_weights pass
+    t_dsir_weights pins."""
+    from pyspark.sql import Window
+
+    from faexport_db_spark.training.pipeline import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "zh")).select(
+        "doc_id", "dsir_logw"
+    )
+    # Top-k FIRST (TakeOrderedAndProject — k rows per partition, never
+    # a full sort), THEN rank within the k survivors: the global-order
+    # window runs over 100 rows, not the corpus.
+    top = w.orderBy(F.desc("dsir_logw"), "doc_id").limit(100)
+    return top.withColumn(
+        "sel_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dsir_logw"), "doc_id"))
+        .cast("bigint"),
+    ).select("doc_id", "dsir_logw", "sel_rank")
+
+
+@register(
+    "t_kneser_ney",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg0 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 2)),
+    c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg0 GROUP BY w1, w2),
+    c1t AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    fert AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n_right FROM c2t GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n_left FROM c2t GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c2t)
+    SELECT b.w1, b.w2, b.c2,
+           round(greatest(b.c2 - 0.75, 0) / c1t.c1
+                 + (0.75 * f.n_right / c1t.c1) * (c.n_left / tot.n_types),
+                 6) AS p_kn
+    FROM c2t b
+    JOIN c1t ON b.w1 = c1t.tok
+    JOIN fert f USING (w1)
+    JOIN cont c USING (w2), tot
+    """,
+)
+def t_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (lm_kneser_ney,
+    d=0.75) from the corpus-trained count tables — discounted ML term,
+    context fertility λ and continuation probability all replayed as
+    count algebra in SQL."""
+    from faexport_db_spark.training.lm import lm_kneser_ney, lm_train
+
+    return lm_kneser_ney(lm_train(_docs(spark, sf_dir)))
+
+
+@register(
+    "t_oov_rate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    v AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) >= 5),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          FROM tok LEFT JOIN v USING (tok) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_oov, 0) AS n_oov,
+           round(coalesce(s.n_oov / CAST(s.n_tokens AS DOUBLE), 0.0), 6) AS oov_rate
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary share against the ≥5-count corpus
+    vocabulary (oov_rate) — the head-of-distribution vocab broadcasts,
+    the OOV tail never travels."""
+    from faexport_db_spark.training.pipeline import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), min_count=5)
+
+
+@register(
+    "t_hll_grouped",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (SELECT event_type AS grp, CAST(h % 256 AS INT) AS bucket, h // 256 AS rest
+          FROM h)
+    SELECT grp, bucket,
+           CAST(max(CASE WHEN rest = 0 THEN 53
+                         ELSE 52 - length(bin(rest)) + 1 END) AS INT) AS register
+    FROM r GROUP BY grp, bucket
+    """,
+)
+def t_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group portable HLL register tables (grouped_hll_registers):
+    distinct users per event type as constant-size-per-group mergeable
+    sketch state — every register replayed exactly in SQL."""
+    from faexport_db_spark.training.pipeline import grouped_hll_registers
+
+    return grouped_hll_registers(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id", p=8
+    )
+
+
+@register(
+    "t_link_domains",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<a href="https://' || source || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR)
+               || '">x</a><a class="c" href="https://cdn.example.net/lang/'
+               || lang || '">y</a><a href="/rel/path">z</a>' AS html
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(html, '<a(\s[^>]*)?\shref="([^"]*)"', 2)) AS href
+          FROM h),
+    d AS (SELECT doc_id, regexp_extract(href, '^https?://([^/]+)', 1) AS domain FROM u)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM d GROUP BY domain
+    """,
+)
+def t_link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink domain degree table (html_links → link_domains) over
+    markup whose anchor targets vary by source — per-domain outlink
+    and distinct-source-document counts, with a relative href
+    aggregating under the '' domain; every count replayed in SQL."""
+    from faexport_db_spark.training.text import html_links, link_domains
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit('<a href="https://'),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a><a class="c" href="https://cdn.example.net/lang/'),
+        F.col("lang"),
+        F.lit('">y</a><a href="/rel/path">z</a>'),
+    )
+    return link_domains(html_links(docs.select("doc_id", html.alias("html"))))

@@ -1,0 +1,87 @@
+"""Streaming sketch maintenance: a HyperLogLog register store kept up
+to date per micro-batch — continuous approximate distinct-counting
+over an unbounded stream with CONSTANT state.
+
+The enabling algebra is that register merge (elementwise MAX per
+bucket) is idempotent AND commutative, so the store needs none of the
+dedup streams' commit-marker protocol: each batch writes ITS OWN
+register table under an idempotent per-batch partition directory
+(the line-dedup count-partition pattern — a re-delivered batch
+overwrites the same directory with identical rows), and the read path
+merges all partitions with one bounded groupBy. A crash anywhere
+leaves either the old partition content or the new identical content;
+double-merging changes nothing.
+
+Scale: each partition is ≤ 2^p rows (p=8 → ≤256); merge-on-read costs
+n_batches × 2^p rows — compact with ``maintenance.compaction`` when
+the partition count grows, or periodically replace the store with its
+own merge (also idempotent). The sketch answers "distinct users/URLs
+ever seen" on a stream where an exact seen-set would grow without
+bound — the classic stream-analytics trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from faexport_db_spark.training.pipeline import hll_register_table
+
+
+def hll_batch_into_store(
+    batch: DataFrame,
+    store_path: str,
+    col: str,
+    p: int = 8,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+) -> None:
+    """Fold one micro-batch into the register store: compute the
+    batch's own register table (one bounded map-side-combining
+    groupBy) and overwrite its per-batch partition directory. Safe
+    under re-delivery and mid-write crashes by idempotence — see the
+    module docstring."""
+    ns = stream_id or "direct"
+    part = f"{store_path.rstrip('/')}/batch={ns}-{batch_id if batch_id is not None else 0}"
+    hll_register_table(batch, col, p).write.mode("overwrite").parquet(part)
+
+
+def read_hll_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged register table over every batch partition — the same
+    (bucket, register) shape ``hll_register_table`` produces, so
+    ``hll_estimate`` reads it directly and further merges (other
+    stores, other engines' tables) compose."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def start_streaming_hll(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    col: str,
+    p: int = 8,
+    trigger: dict | None = None,
+):
+    """Wire ``hll_batch_into_store`` into a streaming query via
+    foreachBatch. ``source`` is any streaming DataFrame carrying
+    ``col``; distinct counts over everything ever streamed come from
+    ``hll_estimate(read_hll_store(...))`` at any time, concurrent with
+    the stream."""
+    from faexport_db_spark.streaming.dedup_stream import _stream_id
+
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hll_batch_into_store(batch_df, store_path, col, p, batch_id, sid)
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -158,3 +158,44 @@ def lm_perplexity_filter(
     scored = lm_score(docs, model, text_col=text_col, id_col=id_col)
     keep = scored.filter(F.col("ppl") <= max_ppl).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def lm_kneser_ney(model: BigramLM, discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities from the trained
+    count tables — the standard n-gram smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1999) whose continuation counts fix stupid
+    backoff's overconfidence on frequent-but-one-context words:
+
+        p_KN(w2|w1) = max(c(w1,w2) - d, 0) / c(w1)
+                      + [d · N1+(w1,·) / c(w1)] · N1+(·,w2) / |bigram types|
+
+    Every term is count algebra over the bigram-TYPE table: N1+(w1,·)
+    = distinct continuations of w1, N1+(·,w2) = distinct left contexts
+    of w2, both map-side-combining groupBys bounded by vocab size;
+    the type total rides a one-row broadcast. The left-context and
+    continuation tables broadcast back onto the bigram table (vocab-
+    sized — the same budget every tokenizer/vocab op here assumes; at
+    a vocabulary too large to broadcast the joins degrade gracefully
+    to equi-shuffles on w1/w2). Output: (w1, w2, c2, p_kn) for every
+    OBSERVED bigram, probabilities rounded 6dp.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    bg = model.bigrams
+    cont = bg.groupBy("w2").agg(F.count("*").cast("double").alias("n_left"))
+    fert = bg.groupBy("w1").agg(F.count("*").cast("double").alias("n_right"))
+    types = bg.agg(F.count("*").cast("double").alias("n_types"))
+    c1 = model.unigrams.select(F.col("tok").alias("w1"), F.col("c1"))
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n_right") / F.col("c1"))
+        * (F.col("n_left") / F.col("n_types"))
+    )
+    return (
+        bg.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(fert), "w1")
+        .join(F.broadcast(cont), "w2")
+        .join(F.broadcast(types))
+        .select("w1", "w2", "c2", F.round(p, 6).alias("p_kn"))
+    )

@@ -753,3 +753,83 @@ def temperature_mixture(
         F.round(q, 6).alias("q_temp"),
         F.round(q / p, 6).alias("boost"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary share against a frequency-
+    threshold corpus vocabulary (tokens seen ≥ ``min_count`` times) —
+    the coverage metric a tokenizer/vocab budget decision reads next
+    to ``bytes_per_token``: a doc slice with high OOV under the
+    working vocab is the slice the tokenizer will shred into bytes.
+
+    Shape at 100 TB: the IN-vocabulary set is the HEAD of the token
+    distribution (bounded — it is what ``vocab_ids`` ranks), so it
+    broadcasts; the long OOV tail never travels anywhere — each
+    exploded token left-joins the broadcast vocab and unmatched means
+    OOV. One count aggregation + one map-side probe + one per-doc
+    re-aggregation. Output: (id, n_tokens, n_oov, oov_rate 6dp);
+    tokenless docs report 0 tokens, rate 0.
+    """
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("tok")
+    )
+    per_tok = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    scored = (
+        per_tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("__in").isNull()).cast("bigint")).cast("bigint").alias("n_oov"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0).cast("bigint")).alias("n_oov"),
+        F.round(
+            F.coalesce(F.col("n_oov") / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("oov_rate"),
+    )
+
+
+def grouped_hll_registers(
+    df: DataFrame, group_col: str, col: str, p: int = 8
+) -> DataFrame:
+    """Per-group portable HLL register tables — ``hll_register_table``
+    with a group dimension: (group, bucket, register), one bounded
+    sketch per group, mergeable across shards per group by the same
+    elementwise MAX. The groupBy is (group × ≤2^p) rows — for
+    distinct-per-group at 100 TB this replaces a countDistinct shuffle
+    of the raw values with a constant-size-per-group sketch that can
+    also be persisted and re-merged later."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    width = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            (h % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )

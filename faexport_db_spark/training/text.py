@@ -2202,3 +2202,31 @@ def html_links(
         .select(F.col(id_col), F.posexplode(links).alias("link_no", "href"))
         .select(id_col, F.col("link_no").cast("bigint").alias("link_no"), "href")
     )
+
+
+def link_domains(
+    links: DataFrame,
+    href_col: str = "href",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Outlink domain degree table over ``html_links`` output — the
+    link-graph aggregation a crawl scheduler reads: per target domain,
+    total outlinks pointing at it and how many distinct source
+    documents point at it. Domain = the authority part of an http(s)
+    URL (RE2-compatible extract, map-only); non-http(s) hrefs
+    (mailto:, fragments, relative paths) aggregate under '' so they
+    stay visible rather than silently dropped.
+
+    One map-side-combining groupBy bounded by the domain count —
+    at crawl scale domains are millions while links are trillions, so
+    the shuffle carries pre-combined (domain, count) partials only.
+    Output: (domain, n_links, n_docs)."""
+    dom = F.regexp_extract(F.col(href_col), r"^https?://([^/]+)", 1)
+    return (
+        links.select(F.col(id_col), dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        )
+    )

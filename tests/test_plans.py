@@ -896,7 +896,11 @@ def test_dsir_ratio_joins_broadcast(spark, sf_small):
     bounded bucket-count aggregations and the per-doc re-aggregation."""
     q = QUERIES["t_dsir_weights"](spark, sf_small)
     strategies = join_strategies(q)
-    assert any("Broadcast" in s for s in strategies), strategies
+    # The bucket→log-ratio table must broadcast into the gram scan;
+    # sort-merge appears only for the doc-scale large-large joins
+    # (bucket full-outer, zero-gram-doc left join) where it belongs.
+    assert strategies["BroadcastHashJoin"] >= 1, strategies
+    assert strategies["SortMergeJoin"] <= 2, strategies
     assert shuffle_count(q) <= 6, q._jdf.queryExecution().toString()
 
 
@@ -921,3 +925,46 @@ def test_bpe_encode_is_map_only(spark, sf_small):
     carries zero shuffles and zero joins."""
     q = QUERIES["t_bpe_encode"](spark, sf_small)
     assert shuffle_count(q) == 0, q._jdf.queryExecution().toString()
+
+
+def test_dsir_select_is_bounded_topk(spark, sf_small):
+    """The selection step must be a TakeOrderedAndProject (k per
+    partition), never a corpus-wide global sort; the rank window runs
+    over the k survivors only."""
+    q = QUERIES["t_dsir_select"](spark, sf_small)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kneser_ney_broadcasts_count_tables(spark, sf_small):
+    """The fertility/continuation/unigram tables (vocab-sized)
+    broadcast onto the bigram table; nothing corpus-sized re-shuffles
+    beyond the bounded count aggregations."""
+    q = QUERIES["t_kneser_ney"](spark, sf_small)
+    strategies = join_strategies(q)
+    assert strategies["BroadcastHashJoin"] >= 3, strategies
+    assert strategies["SortMergeJoin"] == 0, strategies
+    assert strategies["ShuffledHashJoin"] == 0, strategies
+
+
+def test_oov_vocab_broadcasts(spark, sf_small):
+    """The in-vocabulary set (distribution head) broadcasts; the OOV
+    tail never travels."""
+    q = QUERIES["t_oov_rate"](spark, sf_small)
+    strategies = join_strategies(q)
+    assert strategies["BroadcastHashJoin"] >= 1, strategies
+    assert strategies["SortMergeJoin"] == 0, strategies
+
+
+def test_hll_grouped_single_exchange(spark, sf_small):
+    """Per-group registers remain ONE map-side-combining groupBy."""
+    q = QUERIES["t_hll_grouped"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+
+
+def test_link_domains_bounded_exchanges(spark, sf_small):
+    """Extraction and domain parsing are map-side; the shuffles are
+    the two-phase distinct-source aggregation (partial by (domain,
+    doc), final by domain) — both keyed on the bounded domain space."""
+    q = QUERIES["t_link_domains"](spark, sf_small)
+    assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()

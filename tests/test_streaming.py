@@ -1555,3 +1555,52 @@ def test_streaming_bloom_decontaminate(spark, tmp_path, fmt_name):
         is None
     )
     assert fmt.read(spark, store).count() == n2
+
+
+def test_streaming_hll_register_store(spark, tmp_path):
+    """The stream's merged register store equals the one-shot register
+    table over everything streamed (merge associativity end-to-end);
+    re-delivering a batch is a no-op by idempotence; the estimate
+    tracks the true distinct count."""
+    from faexport_db_spark.streaming.sketch_stream import (
+        hll_batch_into_store,
+        read_hll_store,
+        start_streaming_hll,
+    )
+    from faexport_db_spark.training.pipeline import hll_estimate, hll_register_table
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "v string"
+    batches = [
+        [(str(i),) for i in range(0, 800)],
+        [(str(i),) for i in range(500, 1300)],
+    ]
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_hll(
+            spark, stream, store, checkpoint=f"{ckpt}/b{i}", col="v",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+    merged = {
+        r["bucket"]: r["register"] for r in read_hll_store(spark, store).collect()
+    }
+    full = spark.createDataFrame(batches[0] + batches[1], schema)
+    direct = {
+        r["bucket"]: r["register"] for r in hll_register_table(full, "v").collect()
+    }
+    assert merged == direct
+    est = hll_estimate(merged)
+    assert abs(est - 1300) / 1300 < 0.25
+
+    # re-delivery: same batch id + stream id overwrites identically
+    b = spark.createDataFrame(batches[0], schema)
+    hll_batch_into_store(b, store, "v", batch_id=7, stream_id="d")
+    once = sorted(read_hll_store(spark, store).collect())
+    hll_batch_into_store(b, store, "v", batch_id=7, stream_id="d")
+    assert sorted(read_hll_store(spark, store).collect()) == once

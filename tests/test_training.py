@@ -2557,3 +2557,44 @@ def test_temperature_mixture_limits(spark):
     assert abs(sum(r["q_temp"] for r in at5.values()) - 1.0) < 1e-5
     with _pytest.raises(ValueError):
         temperature_mixture(docs, "lang", 0.0)
+
+
+def test_kneser_ney_probability_mass(spark):
+    """For every context w1, the observed-bigram KN probabilities sum
+    strictly below 1 (the discounted mass is reserved for unseen
+    continuations), each probability is positive, and the discount
+    bound is enforced."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.lm import lm_kneser_ney, lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c b c"), (2, "a b c d d d a b")],
+        "doc_id bigint, text string",
+    )
+    model = lm_train(docs)
+    rows = lm_kneser_ney(model).collect()
+    assert rows and all(r["p_kn"] > 0 for r in rows)
+    by_w1 = {}
+    for r in rows:
+        by_w1.setdefault(r["w1"], 0.0)
+        by_w1[r["w1"]] += r["p_kn"]
+    assert all(s < 1.0 + 1e-9 for s in by_w1.values()), by_w1
+    with _pytest.raises(ValueError):
+        lm_kneser_ney(model, discount=1.5)
+
+
+def test_oov_rate_edges(spark):
+    """Vocab threshold respected; tokenless docs report 0/0/0.0."""
+    from faexport_db_spark.training.pipeline import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a rare"), (3, None), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in oov_rate(docs, min_count=3).collect()}
+    assert len(out) == 4
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1  # 'b' is OOV
+    assert out[2]["n_oov"] == 1  # 'a' is corpus-frequent, 'rare' is OOV
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] == 0.0
