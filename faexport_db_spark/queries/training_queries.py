@@ -3690,3 +3690,142 @@ def t_link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('">y</a><a href="/rel/path">z</a>'),
     )
     return link_domains(html_links(docs.select("doc_id", html.alias("html"))))
+
+
+@register(
+    "t_temperature_sampled",
+    oracle="""
+    WITH c AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    m AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM c),
+    t AS (SELECT s, CAST(floor(sqrt(m.nmin / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+          FROM c, m),
+    k AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8)) AS BIGINT)
+                   AS sample_key
+          FROM documents)
+    SELECT k.doc_id, k.lang AS stratum, k.sample_key
+    FROM k JOIN t ON k.lang = t.s WHERE k.sample_key < t.thr
+    """,
+)
+def t_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZED α=0.5 temperature mixture (temperature_sample): the
+    exact kept set, reproduced bit-for-bit by the oracle because every
+    step of the threshold computation (bigint divide, sqrt, scale by
+    2^32, floor) is an IEEE correctly-rounded primitive and the
+    normalizer cancels out of the keep-rate ratio — no float sum, no
+    pow(), no driver collect anywhere."""
+    from faexport_db_spark.training.pipeline import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), alpha=0.5, salt="temp")
+
+
+@register(
+    "t_cms_registers",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (SELECT tok, unnest([0, 1, 2, 3]) AS seed FROM tok),
+    sl AS (SELECT seed,
+                  CAST(CAST(('0x' || substr(md5(tok || '#' || seed), 1, 15)) AS BIGINT)
+                       % 2048 AS INT) AS slot
+           FROM e)
+    SELECT CAST(seed AS INT) AS seed, slot, CAST(count(*) AS BIGINT) AS cnt
+    FROM sl GROUP BY seed, slot
+    """,
+)
+def t_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min sketch state (cms_register_table, 4×2048)
+    over the corpus token stream — the frequency sibling of the HLL
+    register table, every counter replayed exactly in SQL; merge (SUM)
+    and the one-sided point-estimate guarantee are property-tested
+    locally."""
+    from faexport_db_spark.training.pipeline import cms_register_table
+    from faexport_db_spark.training.text import tokens_expr
+
+    toks = F.filter(tokens_expr("text"), lambda t: t != F.lit(""))
+    stream = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(toks).alias("tok"))
+    )
+    return cms_register_table(stream, "tok", depth=4, width=2048)
+
+
+@register(
+    "t_bloom_fp_audit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                   i -> array_to_string(toks[i:i+4], ' '))) AS g
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+    bad_e AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM bg)),
+    bp AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(g || '#' || s), 1, 15)) AS BIGINT) % 16384 AS pos
+      FROM g, unnest([0, 1, 2]) AS u(s) WHERE doc_id % 50 = 0
+    ),
+    cp AS (
+      SELECT doc_id, g, s,
+             CAST(('0x' || substr(md5(g || '#' || s), 1, 15)) AS BIGINT) % 16384 AS pos
+      FROM g, unnest([0, 1, 2]) AS u(s)
+    ),
+    bad_b AS (
+      SELECT DISTINCT doc_id FROM cp
+      WHERE pos IN (SELECT pos FROM bp)
+      GROUP BY doc_id, g HAVING count(DISTINCT s) = 3
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM bad_e) AS n_dropped_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM bad_b) AS n_dropped_bloom,
+           (SELECT CAST(count(*) AS BIGINT) FROM bad_b
+             WHERE doc_id NOT IN (SELECT doc_id FROM bad_e)) AS n_false_pos,
+           (SELECT count(*) FROM bad_e
+             WHERE doc_id NOT IN (SELECT doc_id FROM bad_b)) = 0 AS no_false_neg
+    """,
+)
+def t_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy contract tying the two decontamination rules
+    together: at a deliberately under-sized filter (m=2^14 — heavily
+    loaded, so false positives actually occur) the Bloom rule must
+    drop a SUPERSET of the exact rule's drops (no_false_neg pins the
+    zero-false-negative guarantee) and the overshoot is reported as
+    n_false_pos — the number the ε-budget decision reads. One-row
+    report; both kept sets replayed in SQL."""
+    from faexport_db_spark.training.text import bloom_decontaminate, decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    ids = docs.select("doc_id")
+    kept_e = decontaminate(docs, bench, n=5).select("doc_id")
+    kept_b = bloom_decontaminate(docs, bench, n=5, m_bits=1 << 14, k=3).select("doc_id")
+    n_docs = ids.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ne = kept_e.agg(F.count(F.lit(1)).cast("bigint").alias("__ke"))
+    nb = kept_b.agg(F.count(F.lit(1)).cast("bigint").alias("__kb"))
+    # false negatives = docs the exact rule drops but bloom keeps —
+    # structurally empty, pinned as a boolean
+    fn = (
+        kept_b.join(kept_e, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("__fn"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(fn))
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("__ke")).cast("bigint").alias("n_dropped_exact"),
+            (F.col("n_docs") - F.col("__kb")).cast("bigint").alias("n_dropped_bloom"),
+            (F.col("__ke") - F.col("__kb")).cast("bigint").alias("n_false_pos"),
+            (F.col("__fn") == 0).alias("no_false_neg"),
+        )
+    )

@@ -833,3 +833,114 @@ def grouped_hll_registers(
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("register"))
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """REALIZE the temperature mixture by deterministic downsampling:
+    keep stratum s at rate (n_min/n_s)^(1-α), the largest pure-
+    downsampling corpus whose realized mixture is q_s ∝ n_s^α — the
+    binding (smallest) stratum keeps everything, over-represented
+    strata shed. Composes ``temperature_mixture`` (which reports the
+    target) with ``stratified_sample``'s md5 keying (which realizes
+    it), but the rate needs NO normalizer: the q_s/Z terms cancel
+    inside the keep-rate ratio, so there is no driver collect and no
+    order-dependent float sum anywhere.
+
+    At α=0.5 the whole threshold computation is IEEE-exact and
+    engine-identical (bigint divide, sqrt, scale by 2^32, floor — all
+    correctly-rounded primitives), so the kept SET is reproducible
+    bit-for-bit in any engine; other α go through pow(), identical in
+    practice but not IEEE-guaranteed. One stratum-count aggregation
+    broadcast back; the corpus itself is filtered map-side.
+
+    Output: (id, stratum, sample_key) for kept docs.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = docs.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thr = F.floor(rate * F.lit(float(1 << 32))).cast("bigint")
+    thresholds = counts.crossJoin(F.broadcast(nmin)).select(
+        "__s", thr.alias("__thr")
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), key.alias("sample_key"))
+        .join(F.broadcast(thresholds), F.col(stratum_col) == F.col("__s"))
+        .filter(F.col("sample_key") < F.col("__thr"))
+        .select(id_col, F.col(stratum_col).alias("stratum"), "sample_key")
+    )
+
+
+def cms_register_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Portable Count-Min sketch state — the frequency-counting sibling
+    of ``hll_register_table``: (seed, slot, cnt) counters over
+    ``depth`` md5-derived hash rows of ``width`` slots. Mergeable by
+    elementwise SUM (shards/days/engines compose, like the HLL MAX),
+    with the classic one-sided guarantee: the point estimate
+    min_seed(cnt[seed][slot_seed(v)]) never undercounts and
+    overcounts by ≤ εN with probability 1-δ (ε=e/width, δ=e^-depth).
+    Where ``heavy_hitters`` answers "the exact top talkers of THIS
+    scan", the CMS table answers point frequency queries over any
+    shard subset without rescanning — constant size, like every
+    sketch sidecar here.
+
+    One map-side-combining groupBy bounded by depth×width rows; the
+    per-row fan-out is the constant ``depth``, map-side. Output:
+    (seed, slot, cnt) for touched slots — int, int, bigint.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+
+    def _slot(seed: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.struct(
+            F.lit(seed).alias("seed"), (h % width).cast("int").alias("slot")
+        )
+
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(F.array(*[_slot(s) for s in range(depth)])).alias("p"))
+        .groupBy(F.col("p.seed").alias("seed"), F.col("p.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: dict[tuple[int, int], int], value: str, depth: int = 4, width: int = 2048
+) -> int:
+    """Driver-side point-frequency estimate from a (possibly merged)
+    CMS table — min over the value's depth counters; absent slots are
+    0. Mirrors ``hll_estimate`` as the read path of the sketch."""
+    import hashlib
+
+    est = None
+    for seed in range(depth):
+        h = int(hashlib.md5(f"{value}#{seed}".encode()).hexdigest()[:15], 16)
+        c = registers.get((seed, h % width), 0)
+        est = c if est is None else min(est, c)
+    return est or 0

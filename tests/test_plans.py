@@ -968,3 +968,20 @@ def test_link_domains_bounded_exchanges(spark, sf_small):
     doc), final by domain) — both keyed on the bounded domain space."""
     q = QUERIES["t_link_domains"](spark, sf_small)
     assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
+
+
+def test_temperature_sample_broadcasts_thresholds(spark, sf_small):
+    """The stratum-threshold table (stratum-bounded) broadcasts onto a
+    map-side corpus filter; the only shuffle is the count aggregation."""
+    q = QUERIES["t_temperature_sampled"](spark, sf_small)
+    strategies = join_strategies(q)
+    assert strategies["BroadcastHashJoin"] >= 1, strategies
+    assert strategies["SortMergeJoin"] == 0, strategies
+    assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
+
+
+def test_cms_registers_single_exchange(spark, sf_small):
+    """The counter table is ONE map-side-combining groupBy bounded by
+    depth×width rows; the per-row seed fan-out stays map-side."""
+    q = QUERIES["t_cms_registers"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()

@@ -2598,3 +2598,54 @@ def test_oov_rate_edges(spark):
     assert out[2]["n_oov"] == 1  # 'a' is corpus-frequent, 'rare' is OOV
     assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
     assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] == 0.0
+
+
+def test_cms_merge_and_one_sided_estimate(spark):
+    """CMS tables merge by elementwise SUM (shard-merge == direct);
+    point estimates never undercount and are exact for keys whose
+    counters are collision-free at this width."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import cms_estimate, cms_register_table
+
+    a = spark.range(0, 600).select((F.col("id") % 3).cast("string").alias("v"))
+    b = spark.range(0, 400).select((F.col("id") % 5).cast("string").alias("v"))
+
+    def regs(df):
+        return {
+            (r["seed"], r["slot"]): r["cnt"]
+            for r in cms_register_table(df, "v", depth=4, width=2048).collect()
+        }
+
+    ra, rb, ru = regs(a), regs(b), regs(a.unionByName(b))
+    merged = {k: ra.get(k, 0) + rb.get(k, 0) for k in set(ra) | set(rb)}
+    assert merged == ru
+    # truth: '0' appears 200 (in a) + 80 (in b) = 280; '3' only in b: 80
+    assert cms_estimate(ru, "0") >= 280
+    assert cms_estimate(ru, "3") >= 80
+    # one-sided: never below truth for every present key
+    for v, truth in [("0", 280), ("1", 280), ("2", 280), ("3", 80), ("4", 80)]:
+        assert cms_estimate(ru, v) >= truth
+    with _pytest.raises(ValueError):
+        cms_register_table(a, "v", depth=0)
+
+
+def test_temperature_sample_realizes_flattened_mixture(spark):
+    """The binding (smallest) stratum keeps everything; kept sizes
+    track sqrt(n_min·n_s) (the α=0.5 target) within sampling noise;
+    invalid α raises."""
+    import math
+
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import temperature_sample
+
+    rows = [(i, "big") for i in range(4000)] + [(i + 100000, "small") for i in range(250)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept = temperature_sample(docs, alpha=0.5).groupBy("stratum").count().collect()
+    sizes = {r["stratum"]: r["count"] for r in kept}
+    assert sizes["small"] == 250  # binding stratum keeps all
+    target_big = math.sqrt(250 * 4000)  # = 1000
+    assert abs(sizes["big"] - target_big) / target_big < 0.15
+    with _pytest.raises(ValueError):
+        temperature_sample(docs, alpha=0.0)
