@@ -69,6 +69,12 @@ _REWRITTEN: list[str] = [
     # (xxhash64 + md5) in both the reporting op and pipeline stage 1.
     "t_media_exact_dedup",
     "t_media_pipeline",
+    # substring-dedup gram fingerprints widened from one xxhash64 to a
+    # 128-bit double-hash struct (this family CUTS text on fingerprint
+    # equality — the same collision-drop class as the media fix); the
+    # persisted-index scheme tag bumped to xx128.
+    "t_substring_dedup",
+    "t_substring_removal",
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory

@@ -1262,7 +1262,7 @@ def substring_dedup_against_index(
 
     spark = batch.sparkSession
     k = int(min_tokens)
-    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k})
+    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k, "scheme": "xx128"})
     allb = (
         batch.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
@@ -1451,7 +1451,7 @@ def build_substring_index(
         .parquet(index_path)
     )
     write_index_meta(
-        docs.sparkSession, index_path, "substring_grams", {"min_tokens": k}
+        docs.sparkSession, index_path, "substring_grams", {"min_tokens": k, "scheme": "xx128"}
     )
 
 
@@ -1470,7 +1470,7 @@ def append_substring_index(
 
     spark = batch.sparkSession
     k = int(min_tokens)
-    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k})
+    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k, "scheme": "xx128"})
     new = (
         _token_arrays(batch, k, text_col, id_col)
         .select(F.explode(_gram_hashes(k)).alias("gh"))
@@ -1506,7 +1506,7 @@ def duplicate_substring_spans_against_index(
 
     spark = batch.sparkSession
     k = int(min_tokens)
-    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k})
+    check_index_meta(spark, index_path, "substring_grams", {"min_tokens": k, "scheme": "xx128"})
     base = _token_arrays(batch, k, text_col, id_col)
     positions = base.select(
         id_col, F.posexplode(_gram_hashes(k)).alias("pos", "gh")
@@ -1613,12 +1613,25 @@ def _token_arrays(
 
 
 def _gram_hashes(k: int) -> Column:
-    """xxhash64 fingerprint of each k-token gram of ``__toks``, one
-    per 0-based start position — the shuffle never carries gram text."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, F.lit(k)))),
-    )
+    """128-bit gram fingerprint (two independently-seeded xxhash64
+    longs as a struct) of each k-token gram of ``__toks``, one per
+    0-based start position — the shuffle never carries gram text.
+
+    TWO hashes, not one, because this family DROPS DATA on fingerprint
+    equality (the removal form cuts every token a duplicated gram
+    covers): at 100 TB gram counts a single 64-bit hash takes birthday
+    collisions (~n²/2^65 colliding pairs) that silently mutilate clean
+    documents; 128 combined bits push that below ~2^-60 per pair —
+    the same double-digest rule the media exact-dedup stage applies.
+    Struct keys group/join/sort identically to the old long at 2× the
+    shuffle width (16 bytes — still far below carrying gram text)."""
+    def fp(i: Column) -> Column:
+        g = F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, F.lit(k)))
+        return F.struct(
+            F.xxhash64(g).alias("h1"), F.xxhash64(F.lit(2), g).alias("h2")
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.size("__toks") - F.lit(k)), fp)
 
 
 def chunk_documents(
