@@ -57,24 +57,11 @@ _SENTINELS = ["merged_entity", "m5_extra_data_merge", "m7_clash_fold_checked"]
 # they re-enter the window right after the sentinels (VERDICT r03
 # item 6). Clear this list when a round ships no rewrites.
 _REWRITTEN: list[str] = [
-    # r08 (ADVICE r07 fixes — each one changes op semantics, so the
-    # archived green rows are stale evidence):
-    # html_links regex gained the tag-name boundary (<area>/<abbr>
-    # hrefs no longer extracted) and its fixture grew a decoy.
-    "t_html_links",
-    # fuzzy_contamination_pairs namespaces corpus/benchmark ids into
-    # (side, key) structs before the verify-stage union.
-    "t_fuzzy_decontaminate_checked",
-    # media exact dedup groups on two independent digests
-    # (xxhash64 + md5) in both the reporting op and pipeline stage 1.
-    "t_media_exact_dedup",
-    "t_media_pipeline",
-    # substring-dedup gram fingerprints widened from one xxhash64 to a
-    # 128-bit double-hash struct (this family CUTS text on fingerprint
-    # equality — the same collision-drop class as the media fix); the
-    # persisted-index scheme tag bumped to xx128.
-    "t_substring_dedup",
-    "t_substring_removal",
+    # r09: no semantic rewrites of already-green ops this round (the
+    # r08 entries all earned fresh green rows in CORRECTNESS_r08; the
+    # r09 temperature_sample NULL-stratum fix is unobservable on the
+    # NULL-free fixture, and the HLL-store atomic publish is
+    # streaming-only). New r09 ops enter via never-green rank.
 ]
 
 # Priority ORDER for never-driver-checked ops (SURVEY §2 inventory

@@ -3829,3 +3829,127 @@ def t_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__fn") == 0).alias("no_false_neg"),
         )
     )
+
+
+_KMV_HASH = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+
+# B-side corpus for the sketch-intersection op: half the docs verbatim,
+# half first-word-mutated — a known ~50% overlap for the estimator.
+_KMV_B_SQL = f"""
+      SELECT {_KMV_HASH} AS hval FROM documents
+      WHERE text IS NOT NULL AND doc_id % 2 = 0
+      UNION ALL
+      SELECT CAST(('0x' || substr(md5(regexp_replace(text, '^\\S+', 'zzz')), 1, 15)) AS BIGINT)
+      FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+"""
+
+
+def _kmv_corpus_b(docs: DataFrame) -> DataFrame:
+    keep = docs.filter(F.col("text").isNotNull())
+    return keep.filter(F.col("doc_id") % 2 == 0).select("text").unionByName(
+        keep.filter(F.col("doc_id") % 2 == 1).select(
+            F.regexp_replace("text", r"^\S+", "zzz").alias("text")
+        )
+    )
+
+
+@register(
+    "t_kmv_sketch",
+    oracle=f"""
+    SELECT DISTINCT {_KMV_HASH} AS hval
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY hval LIMIT 256
+    """,
+)
+def t_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch STATE over document text: the
+    256 smallest distinct 60-bit md5-derived hashes. Like
+    t_hll_registers, what's pinned is the portable sketch rows
+    themselves — bit-reproducible in any engine with md5 — not just an
+    estimate. The corpus pass is a bounded-memory per-partition
+    bottom-k (Arrow mapInPandas, ≤k rows out per partition); nothing
+    ever shuffles the full distinct key space."""
+    from faexport_db_spark.training.pipeline import kmv_sketch
+
+    return kmv_sketch(_docs(spark, sf_dir), "text", k=256)
+
+
+@register(
+    "t_kmv_distinct",
+    oracle=f"""
+    WITH k AS (
+      SELECT DISTINCT {_KMV_HASH} AS hval
+      FROM documents WHERE text IS NOT NULL
+      ORDER BY hval LIMIT 256
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hval) AS h_k FROM k)
+    SELECT k_used, h_k,
+           round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                      ELSE 255.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+                 END, 6) AS n_distinct_est
+    FROM s
+    """,
+)
+def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV read path: (k-1)/h_k distinct-count estimate (exact
+    count when the sketch is not full), computed from the sketch rows
+    alone. Every arithmetic step is an IEEE correctly-rounded
+    primitive on integers exactly representable in double, so the
+    estimate — not just the sketch — replays exactly in SQL."""
+    from faexport_db_spark.training.pipeline import kmv_sketch
+
+    sk = kmv_sketch(_docs(spark, sf_dir), "text", k=256)
+    est = F.when(F.col("k_used") < 256, F.col("k_used").cast("double")).otherwise(
+        F.lit(float(255) * float(1 << 60)) / F.col("h_k").cast("double")
+    )
+    return sk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("hval").alias("h_k"),
+    ).select("k_used", "h_k", F.round(est, 6).alias("n_distinct_est"))
+
+
+@register(
+    "t_kmv_intersect",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_HASH} AS hval
+      FROM documents WHERE text IS NOT NULL
+      ORDER BY hval LIMIT 256
+    ),
+    b AS (
+      SELECT DISTINCT hval FROM ({_KMV_B_SQL})
+      ORDER BY hval LIMIT 256
+    ),
+    u AS (
+      SELECT DISTINCT hval
+      FROM (SELECT hval FROM a UNION ALL SELECT hval FROM b)
+      ORDER BY hval LIMIT 256
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hval) AS h_k FROM u),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common FROM u
+      WHERE hval IN (SELECT hval FROM a) AND hval IN (SELECT hval FROM b)
+    )
+    SELECT k_used, n_common,
+           round(n_common * 1.0 / k_used, 6) AS jaccard_est,
+           round((n_common * 1.0 / k_used)
+                 * (CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                         ELSE 255.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+                    END), 6) AS inter_est
+    FROM c, s
+    """,
+)
+def t_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra corpus overlap: Jaccard + intersection-size
+    estimate between the corpus and a half-mutated copy from their
+    two 256-row KMV sketches ALONE — the corpora are never rejoined.
+    The exact sibling is t_corpus_overlap (full equi-join on content
+    hash); this is what replaces it when the shards are 100 TB and
+    the question is a matrix of pairwise overlaps: N sketch scans,
+    then N² joins over 256-row frames."""
+    from faexport_db_spark.training.pipeline import kmv_intersect_estimate, kmv_sketch
+
+    docs = _docs(spark, sf_dir)
+    ska = kmv_sketch(docs, "text", k=256)
+    skb = kmv_sketch(_kmv_corpus_b(docs), "text", k=256)
+    return kmv_intersect_estimate(ska, skb, k=256)

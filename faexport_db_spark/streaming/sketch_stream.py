@@ -38,12 +38,28 @@ def hll_batch_into_store(
 ) -> None:
     """Fold one micro-batch into the register store: compute the
     batch's own register table (one bounded map-side-combining
-    groupBy) and overwrite its per-batch partition directory. Safe
-    under re-delivery and mid-write crashes by idempotence — see the
-    module docstring."""
+    groupBy) and publish it under a per-batch partition directory.
+
+    The publish is write-to-hidden-dir then rename: Spark's parquet
+    reader skips dot-prefixed paths, so a concurrent
+    ``read_hll_store`` never observes partial files mid-write — at
+    worst it misses a not-yet-renamed partition (a transient
+    undercount that the monotone MAX-merge repairs on the next read).
+    Re-delivery of a crashed batch rewrites the identical rows, so a
+    crash at any point (partial hidden dir, missing final dir) is
+    repaired by idempotence — see the module docstring."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+
     ns = stream_id or "direct"
-    part = f"{store_path.rstrip('/')}/batch={ns}-{batch_id if batch_id is not None else 0}"
-    hll_register_table(batch, col, p).write.mode("overwrite").parquet(part)
+    base = store_path.rstrip("/")
+    tag = f"{ns}-{batch_id if batch_id is not None else 0}"
+    part = f"{base}/batch={tag}"
+    tmp = f"{base}/.tmp-batch={tag}"
+    hll_register_table(batch, col, p).write.mode("overwrite").parquet(tmp)
+    fs = HadoopFs(batch.sparkSession, base)
+    if fs.exists(part):
+        fs.delete(part, recursive=True)
+    fs.rename(tmp, part)
 
 
 def read_hll_store(spark: SparkSession, store_path: str) -> DataFrame:
@@ -71,7 +87,9 @@ def start_streaming_hll(
     foreachBatch. ``source`` is any streaming DataFrame carrying
     ``col``; distinct counts over everything ever streamed come from
     ``hll_estimate(read_hll_store(...))`` at any time, concurrent with
-    the stream."""
+    the stream — the hidden-dir-then-rename publish means a concurrent
+    read never sees partial files, only (at worst) a transient
+    undercount of the in-flight batch."""
     from faexport_db_spark.streaming.dedup_stream import _stream_id
 
     sid = _stream_id(spark, checkpoint)

@@ -619,7 +619,9 @@ def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
     import math
 
     m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
+    # Flajolet et al. 2007 §4: the asymptotic formula only holds for
+    # m >= 128; smaller register counts use the exact constants.
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m) or 0.7213 / (1 + 1.079 / m)
     s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
     est = alpha * m * m / s
     zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
@@ -859,10 +861,17 @@ def temperature_sample(
     practice but not IEEE-guaranteed. One stratum-count aggregation
     broadcast back; the corpus itself is filtered map-side.
 
+    NULL strata are excluded up front — from the count table (so a
+    NULL group can never set n_min and scale every real stratum's
+    keep rate) and from the corpus (the inner equi-join would drop
+    them silently anyway); ``temperature_mixture`` is the op that
+    REPORTS the NULL stratum when you need to see it.
+
     Output: (id, stratum, sample_key) for kept docs.
     """
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    docs = docs.filter(F.col(stratum_col).isNotNull())
     counts = docs.groupBy(F.col(stratum_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -944,3 +953,129 @@ def cms_estimate(
         c = registers.get((seed, h % width), 0)
         est = c if est is None else min(est, c)
     return est or 0
+
+
+def kmv_sketch(df: DataFrame, col: str = "text", k: int = 256) -> DataFrame:
+    """Bottom-k (KMV / K-Minimum-Values, Bar-Yossef et al. 2002)
+    distinct sketch over ``col``: the ``k`` smallest DISTINCT 60-bit
+    md5-derived hash values. Third sketch sibling after
+    ``hll_register_table`` (distinct counts) and
+    ``cms_register_table`` (point frequencies) — what KMV adds is SET
+    ALGEBRA: two sketches union by re-taking the bottom-k of their
+    concatenation, and intersection/Jaccard between corpora fall out
+    of ``kmv_intersect_estimate`` — overlap estimation over any shard
+    subset WITHOUT rescanning either corpus (the sketch sibling of the
+    exact ``corpus_overlap``). Hashing is the engine-neutral 15-hex-
+    char md5 scheme every sketch here uses, so the sketch rows — the
+    STATE, not just the estimate — are bit-reproducible in any engine
+    with md5, and the driver oracle replays them exactly.
+
+    Shape at 100 TB: the corpus pass is a single Arrow ``mapInPandas``
+    that keeps a bounded (≤k) running set of the partition's smallest
+    distinct hashes — constant memory, NO shuffle of per-partition
+    distinct values (a ``groupBy(hash)`` pre-distinct would shuffle
+    the whole key space, which is exactly what a sketch exists to
+    avoid). Each partition emits ≤k rows; the global combine is a
+    take-ordered over ≤ k × n_partitions rows. Per-partition bottom-k
+    of distinct values composes associatively, so the result is
+    independent of partitioning.
+
+    Output: (hval) — bigint, the ≤k smallest distinct hashes, one row
+    each (fewer than k only when the column has <k distinct values).
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.filter(F.col(col).isNotNull()).select(h.alias("hval"))
+
+    def bottom_k(batches):
+        import numpy as np
+
+        best: "np.ndarray | None" = None
+        for pdf in batches:
+            vals = pdf["hval"].to_numpy(dtype="int64")
+            best = vals if best is None else np.concatenate([best, vals])
+            best = np.unique(best)  # sorted distinct
+            if len(best) > k:
+                best = best[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"hval": best})
+
+    partial = hashed.mapInPandas(bottom_k, schema="hval bigint")
+    # <= k rows per partition survive; dedup across partitions and
+    # re-take the global bottom-k (TakeOrdered — no wide shuffle).
+    return partial.distinct().orderBy("hval").limit(k)
+
+
+def kmv_estimate(hvals: list[int], k: int = 256) -> float:
+    """Driver-side distinct-count estimate from a sketch's hash rows:
+    (k-1) / h_k with hashes normalized to [0, 1) over the 60-bit hash
+    space — the standard unbiased KMV estimator. Falls back to the
+    exact distinct count when the sketch is not full (fewer than k
+    distinct values existed: the sketch IS the distinct set)."""
+    if not hvals:
+        return 0.0
+    vals = sorted(hvals)
+    if len(vals) < k:
+        return float(len(vals))
+    return (k - 1) * float(1 << 60) / float(vals[k - 1])
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union of two KMV sketches = bottom-k of their concatenation —
+    closed over the sketch shape, so shard/day/engine sidecars
+    compose like the HLL MAX-merge. Tiny frames (≤k rows each)."""
+    return a.unionByName(b).distinct().orderBy("hval").limit(k)
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Jaccard / intersection-size estimate between two corpora from
+    their KMV sketches alone (Beyer et al. 2007): K∩ = how many of the
+    union sketch's k hashes appear in BOTH input sketches; J ≈ K∩/k';
+    |A∩B| ≈ J × D_union. Everything is joins over ≤k-row frames — the
+    corpora themselves are never touched, which is the operational
+    win: pairwise overlap across N corpus shards costs N sketch scans,
+    not N² corpus joins.
+
+    Output: one row (k_used, n_common, jaccard_est, inter_est) —
+    bigint, bigint, double(6dp), double(6dp).
+    """
+    # Each sketch frame is referenced several times below (union,
+    # intersect, membership join); without a checkpoint every
+    # reference re-expands the whole corpus-scan subtree. The frames
+    # are <= k rows — pinning them is the lazy-localCheckpoint pattern
+    # the simhash union uses (BENCHNOTES r06).
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
+    u = kmv_union(a, b, k).localCheckpoint(eager=False)
+    both = a.select("hval").intersect(b.select("hval"))
+    flagged = u.join(both.withColumn("__inb", F.lit(1)), "hval", "left")
+    kth = u.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("hval").alias("h_k")
+    )
+    return (
+        flagged.agg(F.sum(F.coalesce(F.col("__inb"), F.lit(0))).alias("n_common"))
+        .crossJoin(kth)
+        .select(
+            F.col("k_used").cast("bigint").alias("k_used"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(F.col("n_common") / F.col("k_used"), 6).alias("jaccard_est"),
+            F.round(
+                (F.col("n_common") / F.col("k_used"))
+                * F.when(
+                    F.col("k_used") < F.lit(k), F.col("k_used").cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(float(1 << 60))
+                    / F.col("h_k").cast("double")
+                ),
+                6,
+            ).alias("inter_est"),
+        )
+    )

@@ -985,3 +985,30 @@ def test_cms_registers_single_exchange(spark, sf_small):
     depth×width rows; the per-row seed fan-out stays map-side."""
     q = QUERIES["t_cms_registers"](spark, sf_small)
     assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+
+
+def test_kmv_sketch_never_shuffles_distinct_keyspace(spark, sf_small):
+    """The KMV corpus pass must be map-only up to the bounded
+    per-partition bottom-k (MapInPandas directly over the scan — a
+    pre-distinct groupBy would shuffle the whole key space, which is
+    what the sketch exists to avoid); everything after operates on
+    <= k rows/partition."""
+    q = QUERIES["t_kmv_sketch"](spark, sf_small)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    # scan -> project -> mapInPandas with NO exchange in between
+    before_map = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in before_map, plan
+    assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
+
+
+def test_kmv_intersect_touches_each_corpus_once_per_sketch(spark, sf_small):
+    """Sketch algebra: the two sketch frames are localCheckpoint-
+    pinned (each is referenced by the union, the intersect, and the
+    membership join — unpinned, every reference would re-expand the
+    corpus scan, measured 9 scans), so the estimate's own plan must
+    contain NO corpus scan at all: the corpora are read once per
+    sketch at pin time and never rejoined."""
+    q = QUERIES["t_kmv_intersect"](spark, sf_small)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 0, plan

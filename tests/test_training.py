@@ -2649,3 +2649,92 @@ def test_temperature_sample_realizes_flattened_mixture(spark):
     assert abs(sizes["big"] - target_big) / target_big < 0.15
     with _pytest.raises(ValueError):
         temperature_sample(docs, alpha=0.0)
+
+
+def test_temperature_sample_ignores_null_stratum(spark):
+    """A NULL stratum must neither appear in the output nor set n_min
+    (which would scale every real stratum's keep rate)."""
+    from faexport_db_spark.training.pipeline import temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(i + 100000, "small") for i in range(250)]
+        + [(i + 200000, None) for i in range(10)]  # tiny NULL group
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    sizes = {
+        r["stratum"]: r["count"]
+        for r in temperature_sample(docs, alpha=0.5).groupBy("stratum").count().collect()
+    }
+    assert None not in sizes
+    # n_min must be 250 (small), NOT 10 (the NULL group): small keeps all.
+    assert sizes["small"] == 250
+
+
+def test_hll_estimate_small_m_constants():
+    """p<7 uses Flajolet's exact alpha constants, not the asymptotic
+    formula (valid only for m>=128). With every register saturated at
+    the same value the raw estimate is alpha*m*2^r exactly, so the
+    constant is directly observable."""
+    from faexport_db_spark.training.pipeline import hll_estimate
+
+    for p, alpha in [(4, 0.673), (5, 0.697), (6, 0.709)]:
+        m = 1 << p
+        regs = {b: 5 for b in range(m)}  # no zero buckets -> raw path
+        est = hll_estimate(regs, p)
+        assert abs(est - alpha * m * 32) < 1e-9
+    # m>=128 keeps the asymptotic formula
+    m = 1 << 8
+    regs = {b: 5 for b in range(m)}
+    expected = (0.7213 / (1 + 1.079 / m)) * m * 32
+    assert abs(hll_estimate(regs, 8) - expected) < 1e-9
+
+
+def test_kmv_sketch_properties(spark):
+    """KMV invariants: the sketch is the exact bottom-k of distinct
+    hashes (so it is independent of partitioning), union is closed
+    over the sketch shape, and the estimator lands within the
+    ~1/sqrt(k) relative-error band on a corpus 4x the sketch size."""
+    from faexport_db_spark.training.pipeline import kmv_estimate, kmv_sketch, kmv_union
+
+    import pytest as _pytest
+
+    n = 1024
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], "text string")
+    k = 256
+    sk = kmv_sketch(df, "text", k=k)
+    vals = [r["hval"] for r in sk.collect()]
+    assert len(vals) == k and vals == sorted(vals)
+    # partition independence: same rows, adversarial partitioning
+    re = kmv_sketch(df.repartition(17, "text"), "text", k=k)
+    assert [r["hval"] for r in re.collect()] == vals
+    # estimate accuracy: 1/sqrt(256) ~ 6.25%; allow 3 sigma
+    est = kmv_estimate(vals, k=k)
+    assert abs(est - n) / n < 0.19
+    # not-full sketch is the exact distinct set (estimate == count)
+    small = kmv_sketch(df.limit(40), "text", k=k)
+    svals = [r["hval"] for r in small.collect()]
+    assert kmv_estimate(svals, k=k) == float(len(set(svals)))
+    # union == sketch of the concatenation
+    a = df.filter(F.col("text") < "v5")
+    b = df.filter(F.col("text") >= "v5")
+    u = kmv_union(kmv_sketch(a, "text", k=k), kmv_sketch(b, "text", k=k), k=k)
+    assert [r["hval"] for r in u.collect()] == vals
+    with _pytest.raises(ValueError):
+        kmv_sketch(df, "text", k=1)
+
+
+def test_kmv_intersect_estimate_accuracy(spark):
+    """Known ground truth: A = 0..799, B = 400..1199 → |A∩B| = 400,
+    J = 1/3. The sketch estimate must land within the k=256 error
+    band of both."""
+    from faexport_db_spark.training.pipeline import kmv_intersect_estimate, kmv_sketch
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(800)], "text string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(400, 1200)], "text string")
+    row = kmv_intersect_estimate(
+        kmv_sketch(a, "text", k=256), kmv_sketch(b, "text", k=256), k=256
+    ).collect()[0]
+    assert row["k_used"] == 256
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(row["inter_est"] - 400) / 400 < 0.3
