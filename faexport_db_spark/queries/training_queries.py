@@ -3953,3 +3953,75 @@ def t_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ska = kmv_sketch(docs, "text", k=256)
     skb = kmv_sketch(_kmv_corpus_b(docs), "text", k=256)
     return kmv_intersect_estimate(ska, skb, k=256)
+
+
+def _kmeans_iter_sql(cent: str, n: int) -> str:
+    """One unrolled Lloyd iteration: assign against ``cent``, then
+    integer floor-mean update — emits CTEs a{n}, s{n}, c{n}."""
+    return f"""
+    a{n} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT p.vec_id, c.cid,
+               CAST(list_aggregate(list_transform(generate_series(1, 64),
+                   j -> (p.q[j] - c.q[j]) * (p.q[j] - c.q[j])), 'sum') AS BIGINT) AS dist,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_aggregate(list_transform(generate_series(1, 64),
+                     j -> (p.q[j] - c.q[j]) * (p.q[j] - c.q[j])), 'sum'),
+                 c.cid) AS rn
+        FROM p CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    ),
+    s{n} AS (
+      SELECT a{n}.cid, t.j, sum(p.q[t.j]) // count(*) AS c
+      FROM a{n} JOIN p USING (vec_id), generate_series(1, 64) AS t(j)
+      GROUP BY a{n}.cid, t.j
+    ),
+    c{n} AS (
+      SELECT {cent}.cid, coalesce(nc.q, {cent}.q) AS q
+      FROM {cent} LEFT JOIN
+        (SELECT cid, list(c ORDER BY j) AS q FROM s{n} GROUP BY cid) nc
+        USING (cid)
+    )"""
+
+
+@register(
+    "t_kmeans_assign",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 20000) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q
+      FROM (SELECT vec_id, q FROM p ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_iter_sql('c0', 1)},
+    {_kmeans_iter_sql('c1', 2)}
+    SELECT vec_id, cid, dist FROM (
+      SELECT p.vec_id, c.cid,
+             CAST(list_aggregate(list_transform(generate_series(1, 64),
+                 j -> (p.q[j] - c.q[j]) * (p.q[j] - c.q[j])), 'sum') AS BIGINT) AS dist,
+             row_number() OVER (PARTITION BY p.vec_id ORDER BY
+               list_aggregate(list_transform(generate_series(1, 64),
+                   j -> (p.q[j] - c.q[j]) * (p.q[j] - c.q[j])), 'sum'),
+               c.cid) AS rn
+      FROM p CROSS JOIN c2 c
+    ) WHERE rn = 1
+    """,
+)
+def t_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer k-means TRAINER (2 unrolled Lloyd iterations,
+    k=8) over the embeddings table: quantize → integer squared-L2
+    argmin → integer floor-mean update, twice, then the final
+    assignment. Every step is exact integer arithmetic, so the
+    driver oracle (CTE-unrolled, the g3_pagerank pattern) replays
+    the trained model bit-for-bit — assignment ids AND distances.
+    The engine loop is the standard Spark k-means shape: map-only
+    literal-expression assignment, one k×dim-bounded groupBy per
+    iteration, centroids-only driver round-trips."""
+    from faexport_db_spark.training.similarity import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=8, iters=2)[0]

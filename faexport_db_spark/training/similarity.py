@@ -1410,3 +1410,93 @@ def ncm_confusion(
         .groupBy(label_col, "pred_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def kmeans_quantized(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    shift: int = 20_000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means whose every arithmetic step is EXACT integer
+    math, so the trained model — not just its cluster sizes — is
+    bit-reproducible across runs, partitionings, and engines (the
+    trainer sibling of ``ivf_centroids``, whose float means are
+    run-stable but not engine-portable; the driver oracle unrolls
+    these same iterations as SQL CTEs, the g3_pagerank pattern).
+
+    Mechanics: vectors quantize to ``floor(x * scale) + shift``
+    (floor, not round — no rounding-mode ties; ``shift`` keeps values
+    nonnegative so truncating and floor integer division agree in
+    every engine). Seeds are the ``k`` lowest-``id_col`` vectors,
+    assignment is exact-integer squared-L2 argmin (ties to the lowest
+    cid via struct ordering), and the centroid update is the integer
+    floor-mean ``sum div count``; a cluster that loses all members
+    keeps its previous centroid.
+
+    Shape at 100 TB: the standard Spark k-means loop — assignment is a
+    map-only literal-expression pass over the corpus (k × dim integer
+    literals, no join), the update is ONE groupBy per iteration
+    bounded by k × dim output rows, and only the centroid table
+    (k × dim ints) ever reaches the driver.
+
+    Returns (assignments, centroids): assignments is
+    (id, cid, dist) — bigint, int, bigint (exact squared quantized
+    L2); centroids is the final k × dim integer table.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        + F.lit(shift),
+    )
+    pts = corpus.select(F.col(id_col), q.alias("q"))
+    seeds = pts.orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    centroids: list[list[int]] = [list(r["q"]) for r in seeds]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            F.array(*[F.lit(int(v)) for v in cent]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+        best = F.array_min(choices)
+        return frame.select(
+            id_col, "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    for _ in range(iters):
+        stats = (
+            _assign(pts)
+            .select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"]) // int(r["n"])
+        centroids = [
+            [comp[p] for p in sorted(comp)] if (comp := by_cid.get(i)) else centroids[i]
+            for i in range(k)
+        ]
+
+    return _assign(pts).select(id_col, "cid", "dist"), centroids

@@ -1012,3 +1012,15 @@ def test_kmv_intersect_touches_each_corpus_once_per_sketch(spark, sf_small):
     q = QUERIES["t_kmv_intersect"](spark, sf_small)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 0, plan
+
+
+def test_kmeans_assignment_is_map_only_expression(spark, sf_small):
+    """The k-means output frame is the final assignment pass:
+    a literal-expression argmin over the embedding scan — ZERO
+    shuffles, zero Python evals, no join (the k x dim centroid table
+    travels as literals, the ivf-probe pattern). The per-iteration
+    update groupBys run at build time and are bounded by k x dim."""
+    q = QUERIES["t_kmeans_assign"](spark, sf_small)
+    assert_plan(q, max_shuffles=0, max_python_evals=0)
+    strategies = join_strategies(q)
+    assert all(v == 0 for v in strategies.values()), strategies

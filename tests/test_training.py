@@ -2738,3 +2738,48 @@ def test_kmv_intersect_estimate_accuracy(spark):
     assert row["k_used"] == 256
     assert abs(row["jaccard_est"] - 1 / 3) < 0.1
     assert abs(row["inter_est"] - 400) / 400 < 0.3
+
+
+def test_kmeans_quantized_deterministic_and_convergent(spark):
+    """The integer trainer is partition-independent (exact arithmetic
+    — no float sum order anywhere), assigns every point, and a point
+    sitting ON a seed has distance 0 to it after iteration 0."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.similarity import kmeans_quantized
+
+    rows = [
+        (i, [float((i % 4) * 10 + d) / 100.0 for d in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out, cents = kmeans_quantized(df, k=4, iters=2)
+    got = {r["vec_id"]: (r["cid"], r["dist"]) for r in out.collect()}
+    assert len(got) == 64
+    re_out, re_cents = kmeans_quantized(
+        df.repartition(13, "vec_id"), k=4, iters=2
+    )
+    assert re_cents == cents
+    assert {r["vec_id"]: (r["cid"], r["dist"]) for r in re_out.collect()} == got
+    # 4 well-separated point groups -> each converges to its own
+    # centroid with distance 0 for every member
+    assert all(d == 0 for (_, d) in got.values())
+    assert len({c for (c, _) in got.values()}) == 4
+    with _pytest.raises(ValueError):
+        kmeans_quantized(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_quantized(df.limit(2), k=4)
+
+
+def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
+    """A seed that attracts no members must survive as-is (the
+    ivf_centroids rule) — k larger than the natural cluster count."""
+    from faexport_db_spark.training.similarity import kmeans_quantized
+
+    rows = [(i, [0.1] * 4) for i in range(3)] + [(10 + i, [0.2] * 4) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out, cents = kmeans_quantized(df, k=4, iters=2)
+    assert len(cents) == 4
+    assert out.count() == 6
+    # ids 0..3 seed; seeds 1,2 duplicate seed 0's point -> ties send
+    # all [0.1] points to cid 0, so centroids 1,2 stay at their seed
+    assert cents[1] == [int(0.1 * 10000) + 20000] * 4
