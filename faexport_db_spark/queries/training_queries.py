@@ -4025,3 +4025,105 @@ def t_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_quantized(emb, k=8, iters=2)[0]
+
+
+@register(
+    "t_embedding_stats",
+    oracle="""
+    WITH e AS (
+      SELECT t.j - 1 AS pos,
+             CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings, generate_series(1, 64) AS t(j)
+    )
+    SELECT CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean,
+           round(sqrt((CAST(sum(qv * qv) AS DOUBLE)
+                       - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
+                      / count(*)) / 1000000.0, 6) AS std
+    FROM e GROUP BY pos
+    """,
+)
+def t_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std QC table over the embedding column
+    (embedding_stats): quantized to exact integer sums first, so the
+    moments are order-independent and the oracle replays them to the
+    last rounded digit. One dim-bounded groupBy."""
+    from faexport_db_spark.training.similarity import embedding_stats
+
+    return embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "t_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang, source,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang,
+           CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+           CAST(n AS BIGINT) AS group_n, n >= 5 AS released
+    FROM g
+    """,
+)
+def t_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=5) over the (lang, source)
+    quasi-identifier pair — rows in combinations rarer than k get
+    every quasi-identifier masked to '*'. The fixture has singleton
+    combinations at every SF, so both branches are exercised and
+    every mask decision is replayed in SQL."""
+    from faexport_db_spark.training.pipeline import k_anonymity
+
+    return k_anonymity(_docs(spark, sf_dir), ["lang", "source"], k=5)
+
+
+@register(
+    "t_url_frontier",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<a href="https://' || source || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR)
+               || '">x</a><a class="c" href="https://cdn.example.net/lang/'
+               || lang || '">y</a><a href="/rel/path">z</a>' AS html
+      FROM documents WHERE text IS NOT NULL
+    ),
+    u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(html, '<a(\s[^>]*)?\shref="([^"]*)"', 2)) AS href,
+                 generate_subscripts(regexp_extract_all(html, '<a(\s[^>]*)?\shref="([^"]*)"', 2), 1) AS ord
+          FROM h),
+    f AS (
+      SELECT href AS url, CAST(min(ord - 1) AS BIGINT) AS priority,
+             CAST(count(*) AS BIGINT) AS n_refs
+      FROM u WHERE regexp_matches(href, '^https?://')
+      GROUP BY href
+    )
+    SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           priority, n_refs,
+           CAST(row_number() OVER (
+             PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+             ORDER BY priority, url) AS BIGINT) AS wave
+    FROM f
+    """,
+)
+def t_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier (crawl_frontier) over the
+    outlinks of the synthetic markup: distinct absolute URLs ranked
+    into one-fetch-per-domain-per-wave slots, priority = best ordinal
+    across referrers. Per-domain window — no global sequence, nothing
+    single-partitions; the whole schedule replays in SQL."""
+    from faexport_db_spark.training.text import crawl_frontier, html_links
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit('<a href="https://'),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a><a class="c" href="https://cdn.example.net/lang/'),
+        F.col("lang"),
+        F.lit('">y</a><a href="/rel/path">z</a>'),
+    )
+    return crawl_frontier(html_links(docs.select("doc_id", html.alias("html"))))

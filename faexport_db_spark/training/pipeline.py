@@ -1079,3 +1079,50 @@ def kmv_intersect_estimate(
             ).alias("inter_est"),
         )
     )
+
+
+def k_anonymity(
+    docs: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-anonymity suppression over a set of quasi-identifier columns
+    (Sweeney 2002): a row is released with its quasi-identifiers
+    intact only when at least ``k`` rows share that exact combination;
+    rarer combinations have every quasi-identifier masked to '*' so no
+    released row's identifier tuple matches fewer than k individuals.
+    The aggregate-privacy sibling of the per-value ``pii_scrub``:
+    scrubbing removes direct identifiers, this bounds re-identification
+    by combination.
+
+    One window over the quasi-identifier tuple (hash-partitioned by
+    the combination — parallel across groups, map-side nothing to
+    combine but nothing single-partitions either). NULL participates
+    as its own combination value (SQL window PARTITION BY semantics,
+    identical in the oracle).
+
+    Output: (id, <quasi cols masked>, group_n, released).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    w = Window.partitionBy(*quasi_cols)
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    released = F.col("__n") >= F.lit(k)
+    masked = [
+        F.when(released, F.col(c).cast("string")).otherwise(F.lit("*")).alias(c)
+        for c in quasi_cols
+    ]
+    return (
+        docs.withColumn("__n", n)
+        .select(
+            F.col(id_col),
+            *masked,
+            F.col("__n").alias("group_n"),
+            released.alias("released"),
+        )
+    )

@@ -1500,3 +1500,43 @@ def kmeans_quantized(
         ]
 
     return _assign(pts).select(id_col, "cid", "dist"), centroids
+
+
+def embedding_stats(
+    corpus: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Per-dimension mean/std over an embedding column — the QC table
+    read before whitening/normalization decisions (a dimension with
+    near-zero variance or a drifting mean is a model-or-ingest bug).
+    Values quantize to ``floor(x * scale)`` first so the sums are
+    EXACT integers (order-independent — engine-reproducible, unlike a
+    float avg whose partition-order sum drift sits exactly at a
+    round() boundary sometimes); mean/std then derive from the two
+    exact sums in fixed double arithmetic.
+
+    One posexplode + one groupBy bounded by dim rows; the shuffle
+    carries map-side-combined (pos, sum, sumsq, n) partials only.
+    Output: (pos, n, mean, std) — int, bigint, double(6dp) x2.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    exploded = corpus.select(F.posexplode(q).alias("pos", "qv"))
+    agg = exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sq"),
+    )
+    s = F.col("s").cast("double")
+    sq = F.col("sq").cast("double")
+    n = F.col("n")
+    mean = s / n / F.lit(float(scale))
+    var = (sq - s * s / n) / n
+    std = F.sqrt(var) / F.lit(float(scale))
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+    )

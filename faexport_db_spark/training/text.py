@@ -2243,3 +2243,48 @@ def link_domains(
             F.countDistinct(id_col).cast("bigint").alias("n_docs"),
         )
     )
+
+
+def crawl_frontier(
+    links: DataFrame,
+    href_col: str = "href",
+    ordinal_col: str = "link_no",
+) -> DataFrame:
+    """Politeness-scheduled crawl frontier over ``html_links`` output:
+    distinct absolute http(s) URLs ranked into fetch WAVES, one fetch
+    per domain per wave — the per-host rate-limit discipline every
+    crawler needs, expressed as a window rank. A URL's priority is its
+    best (lowest) ordinal across referring pages, ties broken by the
+    URL itself, so the schedule is fully deterministic.
+
+    Scale shape: one groupBy on the URL (dedup + min-ordinal, map-side
+    combining) and one window partitioned BY DOMAIN — millions of
+    domains at crawl scale, so the rank parallelizes per-host and
+    nothing single-partitions; there is deliberately NO global fetch
+    sequence (a global row_number would be exactly the
+    Exchange-SinglePartition trap sequence_pack avoids) — wave order
+    plus any per-wave order IS the schedule.
+
+    Output: (url, domain, priority, n_refs, wave).
+    """
+    from pyspark.sql.window import Window
+
+    urls = (
+        links.filter(F.col(href_col).rlike(r"^https?://"))
+        .groupBy(F.col(href_col).alias("url"))
+        .agg(
+            F.min(ordinal_col).cast("bigint").alias("priority"),
+            F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        )
+        .withColumn(
+            "domain", F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+        )
+    )
+    w = Window.partitionBy("domain").orderBy("priority", "url")
+    return urls.select(
+        "url",
+        "domain",
+        "priority",
+        "n_refs",
+        F.row_number().over(w).cast("bigint").alias("wave"),
+    )

@@ -1024,3 +1024,34 @@ def test_kmeans_assignment_is_map_only_expression(spark, sf_small):
     assert_plan(q, max_shuffles=0, max_python_evals=0)
     strategies = join_strategies(q)
     assert all(v == 0 for v in strategies.values()), strategies
+
+
+def test_embedding_stats_single_bounded_exchange(spark, sf_small):
+    """Per-dim moments: one groupBy(pos) exchange bounded by dim rows,
+    pure expression."""
+    q = QUERIES["t_embedding_stats"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)
+
+
+def test_k_anonymity_window_partitions_by_quasi_tuple(spark, sf_small):
+    """The suppression window hash-partitions by the quasi-identifier
+    combination — parallel across groups, never SinglePartition."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_k_anonymity"](spark, sf_small)
+    plan = _physical_plan(q)
+    assert "SinglePartition" not in plan, plan
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+
+
+def test_crawl_frontier_never_single_partitions(spark, sf_small):
+    """Frontier scheduling: url-dedup groupBy + per-domain wave window
+    (<= 2 exchanges); deliberately NO global sequence, so no
+    Exchange SinglePartition anywhere."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_url_frontier"](spark, sf_small)
+    assert "SinglePartition" not in _physical_plan(q), _physical_plan(q)
+    assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)

@@ -2783,3 +2783,67 @@ def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
     # ids 0..3 seed; seeds 1,2 duplicate seed 0's point -> ties send
     # all [0.1] points to cid 0, so centroids 1,2 stay at their seed
     assert cents[1] == [int(0.1 * 10000) + 20000] * 4
+
+
+def test_embedding_stats_exact_moments(spark):
+    """Known vectors -> exact per-dimension mean/std; quantized sums
+    make the result partition-order independent."""
+    from faexport_db_spark.training.similarity import embedding_stats
+
+    rows = [(1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["pos"]: r for r in embedding_stats(df).collect()}
+    assert got[0]["n"] == 3 and got[0]["mean"] == 1.0
+    # population std of (0,1,2) = sqrt(2/3)
+    assert abs(got[0]["std"] - (2 / 3) ** 0.5) < 1e-6
+    assert got[1]["mean"] == 1.0 and got[1]["std"] == 0.0
+    re = {r["pos"]: r for r in embedding_stats(df.repartition(7)).collect()}
+    assert re == got
+
+
+def test_k_anonymity_masks_small_groups(spark):
+    """Combinations rarer than k are fully masked; NULL is its own
+    combination; invalid args raise."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import k_anonymity
+
+    rows = (
+        [(i, "en", "a") for i in range(5)]
+        + [(10, "de", "a"), (11, "de", "b")]
+        + [(20, None, "a"), (21, None, "a")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, source string")
+    got = {r["doc_id"]: r for r in k_anonymity(df, ["lang", "source"], k=2).collect()}
+    assert got[0]["released"] and got[0]["lang"] == "en"
+    assert not got[10]["released"] and got[10]["lang"] == "*" and got[10]["source"] == "*"
+    # the two NULL-lang rows form one combination of size 2 -> released,
+    # lang stays NULL-as-string? No: released rows keep the original
+    # value, and NULL casts to NULL string.
+    assert got[20]["released"] and got[20]["lang"] is None and got[20]["group_n"] == 2
+    with _pytest.raises(ValueError):
+        k_anonymity(df, [], k=2)
+    with _pytest.raises(ValueError):
+        k_anonymity(df, ["lang"], k=0)
+
+
+def test_crawl_frontier_waves(spark):
+    """Dedup to distinct URLs, best-ordinal priority, one-per-domain
+    waves, non-http hrefs dropped."""
+    from faexport_db_spark.training.text import crawl_frontier
+
+    rows = [
+        (1, 0, "https://a.com/x"),
+        (2, 3, "https://a.com/x"),   # dup URL, worse ordinal
+        (1, 1, "https://a.com/y"),
+        (1, 2, "https://b.com/z"),
+        (1, 4, "/relative"),          # dropped
+        (2, 0, "mailto:x@y"),         # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, link_no bigint, href string")
+    got = {r["url"]: r for r in crawl_frontier(df).collect()}
+    assert set(got) == {"https://a.com/x", "https://a.com/y", "https://b.com/z"}
+    x = got["https://a.com/x"]
+    assert x["priority"] == 0 and x["n_refs"] == 2 and x["wave"] == 1
+    assert got["https://a.com/y"]["wave"] == 2  # same domain -> next wave
+    assert got["https://b.com/z"]["wave"] == 1  # own domain -> wave 1
