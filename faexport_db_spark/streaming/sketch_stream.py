@@ -103,3 +103,79 @@ def start_streaming_hll(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def kmv_batch_into_store(
+    batch: DataFrame,
+    store_path: str,
+    col: str,
+    k: int = 256,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+) -> None:
+    """Fold one micro-batch into a KMV bottom-k store — the
+    set-algebra sibling of ``hll_batch_into_store``: the batch's own
+    ≤k-row sketch lands under an idempotent per-batch partition via
+    the same hidden-dir-then-rename publish. KMV union (bottom-k of a
+    concatenation) is idempotent and commutative exactly like the HLL
+    MAX, so re-delivery and mid-write crashes need no commit marker."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.pipeline import kmv_sketch
+
+    ns = stream_id or "direct"
+    base = store_path.rstrip("/")
+    tag = f"{ns}-{batch_id if batch_id is not None else 0}"
+    part = f"{base}/batch={tag}"
+    tmp = f"{base}/.tmp-batch={tag}"
+    kmv_sketch(batch, col, k).write.mode("overwrite").parquet(tmp)
+    fs = HadoopFs(batch.sparkSession, base)
+    if fs.exists(part):
+        fs.delete(part, recursive=True)
+    fs.rename(tmp, part)
+
+
+def read_kmv_store(spark: SparkSession, store_path: str, k: int = 256) -> DataFrame:
+    """Merged bottom-k sketch over every batch partition — the same
+    (hval) shape ``kmv_sketch`` produces, so ``kmv_estimate`` and the
+    intersection estimator read it directly, and stores from other
+    streams/engines compose by a further union. Merge-on-read costs
+    n_batches × k rows. The ``batch=`` partition directories surface
+    as a discovered partition column — project it away BEFORE the
+    distinct, or duplicate hashes shared by two batches would consume
+    sketch slots."""
+    return (
+        spark.read.parquet(store_path)
+        .select("hval")
+        .distinct()
+        .orderBy("hval")
+        .limit(k)
+    )
+
+
+def start_streaming_kmv(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    col: str,
+    k: int = 256,
+    trigger: dict | None = None,
+):
+    """Wire ``kmv_batch_into_store`` into a streaming query via
+    foreachBatch: a continuously-maintained distinct sketch whose
+    set algebra (union/intersection vs OTHER corpora or streams)
+    stays available at any time, with the same no-partial-files
+    read guarantee as the HLL store."""
+    from faexport_db_spark.streaming.dedup_stream import _stream_id
+
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_batch_into_store(batch_df, store_path, col, k, batch_id, sid)
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

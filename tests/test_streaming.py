@@ -1604,3 +1604,49 @@ def test_streaming_hll_register_store(spark, tmp_path):
     once = sorted(read_hll_store(spark, store).collect())
     hll_batch_into_store(b, store, "v", batch_id=7, stream_id="d")
     assert sorted(read_hll_store(spark, store).collect()) == once
+
+
+def test_streaming_kmv_store(spark, tmp_path):
+    """The stream's merged bottom-k store equals the one-shot sketch
+    over everything streamed (union associativity end-to-end);
+    re-delivery is a no-op; the estimate tracks the true distinct
+    count; the hidden tmp dir is invisible to a concurrent reader."""
+    from faexport_db_spark.streaming.sketch_stream import (
+        kmv_batch_into_store,
+        read_kmv_store,
+        start_streaming_kmv,
+    )
+    from faexport_db_spark.training.pipeline import kmv_estimate, kmv_sketch
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "kmv_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "v string"
+    batches = [
+        [(str(i),) for i in range(0, 800)],
+        [(str(i),) for i in range(500, 1300)],
+    ]
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_kmv(
+            spark, stream, store, checkpoint=f"{ckpt}/b{i}", col="v",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+    merged = [r["hval"] for r in read_kmv_store(spark, store).collect()]
+    full = spark.createDataFrame(batches[0] + batches[1], schema)
+    direct = [r["hval"] for r in kmv_sketch(full, "v").collect()]
+    assert sorted(merged) == sorted(direct)
+    est = kmv_estimate(sorted(merged))
+    assert abs(est - 1300) / 1300 < 0.25
+
+    # re-delivery: same batch id + stream id overwrites identically
+    b = spark.createDataFrame(batches[0], schema)
+    kmv_batch_into_store(b, store, "v", batch_id=7, stream_id="d")
+    once = sorted(r["hval"] for r in read_kmv_store(spark, store).collect())
+    kmv_batch_into_store(b, store, "v", batch_id=7, stream_id="d")
+    again = sorted(r["hval"] for r in read_kmv_store(spark, store).collect())
+    assert again == once
