@@ -206,3 +206,71 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return degrees(g)
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED edge list
+    (self-loops dropped, duplicates collapsed), UNNORMALIZED: starting
+    from hub = 1 everywhere, alternate
+
+        auth_{k+1}(v) = Σ_{(u,v)∈E} hub_k(u)
+        hub_{k+1}(u)  = Σ_{(u,v)∈E} auth_{k+1}(v)
+
+    Skipping the usual L2 normalization keeps every score an exact
+    INTEGER — cross-engine bit-reproducible with no float-sum order
+    anywhere (the norm only rescales; rankings are identical), the
+    same trick the quantized k-means trainer uses. Scores grow by a
+    factor ≤ (max degree)² per iteration, so fixed small ``iters``
+    with bigint scores is safe far beyond this fixture's scale.
+
+    Scale shape mirrors ``pagerank``: the score vectors are (node,
+    score) DataFrames, never driver-side; each half-step is one
+    equi-join keyed on an edge endpoint plus one node-keyed groupBy;
+    edges and nodes are pinned once with localCheckpoint so the
+    per-iteration lineage stays flat. Output: (node, hub, auth) —
+    nodes with no in-edges have auth 0, no out-edges hub 0.
+    """
+    if iters < 1:
+        raise ValueError(f"need iters >= 1, got {iters}")
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1).cast("bigint").alias("score"))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+        # pin per iteration: both halves feed the next join twice
+        auth = auth.localCheckpoint(eager=False)
+        hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .join(auth.withColumnRenamed("score", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0)).cast("bigint").alias("auth"),
+        )
+    )

@@ -190,3 +190,37 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kcore(edges, k=3, rounds=3)
+
+
+@register(
+    "g5_hits",
+    oracle=f"""
+    WITH raw AS ({_EDGE_SQL}),
+    e AS (SELECT DISTINCT src AS u, dst AS v FROM raw WHERE src <> dst),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      )
+    ),
+    a1 AS (SELECT v, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY v),
+    h1 AS (SELECT e.u, CAST(sum(a1.s) AS BIGINT) AS s
+           FROM e JOIN a1 USING (v) GROUP BY e.u),
+    a2 AS (SELECT e.v, CAST(sum(h1.s) AS BIGINT) AS s
+           FROM e JOIN h1 USING (u) GROUP BY e.v),
+    h2 AS (SELECT e.u, CAST(sum(a2.s) AS BIGINT) AS s
+           FROM e JOIN a2 USING (v) GROUP BY e.u)
+    SELECT node,
+           CAST(coalesce(h2.s, 0) AS BIGINT) AS hub,
+           CAST(coalesce(a2.s, 0) AS BIGINT) AS auth
+    FROM nodes LEFT JOIN h2 ON h2.u = node LEFT JOIN a2 ON a2.v = node
+    """,
+)
+def g5_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — fixed-iteration HITS hubs/authorities (2 iterations,
+    UNNORMALIZED so every score is an exact integer — rankings are
+    identical to the normalized form, and the oracle replays scores
+    bit-for-bit with no float-sum order anywhere; the engine loop is
+    node-keyed join+aggregate halves, operators/graph.py::hits)."""
+    from faexport_db_spark.operators.graph import hits
+
+    return hits(_edges(spark, sf_dir), iters=2)

@@ -4127,3 +4127,88 @@ def t_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('">y</a><a href="/rel/path">z</a>'),
     )
     return crawl_frontier(html_links(docs.select("doc_id", html.alias("html"))))
+
+
+@register(
+    "t_group_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gs1'), 1, 8)) AS BIGINT)
+               AS sample_key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, sample_key,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)
+               AS BIGINT) AS rk
+      FROM k
+    )
+    SELECT doc_id, lang, sample_key, rk FROM r WHERE rk <= 20
+    """,
+)
+def t_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-size per-group sample (group_sample): the
+    20 smallest md5-keyed docs per language — the balanced eval-subset
+    builder where rate-based sampling can't promise exact counts.
+    Integer keying end-to-end; the whole sample replays in SQL."""
+    from faexport_db_spark.training.pipeline import group_sample
+
+    return group_sample(_docs(spark, sf_dir), per_group=20, salt="gs1")
+
+
+@register(
+    "t_normalized_dedup",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS norm_hash
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT min(doc_id) AS doc_id, norm_hash, CAST(count(*) AS BIGINT) AS n_dups
+    FROM n GROUP BY norm_hash
+    """,
+)
+def t_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over aggressively NORMALIZED text (lowercase,
+    punctuation to spaces, whitespace collapsed) — catches the
+    reformatted near-copies plain content-hash dedup misses, one
+    map-side-combining groupBy, every representative and count
+    replayed in SQL."""
+    from faexport_db_spark.training.text import normalized_dedup
+
+    return normalized_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "t_contamination_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0),
+    h AS (SELECT bg.bench_id, g.doc_id, g.gram FROM g JOIN bg USING (gram))
+    SELECT bench_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+    FROM h GROUP BY bench_id
+    """,
+)
+def t_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item contamination report (contamination_report):
+    for every eval doc (every 50th doc plays the benchmark), how many
+    corpus docs share a word 5-gram with it and how many of its grams
+    leak — the eval-side twin of t_decontaminate's corpus-side rule.
+    Benchmark grams broadcast; the corpus explode never shuffles."""
+    from faexport_db_spark.training.text import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    return contamination_report(docs, docs.filter(F.col("doc_id") % 50 == 0), n=5)

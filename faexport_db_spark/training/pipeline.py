@@ -1126,3 +1126,43 @@ def k_anonymity(
             released.alias("released"),
         )
     )
+
+
+def group_sample(
+    docs: DataFrame,
+    per_group: int = 20,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "gs1",
+) -> DataFrame:
+    """Deterministic fixed-size-per-group sample: within each stratum
+    keep the ``per_group`` rows with the smallest md5-derived keys —
+    the balanced-eval-subset builder (N docs per language/source for a
+    review set), where ``stratified_sample``'s RATE-based keep cannot
+    promise an exact per-group count. Same integer keying, so the
+    sample is reproducible across runs/engines and ``salt`` draws an
+    independent one.
+
+    One window shuffle partitioned by stratum (parallel across groups;
+    the usual caveat: a single stratum with billions of rows sorts
+    within its partition — cap input per stratum upstream with
+    ``group_cap`` when strata are that skewed).
+
+    Output: (id, stratum, sample_key, rk) — rk is 1-based within the
+    stratum.
+    """
+    if per_group < 1:
+        raise ValueError(f"need per_group >= 1, got {per_group}")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(stratum_col).orderBy("sample_key", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= per_group)
+    )

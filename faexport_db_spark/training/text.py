@@ -2288,3 +2288,97 @@ def crawl_frontier(
         "n_refs",
         F.row_number().over(w).cast("bigint").alias("wave"),
     )
+
+
+NORMALIZE_PATTERN = "[^a-z0-9\\s]"
+
+
+def normalized_text_expr(text_col: str = "text") -> Column:
+    """Aggressive normalization for robust exact dedup: lowercase,
+    punctuation to spaces, whitespace collapsed, trimmed — the
+    near-exact normalization used by corpus-curation pipelines so
+    trivially-reformatted copies (case, punctuation, spacing) hash
+    identically. Pure Catalyst expression; the regexes are
+    RE2-compatible so the oracle replays them byte-for-byte."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), NORMALIZE_PATTERN, " "),
+            "\\s+",
+            " ",
+        )
+    )
+
+
+def normalized_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text: one representative (lowest
+    id) per md5 of the normalized form — catches the
+    case/punctuation/whitespace near-copies plain ``exact_dedup``
+    misses, without any banding machinery. Between exact and MinHash
+    in the dedup ladder; same single map-side-combining groupBy shape
+    as exact_dedup (the normalization is map-only). NULL-text rows
+    carry no content and are dropped.
+
+    Output: (id, norm_hash, n_dups).
+    """
+    norm = normalized_text_expr(text_col)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(id_col, "norm_hash", "n_dups")
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The eval-side view of decontamination: per BENCHMARK item, how
+    many corpus docs share at least one word ``n``-gram with it and
+    how many of its distinct grams leak — the report an eval owner
+    reads to decide which benchmark items are burned, where
+    ``decontaminate`` answers the corpus-side question (which training
+    docs to drop). Gram keys are the gram strings themselves (the
+    exact rule; benchmark gram sets are small enough that hashing
+    buys nothing the broadcast doesn't already give).
+
+    Shape at 100 TB: benchmark grams broadcast (eval sets are tiny);
+    the corpus-sized gram explode meets them map-side, so the only
+    shuffle is the hit rows (bounded by corpus-doc × bench-gram
+    matches, small after the semi-match) grouped by benchmark id.
+
+    Output: (bench_id, n_docs, n_shared_grams) — benchmark items with
+    no leaked gram produce no row (join-only; left-join against the
+    benchmark to see zeros).
+    """
+
+    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        toks = tokens_expr(text_col)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias(out_id), F.explode(grams).alias("gram")
+        )
+
+    # Only the (small, broadcast) benchmark side pre-distincts; the
+    # corpus explode joins raw — a corpus-side distinct would be a
+    # corpus-sized shuffle, and the countDistinct aggregates below
+    # dedup repeats anyway.
+    hits = gram_rows(corpus, "doc_id").join(
+        F.broadcast(gram_rows(benchmark, "bench_id").distinct()), "gram"
+    )
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("gram").cast("bigint").alias("n_shared_grams"),
+    )

@@ -1055,3 +1055,32 @@ def test_crawl_frontier_never_single_partitions(spark, sf_small):
     assert "SinglePartition" not in _physical_plan(q), _physical_plan(q)
     assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
     assert_plan(q, max_python_evals=0)
+
+
+def test_contamination_report_broadcasts_benchmark_only(spark, sf_small):
+    """The corpus gram explode must meet the benchmark map-side: no
+    sort-merge join, no corpus-side pre-distinct shuffle — the only
+    exchange is the hit rows grouping by bench id."""
+    q = QUERIES["t_contamination_report"](spark, sf_small)
+    strategies = join_strategies(q)
+    assert strategies["BroadcastHashJoin"] >= 1, strategies
+    assert strategies["SortMergeJoin"] == 0, strategies
+    # 3 exchanges: bench-gram distinct (small), the two-countDistinct
+    # Expand dedup over HIT rows, and the bench_id group — nothing
+    # corpus-sized ever shuffles (the corpus explode streams into the
+    # broadcast join).
+    assert shuffle_count(q) <= 3, q._jdf.queryExecution().toString()
+
+
+def test_normalized_dedup_single_groupby(spark, sf_small):
+    q = QUERIES["t_normalized_dedup"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)
+
+
+def test_group_sample_single_window_shuffle(spark, sf_small):
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_group_sample"](spark, sf_small)
+    assert "SinglePartition" not in _physical_plan(q)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()

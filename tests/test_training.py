@@ -2847,3 +2847,89 @@ def test_crawl_frontier_waves(spark):
     assert x["priority"] == 0 and x["n_refs"] == 2 and x["wave"] == 1
     assert got["https://a.com/y"]["wave"] == 2  # same domain -> next wave
     assert got["https://b.com/z"]["wave"] == 1  # own domain -> wave 1
+
+
+def test_group_sample_exact_counts(spark):
+    """Exactly per_group rows per stratum (all rows when the stratum
+    is smaller), deterministic across partitionings, salt changes the
+    draw."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import group_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = group_sample(df, per_group=10)
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sizes == {"big": 10, "small": 3}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in group_sample(df.repartition(13), per_group=10).collect()
+    )
+    assert a == b
+    c = sorted(r["doc_id"] for r in group_sample(df, per_group=10, salt="other").collect())
+    assert c != a  # independent draw (astronomically unlikely to match)
+    with _pytest.raises(ValueError):
+        group_sample(df, per_group=0)
+
+
+def test_normalized_dedup_catches_reformatted_copies(spark):
+    from faexport_db_spark.training.text import normalized_dedup
+
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_dups"] for r in normalized_dedup(df).collect()}
+    assert got == {1: 3, 4: 1}  # 1,2,3 collapse; NULL dropped
+
+
+def test_contamination_report_counts(spark):
+    """Planted leak: bench doc's 5-gram appears in two corpus docs
+    (including itself); a clean bench doc yields no row."""
+    from faexport_db_spark.training.text import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares 'a b c d e' and 'b c d e f'
+            (2, "x a b c d e y"),      # shares 'a b c d e'
+            (3, "totally different words here now"),
+            (50, "a b c d e f"),       # the bench doc itself
+            (100, "unique bench content nothing shares this"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = corpus.filter(F.col("doc_id").isin(50, 100)).unionByName(
+        spark.createDataFrame(
+            [(200, "never appears anywhere in that corpus at all")],
+            "doc_id bigint, text string",
+        )
+    )
+    got = {r["bench_id"]: r for r in contamination_report(corpus, bench, n=5).collect()}
+    # 200 leaks nothing -> no row; 100 matches only itself
+    assert set(got) == {50, 100}
+    assert got[100]["n_docs"] == 1
+    assert got[50]["n_docs"] == 3  # docs 1, 2, 50
+    assert got[50]["n_shared_grams"] == 2
+
+
+def test_hits_hand_computed(spark):
+    """Path graph a->b->c, 2 unnormalized iterations: every score is
+    a hand-checkable integer; duplicate edges and self-loops ignored;
+    iters<1 raises."""
+    import pytest as _pytest
+
+    from faexport_db_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2), (3, 3)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iters=2).collect()}
+    # a1: b=1, c=1; h1: a=1, b=1; a2: b=1, c=1; h2: a=1, b=1
+    assert got == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
+    with _pytest.raises(ValueError):
+        hits(edges, iters=0)
