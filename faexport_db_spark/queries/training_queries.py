@@ -3972,7 +3972,7 @@ def _kmeans_iter_sql(cent: str, n: int) -> str:
       ) WHERE rn = 1
     ),
     s{n} AS (
-      SELECT a{n}.cid, t.j, sum(p.q[t.j]) // count(*) AS c
+      SELECT a{n}.cid, t.j, CAST(sum(p.q[t.j]) AS BIGINT) // count(*) AS c
       FROM a{n} JOIN p USING (vec_id), generate_series(1, 64) AS t(j)
       GROUP BY a{n}.cid, t.j
     ),
@@ -4212,3 +4212,112 @@ def t_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return contamination_report(docs, docs.filter(F.col("doc_id") % 50 == 0), n=5)
+
+
+# HLL alpha for m=256, frozen as one shared literal so both engines
+# start from the identical double (0.7213 / (1 + 1.079/256)).
+_HLL_ALPHA_256 = "0.7182725932495458"
+
+@register(
+    "t_sketch_panel",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    r AS (SELECT CAST(h % 256 AS INT) AS bucket, h // 256 AS rest FROM h),
+    regs AS (
+      SELECT bucket,
+             CAST(max(CASE WHEN rest = 0 THEN 53
+                           ELSE 52 - length(bin(rest)) + 1 END) AS INT) AS register
+      FROM r GROUP BY bucket
+    ),
+    hs AS (
+      SELECT CAST(sum(CAST(power(2.0, 53 - register) AS BIGINT)) AS BIGINT) AS si,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM regs
+    ),
+    hest AS (
+      SELECT CASE
+        WHEN {_HLL_ALPHA_256} * power(2.0, 69)
+             / CAST(si + (256 - nb) * CAST(power(2.0, 53) AS BIGINT) AS DOUBLE) <= 640.0
+             AND nb < 256
+        THEN 256.0 * ln(256.0 / (256 - nb))
+        ELSE {_HLL_ALPHA_256} * power(2.0, 69)
+             / CAST(si + (256 - nb) * CAST(power(2.0, 53) AS BIGINT) AS DOUBLE)
+        END AS hll_est
+      FROM hs
+    ),
+    kk AS (SELECT DISTINCT h AS hval FROM h ORDER BY hval LIMIT 256),
+    ks AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hval) AS h_k FROM kk),
+    kest AS (
+      SELECT CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+             END AS kmv_est
+      FROM ks
+    ),
+    ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           FROM orders WHERE o_custkey IS NOT NULL)
+    SELECT n_exact,
+           round(hll_est, 4) AS hll_est,
+           round(kmv_est, 4) AS kmv_est,
+           abs(hll_est - n_exact) / n_exact <= 0.2 AS hll_ok,
+           abs(kmv_est - n_exact) / n_exact <= 0.2 AS kmv_ok
+    FROM ex, hest, kest
+    """,
+)
+def t_sketch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-family accuracy contract in one row: exact distinct
+    count vs the HLL estimate (computed from the register table with
+    INTEGER-scaled 2^(53-r) sums — no float-sum order anywhere — and
+    both branches exercised across SFs: linear counting at sf0.001,
+    raw at sf0.01) vs the KMV estimate (not-full exact branch at
+    sf0.001, (k-1)/h_k at sf0.01), each pinned within its theoretical
+    ~2-sigma band. The read-path algebra itself — not just sketch
+    state — replays in SQL."""
+    from faexport_db_spark.training.pipeline import hll_register_table, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    alpha = float(_HLL_ALPHA_256)
+    regs = hll_register_table(orders, "o_custkey", p=8)
+    hs = regs.agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(53) - F.col("register")).cast("bigint")
+        ).alias("si"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    stot = (
+        F.col("si")
+        + (F.lit(256) - F.col("nb")) * F.pow(F.lit(2.0), F.lit(53)).cast("bigint")
+    ).cast("double")
+    raw = F.lit(alpha) * F.pow(F.lit(2.0), F.lit(69)) / stot
+    hll_est = F.when(
+        (raw <= 640.0) & (F.col("nb") < 256),
+        F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("nb"))),
+    ).otherwise(raw)
+    hest = hs.select(hll_est.alias("hll_est"))
+    sk = kmv_sketch(orders, "o_custkey", k=256)
+    ks = sk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("hval").alias("h_k"),
+    )
+    kmv_est = F.when(
+        F.col("k_used") < 256, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(255) * float(1 << 60)) / F.col("h_k").cast("double")
+    )
+    kest = ks.select(kmv_est.alias("kmv_est"))
+    ex = orders.agg(F.count_distinct("o_custkey").cast("bigint").alias("n_exact"))
+    return (
+        ex.crossJoin(F.broadcast(hest))
+        .crossJoin(F.broadcast(kest))
+        .select(
+            "n_exact",
+            F.round("hll_est", 4).alias("hll_est"),
+            F.round("kmv_est", 4).alias("kmv_est"),
+            (F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") <= 0.2).alias("hll_ok"),
+            (F.abs(F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact") <= 0.2).alias("kmv_ok"),
+        )
+    )

@@ -886,3 +886,40 @@ def test_media_near_dup_matches_python_reference(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+# --- KMV sketch vs pure-Python model --------------------------------------
+
+import hashlib
+
+
+def _kmv_model(values, k):
+    """Reference bottom-k of distinct 60-bit md5 hashes."""
+    hashes = {int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in values}
+    return sorted(hashes)[:k]
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=6), min_size=0, max_size=300),
+    st.integers(2, 32),
+    st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kmv_sketch_matches_python_model(spark, values, k, nparts):
+    """The distributed bottom-k equals the single-machine reference
+    for arbitrary duplicate-heavy inputs and partition counts; union
+    over an arbitrary split equals the whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.training.pipeline import kmv_sketch, kmv_union
+
+    df = spark.createDataFrame([(v,) for v in values] or [(None,)], "text string")
+    df = df.filter(F.col("text").isNotNull()).repartition(nparts)
+    got = [r["hval"] for r in kmv_sketch(df, "text", k=k).collect()]
+    assert got == _kmv_model([v for v in values], k)
+    half_a = df.filter(F.length("text") % 2 == 0)
+    half_b = df.filter(F.length("text") % 2 == 1)
+    u = kmv_union(
+        kmv_sketch(half_a, "text", k=k), kmv_sketch(half_b, "text", k=k), k=k
+    )
+    assert [r["hval"] for r in u.collect()] == got
