@@ -411,3 +411,71 @@ def ts8_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("delta"),
         F.round(delta.cast("double") / F.lag("n").over(w), 6).alias("pct_change"),
     )
+
+
+@register(
+    "ts9_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           cents / 100.0 AS daily_value,
+           (coalesce(lag(cents, 0) OVER w, 0) * 128
+          + coalesce(lag(cents, 1) OVER w, 0) * 64
+          + coalesce(lag(cents, 2) OVER w, 0) * 32
+          + coalesce(lag(cents, 3) OVER w, 0) * 16
+          + coalesce(lag(cents, 4) OVER w, 0) * 8
+          + coalesce(lag(cents, 5) OVER w, 0) * 4
+          + coalesce(lag(cents, 6) OVER w, 0) * 2
+          + coalesce(lag(cents, 7) OVER w, 0)) / 12800.0 AS ewma
+    FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def ts9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS9 — exponentially-weighted moving activity per user: the
+    8-term dyadic EWMA (weights 2^-k) over the user's observed daily
+    value totals, the trend smoother behind per-entity activity
+    scores. Every step is EXACT: daily totals quantize to integer
+    cents (order-independent sums), the weighted sum runs entirely in
+    INTEGER arithmetic (weights 2^(7-k), one final division by 12800),
+    and the output double is the identical correctly-rounded quotient
+    in every engine — deliberately NOT re-rounded to decimals: the
+    values are exact multiples of 2^-7 cents, which sit on 6dp decimal
+    ties for 1/8 of outputs, exactly where engines' decimal-rounding
+    implementations disagree.
+
+    Shape: the corpus shuffles once for the (user, day) aggregate; the
+    lag window runs over the small daily table, partitioned per user —
+    nothing single-partitions. Missing history (first days) treats
+    absent lags as 0 on both engines.
+
+    Output: (user_id, day, daily_value, ewma).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    terms = [
+        F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(1 << (7 - k))
+        for k in range(8)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return daily.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        (F.col("cents") / F.lit(100.0)).alias("daily_value"),
+        (ewma / F.lit(12800.0)).alias("ewma"),
+    )

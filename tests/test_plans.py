@@ -1084,3 +1084,15 @@ def test_group_sample_single_window_shuffle(spark, sf_small):
     q = QUERIES["t_group_sample"](spark, sf_small)
     assert "SinglePartition" not in _physical_plan(q)
     assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+
+
+def test_ewma_window_partitions_per_user(spark, sf_small):
+    """TS9: events shuffle once into the (user, day) aggregate; the
+    8-lag window runs over the small daily table partitioned per user
+    — never SinglePartition."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["ts9_ewma"](spark, sf_small)
+    assert "SinglePartition" not in _physical_plan(q)
+    assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)

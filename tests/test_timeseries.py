@@ -176,3 +176,33 @@ def test_interval_coverage_merges_overlaps(spark):
     row = out[0]
     assert row["n_islands"] == 2
     assert row["covered_us"] == 20_000_000  # 15s + 5s
+
+
+def test_ts9_ewma_hand_computed(spark):
+    """Dyadic EWMA over observed daily totals: hand-checkable exact
+    values, absent history as 0, per-user isolation."""
+    import datetime as dt
+
+    from faexport_db_spark.queries.timeseries import ts9_ewma
+    from faexport_db_spark.datamodel import testdata as td
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "c", 1.00, None),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "c", 1.00, None),  # same day: 2.00
+        (3, dt.datetime(2024, 1, 2, 5), 1, "c", 4.00, None),
+        (4, dt.datetime(2024, 1, 1, 5), 2, "c", 8.00, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(td, "load_table", return_value=ev):
+        from faexport_db_spark.queries import timeseries as tsq
+
+        with mock.patch.object(tsq, "load_table", return_value=ev):
+            got = {(r["user_id"], r["day"]): r for r in ts9_ewma(spark, "ignored").collect()}
+    assert got[(1, "2024-01-01")]["daily_value"] == 2.0
+    assert got[(1, "2024-01-01")]["ewma"] == 2.0          # no history
+    assert got[(1, "2024-01-02")]["ewma"] == 4.0 + 1.0    # 4 + 2/2
+    assert got[(2, "2024-01-01")]["ewma"] == 8.0          # user isolation
