@@ -923,3 +923,64 @@ def test_kmv_sketch_matches_python_model(spark, values, k, nparts):
         kmv_sketch(half_a, "text", k=k), kmv_sketch(half_b, "text", k=k), k=k
     )
     assert [r["hval"] for r in u.collect()] == got
+
+
+# --- quantized k-means vs pure-Python model -------------------------------
+
+
+def _kmeans_model(rows, k, iters, scale=10_000, shift=20_000):
+    """Reference implementation of kmeans_quantized's exact-integer
+    contract (float32 widening, floor quantization, argmin with
+    lowest-cid ties, floor-mean update, empty keeps centroid)."""
+    import math
+
+    import numpy as np
+
+    q = {
+        vid: [int(math.floor(float(np.float32(x)) * scale)) + shift for x in vec]
+        for vid, vec in rows
+    }
+    cents = [list(q[vid]) for vid in sorted(q)[:k]]
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign():
+        return {
+            vid: min(range(k), key=lambda c: (dist(q[vid], cents[c]), c)) for vid in q
+        }
+
+    for _ in range(iters):
+        a = assign()
+        for c in range(k):
+            members = [q[v] for v, cid in a.items() if cid == c]
+            if members:
+                cents[c] = [
+                    sum(m[j] for m in members) // len(members)
+                    for j in range(len(cents[c]))
+                ]
+    a = assign()
+    return {vid: (a[vid], dist(q[vid], cents[a[vid]])) for vid in q}, cents
+
+
+@given(
+    st.integers(2, 4),   # dims
+    st.integers(1, 4),   # k
+    st.integers(0, 2),   # iters
+    st.lists(st.floats(-2, 2, allow_nan=False, width=32), min_size=4 * 12, max_size=4 * 12),
+    st.integers(2, 5),   # partitions
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kmeans_quantized_matches_python_model(spark, dims, k, iters, flat, nparts):
+    from faexport_db_spark.training.similarity import kmeans_quantized
+
+    n = max(k, 8)
+    rows = [(i, flat[i * dims : (i + 1) * dims]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).repartition(nparts)
+    out, cents = kmeans_quantized(df, k=k, iters=iters)
+    got = {r["vec_id"]: (r["cid"], r["dist"]) for r in out.collect()}
+    want, want_cents = _kmeans_model(rows, k, iters)
+    assert got == want
+    assert cents == want_cents
