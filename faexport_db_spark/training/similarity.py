@@ -1420,6 +1420,7 @@ def kmeans_quantized(
     vec_col: str = "embedding",
     scale: int = 10_000,
     shift: int = 20_000,
+    force: str | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Lloyd's k-means whose every arithmetic step is EXACT integer
     math, so the trained model — not just its cluster sizes — is
@@ -1438,10 +1439,17 @@ def kmeans_quantized(
     keeps its previous centroid.
 
     Shape at 100 TB: the standard Spark k-means loop — assignment is a
-    map-only literal-expression pass over the corpus (k × dim integer
-    literals, no join), the update is ONE groupBy per iteration
-    bounded by k × dim output rows, and only the centroid table
-    (k × dim ints) ever reaches the driver.
+    map-only pass over the corpus (no join: ≤ ``LITERAL_CENTROID_MAX``
+    centroids travel as literal expressions inside whole-stage
+    codegen; above that the same integer argmin runs as ONE
+    Arrow-batched numpy matmul against the broadcast int64 centroid
+    matrix, the ``_cell_probes`` two-path rule — ``force``
+    'literal'/'arrow' overrides), the update is ONE groupBy per
+    iteration bounded by k × dim output rows, and only the centroid
+    table (k × dim ints) ever reaches the driver. Integer-overflow
+    bound for the Arrow path's exact matmul: dim × (|q|max)² must fit
+    int64 — |floor(x·scale)+shift| up to ~10⁸ at dim 64, far beyond
+    any quantization this uses.
 
     Returns (assignments, centroids): assignments is
     (id, cid, dist) — bigint, int, bigint (exact squared quantized
@@ -1460,7 +1468,7 @@ def kmeans_quantized(
         raise ValueError(f"corpus has fewer than k={k} vectors")
     centroids: list[list[int]] = [list(r["q"]) for r in seeds]
 
-    def _assign(frame: DataFrame) -> DataFrame:
+    def _assign_literal(frame: DataFrame) -> DataFrame:
         choices = F.array(
             *[
                 F.struct(
@@ -1482,6 +1490,43 @@ def kmeans_quantized(
         return frame.select(
             id_col, "q", best["cid"].alias("cid"), best["dist"].alias("dist")
         )
+
+    def _assign_arrow(frame: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cmat = np.asarray(centroids, dtype=np.int64)
+        cc = (cmat * cmat).sum(axis=1)
+
+        @pandas_udf("struct<cid:int,dist:bigint>")
+        def best_udf(vs: pd.Series) -> pd.DataFrame:
+            if not len(vs):
+                return pd.DataFrame({"cid": pd.Series(dtype="int32"),
+                                     "dist": pd.Series(dtype="int64")})
+            qmat = np.array(vs.tolist(), dtype=np.int64)
+            # exact int64 squared-L2: |q|^2 + |c|^2 - 2 q.c — every
+            # term integer, identical to the literal expression
+            d2 = (qmat * qmat).sum(1)[:, None] + cc[None, :] - 2 * (qmat @ cmat.T)
+            cid = d2.argmin(axis=1)  # first min -> lowest cid, the tie rule
+            dist = d2[np.arange(len(cid)), cid]
+            return pd.DataFrame({"cid": cid.astype("int32"), "dist": dist})
+
+        out = frame.withColumn("__b", best_udf(F.col("q")))
+        return out.select(
+            id_col, "q",
+            F.col("__b.cid").alias("cid"), F.col("__b.dist").alias("dist"),
+        )
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        mode = force or (
+            "literal" if len(centroids) <= LITERAL_CENTROID_MAX else "arrow"
+        )
+        if mode == "literal":
+            return _assign_literal(frame)
+        if mode != "arrow":
+            raise ValueError(f"force must be 'literal' or 'arrow', got {force!r}")
+        return _assign_arrow(frame)
 
     for _ in range(iters):
         stats = (

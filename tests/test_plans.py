@@ -1096,3 +1096,17 @@ def test_ewma_window_partitions_per_user(spark, sf_small):
     assert "SinglePartition" not in _physical_plan(q)
     assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
     assert_plan(q, max_python_evals=0)
+
+
+def test_kmeans_arrow_assignment_is_one_arrow_eval_no_shuffle(spark, sf_small):
+    """Above LITERAL_CENTROID_MAX the assignment becomes exactly one
+    ArrowEvalPython over the scan — still zero shuffles, no join."""
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.plans.audit import _physical_plan
+    from faexport_db_spark.training.similarity import kmeans_quantized
+
+    emb = load_table(spark, sf_small, "embeddings")
+    out, _ = kmeans_quantized(emb, k=4, iters=0, force="arrow")
+    plan = _physical_plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert shuffle_count(out) == 0, out._jdf.queryExecution().toString()

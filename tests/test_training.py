@@ -2933,3 +2933,23 @@ def test_hits_hand_computed(spark):
     assert got == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
     with _pytest.raises(ValueError):
         hits(edges, iters=0)
+
+
+def test_kmeans_arrow_path_equals_literal(spark, sf_small):
+    """The large-k Arrow argmin (exact int64 matmul) must produce the
+    identical trained model and assignments as the literal-expression
+    path — the _cell_probes two-path rule applied to the trainer."""
+    import pytest as _pytest
+
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.training.similarity import kmeans_quantized
+
+    emb = load_table(spark, sf_small, "embeddings")
+    out_l, cents_l = kmeans_quantized(emb, k=6, iters=2, force="literal")
+    out_a, cents_a = kmeans_quantized(emb, k=6, iters=2, force="arrow")
+    assert cents_a == cents_l
+    lit = {r["vec_id"]: (r["cid"], r["dist"]) for r in out_l.collect()}
+    arw = {r["vec_id"]: (r["cid"], r["dist"]) for r in out_a.collect()}
+    assert arw == lit
+    with _pytest.raises(ValueError):
+        kmeans_quantized(emb, k=2, iters=0, force="nope")
