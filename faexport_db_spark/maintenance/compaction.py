@@ -51,7 +51,9 @@ import json
 import posixpath
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from faexport_db_spark.operators.hadoop_fs import HadoopFs as _Fs
 
@@ -301,3 +303,49 @@ def compact_manifest_table(
         "rewritten": rewritten,
         "vacuumed_files": len(vacuumed),
     }
+
+
+def bin_rows(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int,
+) -> DataFrame:
+    """Row-count bin-packing PLAN over an ordered partition key: pack
+    consecutive key groups into compaction bins of ~``target_rows``
+    rows each — the data-level planner beneath ``compact_path`` (which
+    packs by file bytes, metadata-only): decide which adjacent hive
+    partitions (days, months) ride together in one rewrite task so
+    every output file lands near the target size. Keeping bins
+    CONTIGUOUS in key order is what preserves partition-prune ranges
+    in the rewritten layout — a hash assignment would mix January into
+    December's files and every date filter would touch every file.
+
+    bin = floor(prefix_rows_before_group / target): deterministic,
+    order-preserving, and every bin except possibly the last gets
+    >= target once its first group crosses the boundary — the greedy
+    next-fit packing, exactly reproducible in SQL.
+
+    The prefix sum runs on GROUP-cardinality rows (days/months —
+    thousands, not the corpus), so the single-partition window is on
+    planner state, not data; the corpus pass is one map-side
+    combining count.
+
+    Output: (key, n_rows, bin_id, bin_start_row).
+    """
+    if target_rows < 1:
+        raise ValueError(f"need target_rows >= 1, got {target_rows}")
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
+    return counts.select(
+        F.col(key_col),
+        "n_rows",
+        start.alias("bin_start_row"),
+    ).select(
+        key_col,
+        "n_rows",
+        F.expr(f"bin_start_row DIV {int(target_rows)}").cast("bigint").alias("bin_id"),
+        "bin_start_row",
+    )

@@ -274,3 +274,57 @@ def hits(
             F.coalesce(F.col("auth"), F.lit(0)).cast("bigint").alias("auth"),
         )
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Bounded multi-source BFS over canonical undirected edges:
+    minimum hop count from any seed node, explored to ``max_hops``
+    levels. The reference walks its submission↔file hash web one
+    entity at a time (models.py SubmissionSnapshot.files plus the
+    db_merge chase); this is the set-at-once distributed form.
+
+    Frontier-style level-synchronous BFS — the textbook Pregel shape
+    as DataFrames:
+
+    - ``dist`` holds (node, hops) for every settled node; ``frontier``
+      is only the nodes FIRST reached in the previous level, so each
+      expansion join is frontier-sized, not visited-sized.
+    - Per level: one equi-join frontier→neighbors (edge-keyed
+      shuffle), one anti-join against settled nodes, one distinct —
+      all keyed on node ids, nothing driver-side. Eager
+      localCheckpoint pins each level so level k's plan does not
+      re-derive levels 1..k-1 (the PageRank lineage lesson).
+    - Level-synchronous BFS reaches every node first at its true
+      minimum distance, so fixed ``max_hops`` levels compute exactly
+      ``min(hops) <= max_hops`` — the same value an all-walks
+      enumeration (the recursive-CTE oracle) takes the min over.
+
+    Output: (node, hops) for nodes within ``max_hops`` of a seed;
+    unreachable nodes are absent by design (their distance is not a
+    representable integer, and at 100 TB emitting the complement
+    would dwarf the answer).
+    """
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("hops"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for level in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(level).cast("bigint").alias("hops")
+        )
+        dist = dist.unionAll(fresh).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hops") == level).select("node")
+    return dist

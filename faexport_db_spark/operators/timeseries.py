@@ -101,3 +101,45 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    unit: str = "week",
+) -> DataFrame:
+    """Candlestick resampling: per (key, time-bucket) open / high /
+    low / close of an irregular value stream — the standard
+    downsample-for-dashboards shape (and the financial-bars classic).
+    Open/close are SELECTED values, not computed ones: min_by/max_by
+    over the (ts, id) struct picks the first/last observation with a
+    total deterministic order (``tiebreak_col`` breaks equal
+    timestamps), so no float arithmetic is introduced anywhere and
+    the bars replay exactly in any engine.
+
+    One map-side-combining groupBy on (key, bucket) — min/max/min_by/
+    max_by all have partial aggregates, so each executor contributes
+    one row per open bar regardless of row count. No window, no sort:
+    at 100 TB a windowed first/last would sort every key's history;
+    the struct-argmin aggregate is the shuffle-light form.
+
+    Output: (key, bar, open, high, low, close, n) — bar is the
+    truncated timestamp.
+    """
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.date_trunc(unit, F.col(ts_col)).alias("bar"),
+        )
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -224,3 +224,104 @@ def g5_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faexport_db_spark.operators.graph import hits
 
     return hits(_edges(spark, sf_dir), iters=2)
+
+
+# Sparse fixture graph for the traversal ops: keep 1-in-20 orderkeys
+# before folding into the 997-node space, so the graph actually has
+# multiple components and hop-distances > 1 at every SF (the dense
+# fold is near-complete and every traversal would trivialize).
+_SPARSE_EDGE_SQL = """
+      SELECT o_orderkey % 997 AS src, (o_orderkey * 31 + 7) % 997 AS dst
+      FROM orders WHERE o_orderkey % 20 = 3
+"""
+
+
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 3)
+    return canonical_edges(
+        o.select(
+            (F.col("o_orderkey") % 997).alias("src"),
+            ((F.col("o_orderkey") * 31 + 7) % 997).alias("dst"),
+        )
+    )
+
+
+@register(
+    "g6_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS ({_SPARSE_EDGE_SQL}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.lab
+    )
+    SELECT node, CAST(min(lab) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — connected components to CONVERGENCE, labels = component
+    minimum. The engine runs the alternating large-star/small-star
+    contraction (training/dedup.py::dedup_clusters_star — O(log n)
+    rounds regardless of diameter, edge-shaped rows only, the Kiveris
+    et al. SoCC'14 scheme the near-dup clusterer already uses); the
+    oracle computes the same fixpoint from first principles as a
+    recursive-CTE transitive closure + min. Component minimum is
+    convergence-order-independent, so the two meet exactly."""
+    from faexport_db_spark.training.dedup import dedup_clusters_star
+
+    pairs = _sparse_edges(spark, sf_dir).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    return dedup_clusters_star(pairs).select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_rep").cast("bigint").alias("component"),
+    )
+
+
+@register(
+    "g7_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS ({_SPARSE_EDGE_SQL}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+    seeds AS (SELECT DISTINCT u AS node FROM sym WHERE u % 13 = 0),
+    bfs(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT sym.v, bfs.hop + 1 FROM bfs JOIN sym ON sym.u = bfs.node
+      WHERE bfs.hop < 4
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def g7_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — multi-source BFS hop distance (seeds = node id % 13 == 0,
+    explored 4 levels) over the sparse fixture graph. Engine:
+    level-synchronous frontier BFS (operators/graph.py::bfs_hops,
+    frontier-sized joins, settled-set anti-join, per-level pin). The
+    oracle enumerates ALL walks of length <= 4 from the seed set via
+    a bounded recursive CTE and takes min — level-synchronous first
+    touch IS that minimum, so the equality is exact, not approximate."""
+    from faexport_db_spark.operators.graph import bfs_hops
+
+    edges = _sparse_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return bfs_hops(edges, seeds, max_hops=4)

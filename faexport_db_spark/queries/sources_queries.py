@@ -747,3 +747,101 @@ def v4_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct_b").cast("double") / F.col("n_distinct_a"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@register(
+    "v5_table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT c_nationkey,
+             CAST(('0x' || substr(md5(
+               coalesce(CAST(c_custkey AS VARCHAR), chr(1)) || '|'
+               || coalesce(c_name, chr(1)) || '|'
+               || coalesce(CAST(c_nationkey AS VARCHAR), chr(1)) || '|'
+               || coalesce(CAST(CAST(floor(c_acctbal * 100) AS BIGINT)
+                                AS VARCHAR), chr(1))
+               || '|' || coalesce(c_mktsegment, chr(1))), 1, 12))
+               AS BIGINT) AS rh
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_sig,
+           CAST(sum(rh % 1000003) AS BIGINT) AS modsum_sig
+    FROM h GROUP BY c_nationkey
+    """,
+)
+def v5_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 — order-insensitive per-partition table fingerprint: each
+    row canonicalized to a delimited string (doubles pinned to integer
+    cents — engine float formatting never enters), md5 -> 48-bit
+    integer, folded two ways per nation group: XOR (48-bit, detects
+    any single-row change) and a mod-prime SUM (detects the
+    duplicate-pair flips XOR cancels; the 1e6 modulus keeps the
+    accumulator exact past 10^12 rows/group). The cross-system
+    reconciliation primitive — fingerprint source and replica
+    independently, diff two tiny group tables instead of the data;
+    both folds are commutative so the check is partitioning- and
+    engine-independent. One map-side-combining groupBy, no joins."""
+    c = load_table(spark, sf_dir, "customer")
+    # NULL canonicalizes to an explicit \x01 sentinel (concat_ws would
+    # silently collapse NULL to '', making ('a', NULL) == ('a', ''))
+    nul = F.lit("\x01")
+    row_str = F.concat_ws(
+        "|",
+        F.coalesce(F.col("c_custkey").cast("string"), nul),
+        F.coalesce(F.col("c_name"), nul),
+        F.coalesce(F.col("c_nationkey").cast("string"), nul),
+        F.coalesce(
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").cast("string"), nul
+        ),
+        F.coalesce(F.col("c_mktsegment"), nul),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("bigint")
+    return (
+        c.select("c_nationkey", rh.alias("rh"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("CAST(bit_xor(rh) AS BIGINT)").alias("xor_sig"),
+            F.sum(F.col("rh") % 1000003).cast("bigint").alias("modsum_sig"),
+        )
+    )
+
+
+@register(
+    "k9_compaction_bins",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY ship_month
+    ),
+    p AS (
+      SELECT ship_month, n_rows,
+             CAST(coalesce(sum(n_rows) OVER (
+               ORDER BY ship_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bin_start_row
+      FROM c
+    )
+    SELECT ship_month, n_rows,
+           bin_start_row // 5000 AS bin_id,
+           bin_start_row
+    FROM p
+    """,
+)
+def k9_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 — contiguous compaction-bin planner: pack consecutive
+    ship-months into ~5000-row rewrite bins via a prefix sum over
+    GROUP counts (maintenance/compaction.py::bin_rows — the
+    data-level sibling of the byte-packing plan_compaction).
+    Contiguity preserves partition-prune ranges in the rewritten
+    layout; the single-partition window touches only month-cardinality
+    planner rows. The whole plan replays in SQL."""
+    from faexport_db_spark.maintenance.compaction import bin_rows
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    )
+    return bin_rows(li, "ship_month", target_rows=5000)

@@ -479,3 +479,49 @@ def ts9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / F.lit(100.0)).alias("daily_value"),
         (ewma / F.lit(12800.0)).alias("ewma"),
     )
+
+
+@register(
+    "ts10_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('week', ts) AS bar, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bar
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, strftime(bar, '%Y-%m-%d') AS bar,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY user_id, bar
+    """,
+)
+def ts10_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS10 — weekly OHLC candlesticks per user over the event value
+    stream. Engine: one struct-argmin groupBy (min_by/max_by on the
+    (ts, event_id) order key — no window, no per-key sort,
+    operators/timeseries.py::ohlc_bars); oracle: double row_number
+    pick of the same first/last observations. Open/close/high/low are
+    SELECTED doubles, never computed, so parity is bit-exact."""
+    from faexport_db_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlc_bars(ev, unit="week")
+    return bars.select(
+        "user_id",
+        F.date_format("bar", "yyyy-MM-dd").alias("bar"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )

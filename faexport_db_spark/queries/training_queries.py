@@ -4321,3 +4321,275 @@ def t_sketch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact") <= 0.2).alias("kmv_ok"),
         )
     )
+
+
+@register(
+    "t_l_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars // 500 AS sens
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS group_n,
+             CAST(count(DISTINCT sens)
+                  + max(CASE WHEN sens IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sensitive
+      FROM t GROUP BY lang, source
+    )
+    SELECT doc_id,
+           CASE WHEN group_n >= 5 AND n_sensitive >= 3 THEN t.lang
+                ELSE '*' END AS lang,
+           CASE WHEN group_n >= 5 AND n_sensitive >= 3 THEN t.source
+                ELSE '*' END AS source,
+           group_n, n_sensitive,
+           group_n >= 5 AND n_sensitive >= 3 AS released
+    FROM t JOIN g USING (lang, source)
+    """,
+)
+def t_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate (k=5, l=3) over the (lang, source)
+    quasi-identifiers with the coarse length band as the sensitive
+    attribute — groups that pass k-anonymity but are HOMOGENEOUS in
+    the sensitive value stay masked (the homogeneity attack
+    k_anonymity alone misses). GroupBy+join shape, no window; every
+    mask decision replays in SQL."""
+    from faexport_db_spark.training.pipeline import l_diversity
+
+    return l_diversity(
+        _docs(spark, sf_dir),
+        ["lang", "source"],
+        F.expr("n_chars DIV 500"),
+        k=5,
+        l=3,
+    )
+
+
+@register(
+    "t_qsketch_registers",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END
+             AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM v GROUP BY l_returnflag, bucket
+    """,
+)
+def t_qsketch_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic quantile-sketch STATE per return flag: log2-bucket
+    counts over price cents (exact bit-length bucketing, no float
+    log2) — SUM-mergeable across shards/days/engines like the
+    HLL/CMS/KMV registers, <= 64 rows per group forever. One
+    map-side-combining groupBy; the whole state replays in SQL."""
+    from faexport_db_spark.training.pipeline import qsketch_register_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return qsketch_register_table(
+        li,
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint"),
+        group_col="l_returnflag",
+    )
+
+
+@register(
+    "t_qsketch_brackets",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    reg AS (
+      SELECT CAST(CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END
+               AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM reg
+    ),
+    q AS (SELECT unnest([1, 25, 50, 75, 99]) AS q_pct),
+    r AS (SELECT q_pct, greatest(1, (CAST(q_pct AS BIGINT) * n + 99) // 100)
+                    AS rank, n
+          FROM q CROSS JOIN (SELECT DISTINCT n FROM cum)),
+    hit AS (
+      SELECT r.q_pct, r.rank, r.n, CAST(min(cum.bucket) AS INTEGER) AS bucket
+      FROM r JOIN cum ON cum.cum >= r.rank
+      GROUP BY r.q_pct, r.rank, r.n
+    )
+    SELECT q_pct, rank, bucket,
+           CAST(CASE WHEN bucket <= 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT) AS lo,
+           CAST(CASE WHEN bucket <= 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT) AS hi,
+           n
+    FROM hit
+    """,
+)
+def t_qsketch_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read path of the dyadic quantile sketch: factor-2 value
+    brackets for p1/p25/p50/p75/p99 of price cents, computed FROM THE
+    SKETCH STATE ALONE — the window walk runs on <= 64 register rows,
+    never the corpus (rank queries over any shard subset without a
+    rescan). All-integer rank arithmetic; the oracle rebuilds sketch,
+    walk, and brackets from scratch in SQL."""
+    from faexport_db_spark.training.pipeline import (
+        qsketch_quantile_brackets,
+        qsketch_register_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = qsketch_register_table(
+        li, F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+    return qsketch_quantile_brackets(regs, [1, 25, 50, 75, 99])
+
+
+@register(
+    "t_cluster_representatives",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS norm_hash
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY norm_hash
+                                   ORDER BY n_chars DESC, doc_id DESC) AS rk
+      FROM n
+    )
+    SELECT norm_hash,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+           CAST(max(n_chars) AS BIGINT) AS rep_chars,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+    FROM r GROUP BY norm_hash
+    """,
+)
+def t_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record election over normalized-dup clusters
+    (cluster_representatives): keep the LONGEST copy per cluster
+    (struct-order max_by, deterministic), fold copy count and the
+    sorted distinct language set into the survivor — the set-at-once
+    form of the reference's per-entity merge chase. One groupBy; the
+    whole election replays in SQL."""
+    from faexport_db_spark.training.text import cluster_representatives
+
+    return cluster_representatives(_docs(spark, sf_dir))
+
+
+@register(
+    "t_sentence_stats",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS segs
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(segs) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_aggregate(
+             list_transform(segs, x -> length(x)), 'sum'), 0) AS BIGINT)
+             AS sum_len,
+           CAST(coalesce(list_aggregate(
+             list_transform(segs, x -> length(x)), 'max'), 0) AS BIGINT)
+             AS max_len
+    FROM s
+    """,
+)
+def t_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation stats (sentence_stats): non-blank
+    sentence count + total/max trimmed length on a lookaround-free
+    terminal-punctuation split — the length-shape feature quality
+    filters consume. Map-only (in-row arrays, no explode); every
+    count replays in SQL."""
+    from faexport_db_spark.training.text import sentence_stats
+
+    return sentence_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "t_rrf_fusion",
+    oracle=r"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    dscore AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+             round(
+               list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                              s -> s[1]::DOUBLE * s[2]::DOUBLE), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.embedding,
+                       x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(c.embedding,
+                         x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+             6) AS cosine
+      FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+    ),
+    dense10 AS (
+      SELECT query_id, item_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, item_id ASC) AS rank
+        FROM dscore
+      ) WHERE rank <= 10
+    ),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lscore AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS item_id,
+             CAST(len(list_intersect(q.t, d.t)) AS BIGINT) AS overlap
+      FROM toks q JOIN toks d ON d.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+    ),
+    lex10 AS (
+      SELECT query_id, item_id, rank FROM (
+        SELECT query_id, item_id, overlap,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY overlap DESC, item_id ASC) AS rank
+        FROM lscore WHERE overlap > 0
+      ) WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT coalesce(d.query_id, l.query_id) AS query_id,
+             coalesce(d.item_id, l.item_id) AS item_id,
+             round(coalesce(1.0 / (60 + d.rank), 0)
+                   + coalesce(1.0 / (60 + l.rank), 0), 9) AS rrf_score
+      FROM dense10 d
+      FULL OUTER JOIN lex10 l
+        ON d.query_id = l.query_id AND d.item_id = l.item_id
+    )
+    SELECT query_id, item_id, rrf_score, fused_rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_score DESC, item_id ASC) AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 5
+    """,
+)
+def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (rrf_fuse): dense cosine top-10
+    (brute_force_topk, the exact ANN baseline) + lexical
+    token-overlap top-10 fused per query by Reciprocal Rank Fusion
+    (1/(60+rank), SIGIR'09) — the standard dense+sparse combiner.
+    Only RANKS cross lists, so the fusion is engine-exact; the join
+    runs on two query×10-row lists, never the corpora. Top-5 fused
+    per query, replayed end-to-end in SQL."""
+    from faexport_db_spark.training.retrieval import rrf_fuse, token_overlap_topk
+    from faexport_db_spark.training.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    docs = _docs(spark, sf_dir)
+    lex = token_overlap_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)
+    return rrf_fuse(dense, lex, "neighbor_id", "doc_id", k=60, topk=5)

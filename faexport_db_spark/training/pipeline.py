@@ -1166,3 +1166,154 @@ def group_sample(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= per_group)
     )
+
+
+def l_diversity(
+    docs: DataFrame,
+    quasi_cols: list[str],
+    sensitive: Column | str,
+    k: int = 5,
+    l: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """l-diversity release gate (Machanavajjhala et al. 2007) layered
+    on ``k_anonymity``: a quasi-identifier combination is released
+    only when it is shared by >= ``k`` rows AND those rows carry >=
+    ``l`` DISTINCT sensitive values — k-anonymity alone still leaks
+    when everyone in a group shares the same sensitive attribute (the
+    homogeneity attack this exists to block). Failing groups have
+    every quasi-identifier masked to '*', same contract as
+    ``k_anonymity``.
+
+    Shape: one groupBy over the quasi tuple computing (count, distinct
+    sensitive) — both map-side combinable — then an equi-join back on
+    the tuple. No window, so a pathologically hot combination never
+    single-sorts; the stats side is combination-cardinality, small by
+    construction. NULL sensitive counts as its own value (count
+    distinct skips NULLs, so it is counted explicitly).
+
+    Output: (id, <quasi masked>, group_n, n_sensitive, released).
+    """
+    if k < 1 or l < 1:
+        raise ValueError(f"need k >= 1 and l >= 1, got k={k}, l={l}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    tagged = docs.withColumn("__sens", s)
+    stats = tagged.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        (
+            F.countDistinct("__sens")
+            + F.max(F.col("__sens").isNull().cast("int"))
+        ).cast("bigint").alias("n_sensitive"),
+    )
+    released = (F.col("group_n") >= k) & (F.col("n_sensitive") >= l)
+    masked = [
+        F.when(released, F.col(c).cast("string")).otherwise(F.lit("*")).alias(c)
+        for c in quasi_cols
+    ]
+    return tagged.join(stats, quasi_cols).select(
+        F.col(id_col),
+        *masked,
+        "group_n",
+        "n_sensitive",
+        released.alias("released"),
+    )
+
+
+def qsketch_register_table(
+    df: DataFrame, value: Column | str, group_col: str | None = None
+) -> DataFrame:
+    """Portable QUANTILE sketch state — the fourth sketch sibling
+    (HLL: distinct, CMS: frequency, KMV: set algebra; this: rank).
+    Dyadic log2 histogram over a NONNEGATIVE integer measure: bucket
+    b holds the count of values whose binary representation has b
+    bits (i.e. v in [2^(b-1), 2^b), with v=0 in bucket 0), computed
+    EXACTLY via the binary-string length — the same no-float-log2
+    trick as the HLL rho, so the state is bit-reproducible in any
+    engine with integer-to-binary formatting. Registers merge by
+    elementwise SUM across shards/days/engines, and any quantile is
+    answerable from the merged table to within a factor-2 value
+    bracket (the classic q-digest-style guarantee at 1/64th the state
+    of a full histogram) — rank queries over any shard subset WITHOUT
+    rescanning, constant state.
+
+    One map-side-combining groupBy bounded by 64 (× groups) rows.
+    Output: (bucket int, cnt bigint), plus ``group_col`` when given.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v))).cast("int")
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    return (
+        df.select(*([group_col] if group_col else []), bucket.alias("bucket"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def qsketch_quantile_brackets(
+    registers: DataFrame, q_pcts: list[int]
+) -> DataFrame:
+    """Read path of the dyadic quantile sketch: for each requested
+    percentile (integer 0-100), the value BRACKET [lo, hi] of the
+    bucket containing the rank-``ceil(q/100 * n)`` element (rank-1 for
+    q=0) under ascending value order — lo = 2^(b-1), hi = 2^b - 1
+    (0 for bucket 0). The true percentile_disc value is guaranteed to
+    lie inside the bracket; hi/lo <= 2 is the sketch's relative-error
+    contract, verified row-by-row by the driver oracle.
+
+    The register table is tiny (<= 64 rows) by construction, so the
+    cumulative walk is a single-partition window ON SKETCH STATE, not
+    on data — the whole point: rank queries never touch the corpus.
+    Output: (q_pct int, rank bigint, bucket int, lo bigint, hi bigint,
+    n bigint).
+    """
+    if not q_pcts:
+        raise ValueError("need at least one percentile")
+    for q in q_pcts:
+        if not 0 <= q <= 100:
+            raise ValueError(f"percentiles must be integers in [0, 100], got {q}")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = registers.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    qs = registers.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(set(q_pcts))], "q_pct int"
+    )
+    # rank = max(1, ceil(q/100 * n)) in pure INTEGER arithmetic
+    # (ceil(a/b) = (a + b - 1) div b) — float division would round
+    # past 2^53 at real corpus scale.
+    rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("(CAST(q_pct AS BIGINT) * n + 99) DIV 100").cast("bigint"),
+    )
+    hit = (
+        qs.crossJoin(cum)
+        .withColumn("rank", rank)
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q_pct", "rank", "n")
+        .agg(F.min("bucket").cast("int").alias("bucket"))
+    )
+    # SQL-form shiftleft: the python binding wants a literal shift
+    # amount, but the shift here is the bucket COLUMN
+    lo = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    )
+    hi = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    )
+    return hit.select(
+        "q_pct",
+        "rank",
+        "bucket",
+        lo.cast("bigint").alias("lo"),
+        hi.cast("bigint").alias("hi"),
+        "n",
+    )

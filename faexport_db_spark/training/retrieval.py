@@ -530,3 +530,99 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def token_overlap_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact lexical ranking: per query DOC, corpus docs ranked by the
+    count of DISTINCT shared whitespace tokens (the set-overlap
+    retrieval primitive — BM25 without the weighting, and therefore
+    all-integer and engine-exact). Query token sets broadcast; ties
+    break on doc id; zero-overlap docs are out of the list.
+
+    Output: (query_id, doc_id, overlap, rank).
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.filter(F.col(text_col).isNotNull())
+    q = queries.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), toks.alias("q_toks")
+    )
+    scored = (
+        base.select(F.col(id_col), toks.alias("d_toks"))
+        .join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.size(F.array_intersect("q_toks", "d_toks"))
+            .cast("bigint")
+            .alias("overlap"),
+        )
+        .filter(F.col("overlap") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    item_col_a: str,
+    item_col_b: str,
+    k: int = 60,
+    topk: int = 5,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): fuse two per-query rankings into one by
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    — the standard hybrid-retrieval combiner (dense + lexical lists
+    into one), robust to incomparable scores and score scales because
+    only RANKS enter. Items missing from a list contribute nothing
+    (the truncated-list convention). Each division is one IEEE
+    correctly-rounded op and the sum has a fixed two-term order, so
+    the fused scores are bit-reproducible cross-engine; the result is
+    rounded to 9 significant-stable digits for hashing anyway.
+
+    Shape: one full-outer equi-join on (query, item) between two
+    already-tiny top-k lists (query-cardinality × k rows), then a
+    per-query window — never touches the corpora.
+
+    Output: (query_id, item_id, rrf_score, fused_rank) top-``topk``
+    per query, score ties broken by item id.
+    """
+    if k < 1 or topk < 1:
+        raise ValueError(f"need k >= 1 and topk >= 1, got k={k}, topk={topk}")
+    a = list_a.select(
+        "query_id",
+        F.col(item_col_a).alias("item_id"),
+        F.col("rank").alias("rank_a"),
+    )
+    b = list_b.select(
+        "query_id",
+        F.col(item_col_b).alias("item_id"),
+        F.col("rank").alias("rank_b"),
+    )
+    fused = a.join(b, ["query_id", "item_id"], "full_outer").select(
+        "query_id",
+        "item_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("item_id")
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("fused_rank") <= topk)

