@@ -213,3 +213,53 @@ def x3_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn_first") == 1, 1)).cast("bigint").alias("first_touch"),
         F.count(F.when(F.col("rn_last") == 1, 1)).cast("bigint").alias("last_touch"),
     )
+
+
+@register(
+    "x4_precedence_pairs",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, min(ts) AS first_ts
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.event_type AS ante, b.event_type AS conseq,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM firsts a JOIN firsts b
+      ON a.user_id = b.user_id AND a.event_type <> b.event_type
+     AND (a.first_ts < b.first_ts
+          OR (a.first_ts = b.first_ts AND a.event_type < b.event_type))
+    GROUP BY ante, conseq
+    """,
+)
+def x4_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — precedence mining, the ORDER-sensitive sibling of X1's
+    co-occurrence baskets: for each event-type pair, how many users
+    saw their first `ante` strictly before their first `conseq`
+    (simultaneous firsts break by type name, so a+b and b+a never
+    both count). Where X2 counts ADJACENT transitions, this captures
+    "a eventually precedes b" — the funnel-direction signal.
+
+    Corpus-sized work is one (user, type) min-aggregate — map-side
+    combining — then a self-join whose per-user fan-out is bounded by
+    the event-type vocabulary squared, never the raw event count.
+    """
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("ante"), F.col("first_ts").alias("ts_a")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("conseq"), F.col("first_ts").alias("ts_b")
+    )
+    before = (F.col("ts_a") < F.col("ts_b")) | (
+        (F.col("ts_a") == F.col("ts_b")) & (F.col("ante") < F.col("conseq"))
+    )
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("ante") != F.col("conseq")) & before)
+        .groupBy("ante", "conseq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -4593,3 +4593,153 @@ def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lex = token_overlap_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)
     return rrf_fuse(dense, lex, "neighbor_id", "doc_id", k=60, topk=5)
+
+
+@register(
+    "t_vocab_growth",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT ((doc_id // 50) + 1) * 50 AS ckpt,
+             CAST(sum(len(toks)) AS BIGINT) AS n_occ
+      FROM t GROUP BY ckpt
+    ),
+    firsts AS (
+      SELECT tok, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY tok
+    ),
+    fresh AS (
+      SELECT ((first_doc // 50) + 1) * 50 AS ckpt,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY ckpt
+    )
+    SELECT o.ckpt,
+           CAST(sum(o.n_occ) OVER (ORDER BY o.ckpt) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY o.ckpt) AS BIGINT)
+             AS vocab_size
+    FROM occ o LEFT JOIN fresh f ON f.ckpt = o.ckpt
+    """,
+)
+def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative token
+    occurrences vs cumulative DISTINCT vocabulary at 50-doc
+    checkpoints of the doc-id order — the curve a tokenizer team
+    reads to size the vocab (V ~ kN^b) and to spot corpus drift
+    (a kink = a new domain arriving). Corpus work is one explode +
+    token-keyed min-aggregate (the postings discipline: map-side
+    combining, no token list ever collected); the cumulative walk
+    runs on checkpoint-cardinality planner rows only. All-integer,
+    replayed in SQL."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ckpt_of = lambda c: ((F.col(c) / 50).cast("bigint") + 1) * 50  # noqa: E731
+    per_doc = docs.select(
+        F.col("doc_id"), F.size(toks).cast("bigint").alias("n_toks")
+    )
+    occ = (
+        per_doc.select(ckpt_of("doc_id").alias("ckpt"), "n_toks")
+        .groupBy("ckpt")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_occ"))
+    )
+    firsts = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    fresh = (
+        firsts.select(ckpt_of("first_doc").alias("ckpt"))
+        .groupBy("ckpt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(fresh, "ckpt", "left")
+        .select("ckpt", "n_occ", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "ckpt",
+            F.sum("n_occ").over(w).cast("bigint").alias("n_tokens"),
+            F.sum("n_new").over(w).cast("bigint").alias("vocab_size"),
+        )
+    )
+
+
+@register(
+    "t_mmr_rerank",
+    oracle="""
+    WITH qq AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    pts AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    relt AS (
+      SELECT p.id, p.qv,
+             CAST(list_aggregate(list_transform(list_zip(p.qv, q.qv),
+                    z -> z[1] * z[2]), 'sum') AS BIGINT) AS rel
+      FROM pts p, qq q
+    ),
+    cand AS (
+      SELECT id, qv, rel FROM (
+        SELECT *, row_number() OVER (ORDER BY rel DESC, id) AS rk FROM relt
+      ) WHERE rk <= 8
+    ),
+    p1 AS (SELECT id, qv, rel FROM cand ORDER BY rel DESC, id LIMIT 1),
+    r2 AS (
+      SELECT c.id, c.qv, c.rel,
+             CAST(list_aggregate(list_transform(list_zip(c.qv, s.qv),
+                    z -> z[1] * z[2]), 'sum') AS BIGINT) AS max_sim
+      FROM cand c, p1 s WHERE c.id <> s.id
+    ),
+    p2 AS (
+      SELECT id, qv, rel, max_sim,
+             CAST(7 * rel - 3 * max_sim AS BIGINT) AS mmr
+      FROM r2 ORDER BY mmr DESC, id LIMIT 1
+    ),
+    r3 AS (
+      SELECT c.id, c.rel,
+             CAST(greatest(
+               list_aggregate(list_transform(list_zip(c.qv, s1.qv),
+                 z -> z[1] * z[2]), 'sum'),
+               list_aggregate(list_transform(list_zip(c.qv, s2.qv),
+                 z -> z[1] * z[2]), 'sum')) AS BIGINT) AS max_sim
+      FROM cand c, p1 s1, p2 s2
+      WHERE c.id <> s1.id AND c.id <> s2.id
+    ),
+    p3 AS (
+      SELECT id, rel, max_sim,
+             CAST(7 * rel - 3 * max_sim AS BIGINT) AS mmr
+      FROM r3 ORDER BY mmr DESC, id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS sel_rank, id, rel,
+           CAST(0 AS BIGINT) AS max_sim, CAST(7 * rel AS BIGINT) AS mmr
+    FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), id, rel, max_sim, mmr FROM p2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), id, rel, max_sim, mmr FROM p3
+    """,
+)
+def t_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware MMR re-ranking (mmr_rerank_quantized): pool-8
+    candidates by integer quantized dot-product relevance to probe
+    vec 0, then 3 greedy λ=0.7 picks where each round penalizes
+    similarity to everything already picked — integer 10×-scaled
+    scores, so the full greedy TRAJECTORY (picks, penalties, scores)
+    replays bit-for-bit through the unrolled CTE oracle. Corpus is
+    touched once (candidate generation); the greedy rounds run on
+    8-row frames."""
+    from faexport_db_spark.training.similarity import mmr_rerank_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank_quantized(emb, query_id=0, pool=8, picks=3)

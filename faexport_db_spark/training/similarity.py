@@ -1585,3 +1585,106 @@ def embedding_stats(
         F.round(mean, 6).alias("mean"),
         F.round(std, 6).alias("std"),
     )
+
+
+def mmr_rerank_quantized(
+    corpus: DataFrame,
+    query_id: int = 0,
+    pool: int = 8,
+    picks: int = 3,
+    lam_num: int = 7,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) in EXACT integer arithmetic — the diversity-aware
+    final stage of a retrieval stack: greedily pick the candidate
+    maximizing λ·rel(d,q) − (1−λ)·max_{s∈S} sim(d,s), so near-copies
+    of an already-picked result stop crowding out coverage.
+
+    Determinism scheme (the ``kmeans_quantized`` discipline): vectors
+    quantize to floor(x·scale) int64s, every relevance/similarity is
+    an integer dot product, and λ enters as the integer pair
+    (``lam_num``, 10−``lam_num``) — scores are 10× the λ=0.7 MMR,
+    order-identical, so the greedy trajectory (not just the final
+    set) replays bit-for-bit in any engine; ties break on id.
+
+    Shape at scale: the ONLY corpus-sized pass is candidate
+    generation (one map-only dot product against the broadcast query
+    + a top-``pool`` window); the greedy loop then runs ``picks``
+    unrolled rounds on the ``pool``-row frame — pool × picks tiny
+    joins, the corpus is never touched again.
+
+    Output: (sel_rank, id, rel, max_sim, mmr) — all integers; the
+    first pick carries max_sim 0 and mmr = lam_num·rel.
+    """
+    if not 1 <= picks <= pool:
+        raise ValueError(f"need 1 <= picks <= pool, got picks={picks} pool={pool}")
+    if not 0 <= lam_num <= 10:
+        raise ValueError(f"lam_num is tenths of lambda in [0, 10], got {lam_num}")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qz = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    pts = corpus.select(F.col(id_col).alias("id"), qz.alias("qv"))
+    qrow = pts.filter(F.col("id") == query_id).select(F.col("qv").alias("query_v"))
+    w = Window.orderBy(F.desc("rel"), F.asc("id"))
+    cand = (
+        pts.filter(F.col("id") != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .select("id", "qv", _dot(F.col("qv"), F.col("query_v")).alias("rel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= pool)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("sel_rank"),
+            "id",
+            "qv",
+            "rel",
+            F.lit(0).cast("bigint").alias("max_sim"),
+            (F.lit(lam_num) * F.col("rel")).cast("bigint").alias("mmr"),
+        )
+    )
+    selected = first
+    for t in range(2, picks + 1):
+        sel_vecs = selected.select(
+            F.col("id").alias("sid"), F.col("qv").alias("sv")
+        )
+        scored = (
+            cand.join(sel_vecs, F.col("id") != F.col("sid"))
+            .groupBy("id", "qv", "rel")
+            .agg(F.max(_dot(F.col("qv"), F.col("sv"))).cast("bigint").alias("max_sim"))
+            # drop candidates already selected: they matched fewer
+            # than t-1 distinct partners
+            .join(selected.select(F.col("id").alias("done")),
+                  F.col("id") == F.col("done"), "left_anti")
+            .withColumn(
+                "mmr",
+                (F.lit(lam_num) * F.col("rel")
+                 - F.lit(10 - lam_num) * F.col("max_sim")).cast("bigint"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("id"))
+            .limit(1)
+            .select(
+                F.lit(t).cast("bigint").alias("sel_rank"),
+                "id", "qv", "rel", "max_sim", "mmr",
+            )
+        )
+        selected = selected.unionAll(pick).localCheckpoint(eager=True)
+    return selected.drop("qv")

@@ -3182,3 +3182,84 @@ def test_table_fingerprint_detects_single_row_change(spark, sf_small):
     again = {r["c_nationkey"]: (r["xor_sig"], r["modsum_sig"], r["n_rows"])
              for r in QUERIES["v5_table_fingerprint"](spark, sf_small).collect()}
     assert sigs == again and len(sigs) > 1
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Hand-built 2-D case: candidate B is a near-copy of the top
+    pick A, so MMR's second pick skips B for the orthogonal C even
+    though rel(B) > rel(C); param guards raise."""
+    import pytest as _pytest
+
+    from faexport_db_spark.training.similarity import mmr_rerank_quantized
+
+    rows = [
+        (0, [1.0, 1.0]),        # query: equally aligned with all three
+        (1, [0.9, 0.1]),        # A: wins pick 1 on id tiebreak
+        (2, [0.9, 0.1]),        # B: exact copy of A (max penalty)
+        (3, [0.1, 0.9]),        # C: same relevance, diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["sel_rank"]: r["id"] for r in
+           mmr_rerank_quantized(df, query_id=0, pool=3, picks=2).collect()}
+    assert out == {1: 1, 2: 3}
+    # at lambda=1.0 (pure relevance) the near-copy wins instead
+    pure = {r["sel_rank"]: r["id"] for r in
+            mmr_rerank_quantized(df, query_id=0, pool=3, picks=2,
+                                 lam_num=10).collect()}
+    assert pure == {1: 1, 2: 2}
+    with _pytest.raises(ValueError):
+        mmr_rerank_quantized(df, picks=9, pool=3)
+    with _pytest.raises(ValueError):
+        mmr_rerank_quantized(df, lam_num=11)
+
+
+def test_vocab_growth_is_monotone_and_ends_at_totals(spark, sf_small):
+    """The Heaps curve never decreases and its last checkpoint equals
+    the corpus-wide exact totals."""
+    from faexport_db_spark.queries import QUERIES
+
+    rows = sorted(
+        (r["ckpt"], r["n_tokens"], r["vocab_size"])
+        for r in QUERIES["t_vocab_growth"](spark, sf_small).collect()
+    )
+    for (c0, t0, v0), (c1, t1, v1) in zip(rows, rows[1:]):
+        assert t1 >= t0 and v1 >= v0
+    from faexport_db_spark.datamodel.testdata import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    assert rows[-1][1] == toks.count()
+    assert rows[-1][2] == toks.distinct().count()
+
+
+def test_precedence_pairs_order_sensitivity(spark):
+    """first(a) < first(b) counts a->b only; simultaneous firsts
+    break by type name so exactly one direction counts."""
+    import datetime as dt
+
+    from faexport_db_spark.queries import QUERIES  # noqa: F401  (style parity)
+    from faexport_db_spark.datamodel.testdata import load_table  # noqa: F401
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(hours=1), 1, "b"),
+        (3, t0, 2, "b"), (4, t0, 2, "a"),        # simultaneous: a<b wins
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    from pyspark.sql import functions as F
+
+    firsts = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+    a = firsts.select("user_id", F.col("event_type").alias("ante"),
+                      F.col("first_ts").alias("ts_a"))
+    b = firsts.select("user_id", F.col("event_type").alias("conseq"),
+                      F.col("first_ts").alias("ts_b"))
+    before = (F.col("ts_a") < F.col("ts_b")) | (
+        (F.col("ts_a") == F.col("ts_b")) & (F.col("ante") < F.col("conseq")))
+    got = {(r["ante"], r["conseq"]): r["n_users"] for r in
+           a.join(b, "user_id")
+            .filter((F.col("ante") != F.col("conseq")) & before)
+            .groupBy("ante", "conseq")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).collect()}
+    assert got == {("a", "b"): 2}
