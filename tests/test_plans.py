@@ -1110,3 +1110,89 @@ def test_kmeans_arrow_assignment_is_one_arrow_eval_no_shuffle(spark, sf_small):
     plan = _physical_plan(out)
     assert plan.count("ArrowEvalPython") == 1, plan
     assert shuffle_count(out) == 0, out._jdf.queryExecution().toString()
+
+
+def test_qsketch_registers_single_exchange_mapside(spark, sf_small):
+    """The sketch state is one map-side-combining groupBy bounded by
+    64 rows per group — a single exchange, no Python, no window."""
+    q = QUERIES["t_qsketch_registers"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)
+
+
+def test_qsketch_brackets_window_on_state_not_corpus(spark, sf_small):
+    """The bracket walk's single-partition window is legal ONLY
+    because it runs on <=64 register rows: the corpus contributes one
+    map-side aggregate, everything after operates on sketch state."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_qsketch_brackets"](spark, sf_small)
+    # corpus scan feeds exactly one aggregate exchange; remaining
+    # exchanges shuffle register/quantile-cardinality rows
+    plan = _physical_plan(q)
+    assert plan.count("Scan parquet") == 1, plan
+    assert_plan(q, max_python_evals=0)
+
+
+def test_ohlc_bars_one_aggregate_no_window(spark, sf_small):
+    """TS10 plans as a single (user, bar)-keyed aggregate exchange —
+    min_by/max_by partial-aggregate instead of a per-key sort
+    window."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["ts10_ohlc_bars"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+    assert "Window" not in _physical_plan(q)
+    assert_plan(q, max_python_evals=0)
+
+
+def test_table_fingerprint_single_mapside_aggregate(spark, sf_small):
+    """V5 is one nation-keyed aggregate: both folds (bit_xor and the
+    mod-prime sum) partial-aggregate map-side; no joins, no Python."""
+    q = QUERIES["v5_table_fingerprint"](spark, sf_small)
+    assert shuffle_count(q) == 1, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)
+
+
+def test_l_diversity_groupby_join_no_window(spark, sf_small):
+    """The release gate is a groupBy + equi-join on the quasi tuple —
+    no window, so a hot combination never single-sorts."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_l_diversity"](spark, sf_small)
+    assert "Window" not in _physical_plan(q)
+    assert "SinglePartition" not in _physical_plan(q)
+    assert_plan(q, max_python_evals=0)
+
+
+def test_rrf_fusion_joins_lists_not_corpora(spark, sf_small):
+    """RRF's fusion join runs on two top-k lists; the corpus-sized
+    inputs appear exactly twice (embeddings for dense, documents for
+    lexical) and both ranking joins broadcast the query side."""
+    from faexport_db_spark.plans.audit import _physical_plan, join_strategies
+
+    q = QUERIES["t_rrf_fusion"](spark, sf_small)
+    plan = _physical_plan(q)
+    strategies = join_strategies(q)
+    assert strategies.get("BroadcastNestedLoopJoin", 0) + strategies.get(
+        "BroadcastHashJoin", 0
+    ) >= 2, strategies
+    assert_plan(q, max_python_evals=0)
+
+
+def test_precedence_pairs_vocab_bounded_self_join(spark, sf_small):
+    """X4's self-join is on user_id AFTER the (user, type) min
+    aggregate, so per-user fan-out is vocabulary-bounded; two
+    aggregate exchanges + one join shuffle at most."""
+    q = QUERIES["x4_precedence_pairs"](spark, sf_small)
+    assert shuffle_count(q) <= 4, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)
+
+
+def test_vocab_growth_token_keyed_no_single_partition_corpus_pass(spark, sf_small):
+    """Heaps curve: the explode feeds a token-keyed aggregate; the
+    only single-partition window runs on checkpoint-cardinality rows
+    (10), after both corpus aggregates."""
+    q = QUERIES["t_vocab_growth"](spark, sf_small)
+    assert_plan(q, max_python_evals=0)
+    assert shuffle_count(q) <= 6, q._jdf.queryExecution().toString()
