@@ -325,3 +325,71 @@ def g7_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") % 13 == 0)
     )
     return bfs_hops(edges, seeds, max_hops=4)
+
+
+@register(
+    "g8_edge_jaccard",
+    oracle=f"""
+    WITH raw AS ({_SPARSE_EDGE_SQL}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY u),
+    common AS (
+      SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_common
+      FROM e
+      JOIN sym s1 ON s1.u = e.a
+      JOIN sym s2 ON s2.u = e.b AND s2.v = s1.v
+      GROUP BY e.a, e.b
+    )
+    SELECT e.a, e.b,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           da.degree AS deg_a, db.degree AS deg_b
+    FROM e
+    LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+    JOIN deg da ON da.node = e.a
+    JOIN deg db ON db.node = e.b
+    """,
+)
+def g8_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — per-edge common-neighbor statistics (the link-prediction /
+    tie-strength primitive: n_common with both endpoint degrees gives
+    Jaccard, Adamic-Adar denominators, embeddedness). Same
+    wedge-enumeration shape as triangle counting, but emitted PER
+    EDGE instead of summed: two edge-keyed equi-joins + one
+    map-side-combining count, nothing driver-side, all-integer
+    output. Note a wedge through w counts once per (edge, w) — each
+    common neighbor exactly once because sym holds each directed pair
+    once."""
+    edges = _sparse_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    from faexport_db_spark.operators.graph import degrees
+
+    deg = degrees(edges)
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("b2"), F.col("v").alias("w2"))
+    common = (
+        edges.join(s1, "a")
+        .join(s2, (F.col("b") == F.col("b2")) & (F.col("w") == F.col("w2")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        edges.join(common, ["a", "b"], "left")
+        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "deg_a"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "deg_b"), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+        )
+    )

@@ -4743,3 +4743,52 @@ def t_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank_quantized(emb, query_id=0, pool=8, picks=3)
+
+
+@register(
+    "t_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS len_b
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+    ),
+    s AS (SELECT doc_id, text, len_b, greatest(len_b // 4, 1) AS step FROM t),
+    f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, least(4, len_b) - 1)) AS frame_idx,
+             step, text
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substr(text, frame_idx * step + 1, step)) AS BIGINT)
+             AS n_bytes,
+           md5(substr(text, frame_idx * step + 1, step)) AS frame_md5
+    FROM f
+    """,
+)
+def t_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing driven end-to-end (sample_frames): the
+    'video' payload (utf-8 doc bytes — the codec seam is stubbed, the
+    Spark-side batch shape is real) flat-maps to 4 evenly-spaced
+    byte-slice frames inside ONE Arrow mapInPandas pass; the op
+    returns per-frame sizes and content digests, and the oracle
+    replays the exact slicing arithmetic in SQL (fixture text is
+    ASCII, so character slices == byte slices — asserted by the
+    length check riding in n_bytes)."""
+    from faexport_db_spark.training.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(
+        _docs(spark, sf_dir).filter(
+            F.col("text").isNotNull() & (F.length("text") >= 1)
+        )
+    )
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("bigint").alias("n_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

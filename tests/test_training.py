@@ -3263,3 +3263,50 @@ def test_precedence_pairs_order_sensitivity(spark):
             .groupBy("ante", "conseq")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).collect()}
     assert got == {("a", "b"): 2}
+
+
+def test_edge_jaccard_hand_graph(spark):
+    """Square 1-2-3-4-1 with diagonal 1-3: edge (1,3) has common
+    neighbors {2,4}; side edges have exactly one."""
+    from faexport_db_spark.queries import QUERIES  # noqa: F401
+    from faexport_db_spark.operators.graph import canonical_edges, degrees
+    from pyspark.sql import functions as F
+
+    edges = canonical_edges(spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src bigint, dst bigint"))
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+           .distinct())
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("b2"), F.col("v").alias("w2"))
+    common = (edges.join(s1, "a")
+              .join(s2, (F.col("b") == F.col("b2")) & (F.col("w") == F.col("w2")))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    got = {(r["a"], r["b"]): r["n_common"] for r in common.collect()}
+    assert got[(1, 3)] == 2
+    assert got[(1, 2)] == 1 and got[(3, 4)] == 1
+
+
+def test_frame_sample_slices_and_digests(spark):
+    """4 frames of a 10-byte payload: step 2, slices at offsets
+    0/2/4/6; a 2-byte payload yields only 2 frames."""
+    import hashlib
+
+    from faexport_db_spark.training.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcdefghij"), "video"), (2, bytearray(b"xy"), "video")],
+        "media_id bigint, media_bytes binary, media_type string",
+    )
+    rows = sample_frames(media, n_frames=4).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame_bytes"]) for r in rows}
+    assert got[(1, 0)] == b"ab" and got[(1, 3)] == b"gh"
+    assert got[(2, 0)] == b"x" and got[(2, 1)] == b"y"
+    assert (2, 2) not in got
+    digest = hashlib.md5(b"ab").hexdigest()
+    from pyspark.sql import functions as F
+
+    out = sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", F.md5("frame_bytes").alias("d")).collect()
+    assert {r["d"] for r in out if (r["media_id"], r["frame_idx"]) == (1, 0)} == {digest}
