@@ -464,3 +464,53 @@ def m10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 11 == 7, "D").otherwise("U").alias("op"),
     )
     return cdc_apply(log, ["o_custkey"], "seq")
+
+
+@register(
+    "m11_bitemporal_asof",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(max(event_id) * 7 // 10 AS BIGINT) AS t_max FROM events
+    ),
+    visible AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value
+      FROM events e, cut
+      WHERE e.ts <= TIMESTAMP '2024-01-15 00:00:00' AND e.event_id <= cut.t_max
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+      FROM visible
+    )
+    SELECT user_id,
+           max(CASE WHEN rk = 1 THEN event_type END) AS asof_type,
+           max(CASE WHEN rk = 1 THEN value END) AS asof_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           CAST(count(*) AS BIGINT) AS n_versions
+    FROM r GROUP BY user_id
+    """,
+)
+def m11_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 — bitemporal as-of point query over the snapshot stream:
+    entity state at VALID time V (event timestamp <= Jan 15) as the
+    store KNEW it at TRANSACTION time T (arrival sequence <= the 70th
+    percentile of event ids, computed in-engine — no SF-dependent
+    constant). The audit/backfill primitive SCD2 (m9) can't answer:
+    late-arriving rows with old timestamps are excluded by T even
+    though V admits them. One struct-argmax aggregate after two
+    pushed filters; the T cutoff broadcasts as a 1-row scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr("CAST(max(event_id) * 7 DIV 10 AS BIGINT)").alias("t_max")
+    )
+    visible = ev.crossJoin(F.broadcast(cut)).filter(
+        (F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (F.col("event_id") <= F.col("t_max"))
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return visible.groupBy("user_id").agg(
+        F.max_by("event_type", order).alias("asof_type"),
+        F.max_by("value", order).alias("asof_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )

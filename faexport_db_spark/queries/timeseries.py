@@ -525,3 +525,69 @@ def ts10_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n",
     )
+
+
+@register(
+    "ts11_cusum_flags",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(round(CAST(sum(value) AS DOUBLE), 2) * 100, 0)
+               AS BIGINT) AS cents
+      FROM events GROUP BY user_id, day
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS mean_cents
+      FROM daily GROUP BY user_id
+    ),
+    c AS (
+      SELECT d.user_id, d.day, d.cents, m.mean_cents,
+             CAST(sum(d.cents - m.mean_cents) OVER (
+               PARTITION BY d.user_id ORDER BY d.day) AS BIGINT)
+               AS cusum_cents
+      FROM daily d JOIN m USING (user_id)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cents, cusum_cents,
+           abs(cusum_cents) > 2 * mean_cents AS flagged
+    FROM c
+    """,
+)
+def ts11_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS11 — CUSUM change-detection over per-user daily totals: the
+    running sum of deviations from the user's mean day (all INTEGER
+    cents — the ts9 dyadic-weight discipline: floats leave the
+    pipeline at the daily rounding and never re-enter), flagged when
+    drift exceeds 2 mean-days. A level shift shows as a sustained
+    cusum ramp long before any single day trips a threshold — the
+    pipeline-health signal ts4's pointwise z-score can't see. One
+    (user, day) aggregate + a user-partitioned cumulative window on
+    the daily table."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.round(F.sum("value"), 2) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = daily.groupBy("user_id").agg(
+        F.expr("CAST(sum(cents) AS BIGINT) DIV CAST(count(*) AS BIGINT)")
+        .alias("mean_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    joined = daily.join(m, "user_id").withColumn(
+        "cusum_cents",
+        F.sum(F.col("cents") - F.col("mean_cents")).over(w).cast("bigint"),
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        "cusum_cents",
+        (F.abs("cusum_cents") > 2 * F.col("mean_cents")).alias("flagged"),
+    )

@@ -4792,3 +4792,57 @@ def t_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("bigint").alias("n_bytes"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+@register(
+    "t_dataset_card",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_toks,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS norm_hash
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT norm_hash) AS BIGINT) AS n_unique_norm,
+           CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS mean_chars
+    FROM t
+    """,
+)
+def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD for the documents corpus — the summary
+    block a dataset release ships (doc/language/source counts, size
+    totals, normalized-unique ratio numerator): one aggregate pass
+    computes every statistic (Catalyst expands the multi-distinct —
+    still a single scan), all integers, replayed in SQL. The
+    machine-readable sibling of the per-dimension profiling ops
+    (v2 column profile, t_text_quality)."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    from faexport_db_spark.training.text import normalized_text_expr
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.md5(normalized_text_expr("text")).alias("norm_hash"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("norm_hash").cast("bigint").alias("n_unique_norm"),
+        F.expr(
+            "CAST(sum(n_chars) AS BIGINT) DIV CAST(count(1) AS BIGINT)"
+        ).alias("mean_chars"),
+    )

@@ -3310,3 +3310,83 @@ def test_frame_sample_slices_and_digests(spark):
     out = sample_frames(media, n_frames=4).select(
         "media_id", "frame_idx", F.md5("frame_bytes").alias("d")).collect()
     assert {r["d"] for r in out if (r["media_id"], r["frame_idx"]) == (1, 0)} == {digest}
+
+
+def test_cusum_ramps_on_level_shift(spark):
+    """A user whose daily totals jump mid-series: cusum dips then
+    recovers; flags fire once the drift exceeds 2 mean-days; a flat
+    user never flags."""
+    import datetime as dt
+
+    from faexport_db_spark.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t0 = dt.datetime(2024, 1, 1, 6)
+    rows = []
+    eid = 0
+    # user 1: 6 days at 1.00 then 6 days at 21.00 (mean 11): strong ramp
+    for d in range(12):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=d), 1,
+                     1.0 if d < 6 else 21.0))
+    # user 2: flat 5.00
+    for d in range(12):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=d), 2, 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.round(F.sum("value"), 2) * 100, 0).cast("bigint").alias("cents"))
+    m = daily.groupBy("user_id").agg(
+        F.expr("CAST(sum(cents) AS BIGINT) DIV CAST(count(*) AS BIGINT)").alias("mc"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    out = (daily.join(m, "user_id")
+           .withColumn("cusum", F.sum(F.col("cents") - F.col("mc")).over(w))
+           .withColumn("flagged", F.abs("cusum") > 2 * F.col("mc")))
+    got = {(r["user_id"], r["day"].isoformat()): (r["cusum"], r["flagged"])
+           for r in out.collect()}
+    # user 1 mean = 1100 cents; after 3 low days cusum = -3000 < -2200: flagged
+    assert got[(1, "2024-01-03")][0] == -3000 and got[(1, "2024-01-03")][1]
+    # series ends back at zero drift (sum of deviations over all days)
+    assert got[(1, "2024-01-12")][0] == 0
+    assert not any(fl for (u, _), (_, fl) in got.items() if u == 2)
+
+
+def test_dataset_card_totals_cross_check(spark, sf_small):
+    """The card's totals equal independently-computed corpus facts."""
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    card = QUERIES["t_dataset_card"](spark, sf_small).collect()[0]
+    docs = load_table(spark, sf_small, "documents").filter(F.col("text").isNotNull())
+    assert card["n_docs"] == docs.count()
+    assert card["total_chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert card["mean_chars"] == card["total_chars"] // card["n_docs"]
+    assert 1 <= card["n_unique_norm"] <= card["n_docs"]
+
+
+def test_bitemporal_asof_excludes_late_arrivals(spark):
+    """A row with an OLD valid time but a LATE transaction id is
+    invisible at the earlier transaction cutoff — the property plain
+    as-of (valid time only) cannot express."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, t, 7, "click", 1.0),                      # early arrival
+        (100, t + dt.timedelta(hours=1), 7, "view", 2.0),  # late arrival, old valid ts
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    # transaction cutoff 50 excludes event 100 even though its valid
+    # time qualifies
+    vis = ev.filter((F.col("ts") <= F.lit("2024-01-15").cast("timestamp"))
+                    & (F.col("event_id") <= 50))
+    order = F.struct("ts", "event_id")
+    got = vis.groupBy("user_id").agg(
+        F.max_by("event_type", order).alias("t")).collect()[0]
+    assert got["t"] == "click"
