@@ -179,3 +179,77 @@ def start_streaming_kmv(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def qsketch_batch_into_store(
+    batch: DataFrame,
+    store_path: str,
+    value,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+) -> None:
+    """Fold one micro-batch into a dyadic QUANTILE-sketch store — the
+    rank sibling of the HLL/KMV stores. Register counts merge by SUM,
+    which is NOT idempotent, so correctness leans entirely on the
+    per-batch partition contract: each batch's own ≤64-row register
+    table lands under its idempotent ``batch=`` directory (re-delivery
+    overwrites identical rows; the hidden-dir-then-rename publish
+    keeps concurrent readers off partial files), and the read path
+    sums each batch's contribution exactly once — the line-dedup
+    count-partition scheme, where the IDEMPOTENT WRITE stands in for
+    an idempotent merge."""
+    from faexport_db_spark.operators.hadoop_fs import HadoopFs
+    from faexport_db_spark.training.pipeline import qsketch_register_table
+
+    ns = stream_id or "direct"
+    base = store_path.rstrip("/")
+    tag = f"{ns}-{batch_id if batch_id is not None else 0}"
+    part = f"{base}/batch={tag}"
+    tmp = f"{base}/.tmp-batch={tag}"
+    qsketch_register_table(batch, value).write.mode("overwrite").parquet(tmp)
+    fs = HadoopFs(batch.sparkSession, base)
+    if fs.exists(part):
+        fs.delete(part, recursive=True)
+    fs.rename(tmp, part)
+
+
+def read_qsketch_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged register table over every batch partition — the same
+    (bucket, cnt) shape ``qsketch_register_table`` produces, so
+    ``qsketch_quantile_brackets`` reads it directly and cross-store /
+    cross-engine merges compose by further SUM. Project the
+    discovered ``batch=`` column away before the sum so each batch
+    counts exactly once per bucket."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def start_streaming_qsketch(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value,
+    trigger: dict | None = None,
+):
+    """Wire ``qsketch_batch_into_store`` into a streaming query via
+    foreachBatch: continuously-maintained rank statistics — "p99 of
+    everything ever streamed" — from constant per-batch state, read
+    at any time via ``qsketch_quantile_brackets(read_qsketch_store)``.
+    """
+    from faexport_db_spark.streaming.dedup_stream import _stream_id
+
+    sid = _stream_id(spark, checkpoint)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        qsketch_batch_into_store(batch_df, store_path, value, batch_id, sid)
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

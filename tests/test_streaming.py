@@ -1650,3 +1650,56 @@ def test_streaming_kmv_store(spark, tmp_path):
     kmv_batch_into_store(b, store, "v", batch_id=7, stream_id="d")
     again = sorted(r["hval"] for r in read_kmv_store(spark, store).collect())
     assert again == once
+
+
+def test_streaming_qsketch_store(spark, tmp_path):
+    """The stream's summed register store equals the one-shot sketch
+    over everything streamed; re-delivering a batch does NOT
+    double-count (idempotent per-batch partitions — the property the
+    non-idempotent SUM merge leans on); brackets read the store
+    directly."""
+    from faexport_db_spark.streaming.sketch_stream import (
+        qsketch_batch_into_store,
+        read_qsketch_store,
+        start_streaming_qsketch,
+    )
+    from faexport_db_spark.training.pipeline import (
+        qsketch_quantile_brackets,
+        qsketch_register_table,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "q_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "v bigint"
+    batches = [
+        [(i,) for i in range(1, 500)],
+        [(i * 7,) for i in range(1, 500)],
+    ]
+    for i, data in enumerate(batches, 1):
+        spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / f"b{i}"))
+        q = start_streaming_qsketch(
+            spark, stream, store, checkpoint=f"{ckpt}/b{i}", value="v",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+    merged = {r["bucket"]: r["cnt"] for r in read_qsketch_store(spark, store).collect()}
+    full = spark.createDataFrame(batches[0] + batches[1], schema)
+    direct = {r["bucket"]: r["cnt"]
+              for r in qsketch_register_table(full, "v").collect()}
+    assert merged == direct
+
+    # re-delivery with the same (stream, batch) tag must not double-count
+    b = spark.createDataFrame(batches[0], schema)
+    qsketch_batch_into_store(b, store, "v", batch_id=3, stream_id="d")
+    once = sorted(read_qsketch_store(spark, store).collect())
+    qsketch_batch_into_store(b, store, "v", batch_id=3, stream_id="d")
+    assert sorted(read_qsketch_store(spark, store).collect()) == once
+
+    # the bracket walk runs off the merged store state
+    bk = {r["q_pct"]: r for r in qsketch_quantile_brackets(
+        read_qsketch_store(spark, store), [50]).collect()}
+    assert bk[50]["lo"] <= bk[50]["hi"]
