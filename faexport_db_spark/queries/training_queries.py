@@ -4846,3 +4846,127 @@ def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(n_chars) AS BIGINT) DIV CAST(count(1) AS BIGINT)"
         ).alias("mean_chars"),
     )
+
+
+@register(
+    "t_domain_mix_report",
+    oracle=r"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+    r AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens DESC, source)
+               AS BIGINT) AS rnk,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+               AS BIGINT) AS cum_tokens
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens, rnk, cum_tokens,
+           cum_tokens * 100 // tot.total AS cum_pct
+    FROM r, tot
+    """,
+)
+def t_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report by source domain: token share ranking
+    with cumulative coverage — the "which domains make up 90% of the
+    training tokens" table every corpus-curation review starts from
+    (and the input to temperature_mix's reweighting decisions). One
+    corpus aggregate; the ranking window runs on source-cardinality
+    planner rows; cumulative percent is integer floor — exact."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    wo = Window.orderBy(F.desc("n_tokens"), F.asc("source"))
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    tot = s.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (
+        s.withColumn("rnk", F.row_number().over(wo).cast("bigint"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wc).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "rnk",
+            "cum_tokens",
+            F.expr("cum_tokens * 100 DIV total").alias("cum_pct"),
+        )
+    )
+
+
+@register(
+    "t_length_filter_sweep",
+    oracle=r"""
+    WITH d AS (
+      SELECT n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    th AS (SELECT unnest([100, 250, 500, 1000, 2000]) AS min_chars),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS all_docs,
+             CAST(sum(n_toks) AS BIGINT) AS all_tokens
+      FROM d
+    )
+    SELECT th.min_chars,
+           CAST(count(*) FILTER (WHERE d.n_chars >= th.min_chars)
+             AS BIGINT) AS docs_kept,
+           CAST(coalesce(sum(d.n_toks)
+             FILTER (WHERE d.n_chars >= th.min_chars), 0) AS BIGINT)
+             AS tokens_kept,
+           tot.all_docs, tot.all_tokens
+    FROM th CROSS JOIN d CROSS JOIN tot
+    GROUP BY th.min_chars, tot.all_docs, tot.all_tokens
+    """,
+)
+def t_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-policy sweep: docs/tokens surviving each candidate
+    minimum-length threshold, with corpus totals alongside — the
+    what-would-this-filter-cost table (the length sibling of
+    t_dedup_sweep's threshold sweep). The thresholds explode map-side
+    (5× fan-out constant), one combining aggregate, totals broadcast;
+    ONE corpus pass answers the whole sweep instead of one pass per
+    candidate policy."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("n_chars", F.size(toks).cast("bigint").alias("n_toks"))
+    thresholds = [100, 250, 500, 1000, 2000]
+    exploded = d.select(
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("min_chars"),
+        "n_chars",
+        "n_toks",
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("all_docs"),
+        F.sum("n_toks").cast("bigint").alias("all_tokens"),
+    )
+    return (
+        exploded.groupBy("min_chars")
+        .agg(
+            F.count(F.when(F.col("n_chars") >= F.col("min_chars"), 1))
+            .cast("bigint")
+            .alias("docs_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("n_chars") >= F.col("min_chars"), F.col("n_toks")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )

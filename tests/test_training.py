@@ -3390,3 +3390,32 @@ def test_bitemporal_asof_excludes_late_arrivals(spark):
     got = vis.groupBy("user_id").agg(
         F.max_by("event_type", order).alias("t")).collect()[0]
     assert got["t"] == "click"
+
+
+def test_domain_mix_cumulative_coverage(spark, sf_small):
+    """Ranks are by token share; cumulative tokens are monotone and
+    end at 100% of the corpus."""
+    from faexport_db_spark.queries import QUERIES
+
+    rows = sorted(
+        ((r["rnk"], r["n_tokens"], r["cum_tokens"], r["cum_pct"])
+         for r in QUERIES["t_domain_mix_report"](spark, sf_small).collect())
+    )
+    assert rows[0][0] == 1
+    for (r0, n0, c0, _), (r1, n1, c1, _) in zip(rows, rows[1:]):
+        assert r1 == r0 + 1 and c1 == c0 + n1 and n1 <= n0
+    assert rows[-1][3] == 100
+
+
+def test_length_filter_sweep_monotone(spark, sf_small):
+    """Stricter thresholds keep fewer docs/tokens; threshold 0 would
+    keep everything (checked via the loosest bucket bounds)."""
+    from faexport_db_spark.queries import QUERIES
+
+    rows = {r["min_chars"]: r for r in
+            QUERIES["t_length_filter_sweep"](spark, sf_small).collect()}
+    ts = sorted(rows)
+    for a, b in zip(ts, ts[1:]):
+        assert rows[b]["docs_kept"] <= rows[a]["docs_kept"]
+        assert rows[b]["tokens_kept"] <= rows[a]["tokens_kept"]
+    assert rows[ts[0]]["docs_kept"] <= rows[ts[0]]["all_docs"]
