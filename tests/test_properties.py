@@ -984,3 +984,61 @@ def test_kmeans_quantized_matches_python_model(spark, dims, k, iters, flat, npar
     want, want_cents = _kmeans_model(rows, k, iters)
     assert got == want
     assert cents == want_cents
+
+
+# --- dyadic quantile sketch vs pure-Python model --------------------------
+
+
+def _qsketch_model(values):
+    """Reference register table: bucket = bit_length(v) for v > 0,
+    0 for v <= 0."""
+    from collections import Counter
+
+    c = Counter((v.bit_length() if v > 0 else 0) for v in values)
+    return dict(c)
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=300),
+    st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_qsketch_matches_python_model_and_brackets_hold(spark, values, nparts):
+    """Registers equal the single-machine bit-length histogram for any
+    input and partitioning; every requested bracket contains the true
+    percentile_disc value; shard-merge by SUM equals the whole-corpus
+    sketch."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from faexport_db_spark.training.pipeline import (
+        qsketch_quantile_brackets,
+        qsketch_register_table,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v long").repartition(nparts)
+    regs = qsketch_register_table(df, "v")
+    got = {r["bucket"]: r["cnt"] for r in regs.collect()}
+    assert got == _qsketch_model(values)
+
+    qs = [1, 50, 99]
+    rows = {r["q_pct"]: r for r in qsketch_quantile_brackets(regs, qs).collect()}
+    svals = sorted(values)
+    for q in qs:
+        rank = max(1, math.ceil(q * len(values) / 100))
+        true = svals[rank - 1]
+        b = rows[q]
+        assert b["lo"] <= true <= b["hi"], (q, true, dict(b.asDict()))
+
+    half_a = df.filter(F.col("v") % 2 == 0)
+    half_b = df.filter(F.col("v") % 2 == 1)
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in qsketch_register_table(half_a, "v")
+        .unionAll(qsketch_register_table(half_b, "v"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == got
