@@ -364,11 +364,15 @@ def g8_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. Note a wedge through w counts once per (edge, w) — each
     common neighbor exactly once because sym holds each directed pair
     once."""
-    edges = _sparse_edges(spark, sf_dir)
+    # pin the canonical edge set: it feeds the wedge join twice, the
+    # degree table, and the output spine — unpinned, each reference
+    # re-expands the orders scan (the KMV estimator lesson)
+    edges = _sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     from faexport_db_spark.operators.graph import degrees
 

@@ -575,14 +575,21 @@ def ts11_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    m = daily.groupBy("user_id").agg(
-        F.expr("CAST(sum(cents) AS BIGINT) DIV CAST(count(*) AS BIGINT)")
-        .alias("mean_cents")
-    )
+    # per-user mean as a WINDOW over the daily table, not a groupBy +
+    # join: both windows share the user_id partitioning, so the whole
+    # cusum costs two exchanges total (daily agg + one window
+    # exchange) instead of four
+    wu = Window.partitionBy("user_id")
     w = Window.partitionBy("user_id").orderBy("day")
-    joined = daily.join(m, "user_id").withColumn(
-        "cusum_cents",
-        F.sum(F.col("cents") - F.col("mean_cents")).over(w).cast("bigint"),
+    joined = (
+        daily.withColumn("__sum", F.sum("cents").over(wu).cast("bigint"))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wu).cast("bigint"))
+        # integer floor division — float division would round past 2^53
+        .withColumn("mean_cents", F.expr("__sum DIV __cnt"))
+        .withColumn(
+            "cusum_cents",
+            F.sum(F.col("cents") - F.col("mean_cents")).over(w).cast("bigint"),
+        )
     )
     return joined.select(
         "user_id",

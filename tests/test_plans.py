@@ -1196,3 +1196,35 @@ def test_vocab_growth_token_keyed_no_single_partition_corpus_pass(spark, sf_smal
     q = QUERIES["t_vocab_growth"](spark, sf_small)
     assert_plan(q, max_python_evals=0)
     assert shuffle_count(q) <= 6, q._jdf.queryExecution().toString()
+
+
+def test_cusum_two_exchanges_via_shared_window_partitioning(spark, sf_small):
+    """TS11: the per-user mean rides a window over the daily table
+    (not a groupBy+join), so the whole cusum is daily-aggregate +
+    one user-partitioned window exchange."""
+    q = QUERIES["ts11_cusum_flags"](spark, sf_small)
+    assert shuffle_count(q) <= 2, q._jdf.queryExecution().toString()
+    assert_plan(q, max_python_evals=0)
+
+
+def test_edge_jaccard_pinned_edges_no_rescans(spark, sf_small):
+    """G8: the canonical edge set is pinned once; wedge joins, degree
+    joins, and the output spine reuse it — zero parquet re-scans in
+    the final plan."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["g8_edge_jaccard"](spark, sf_small)
+    assert _physical_plan(q).count("Scan parquet") == 0
+    assert shuffle_count(q) <= 6, q._jdf.queryExecution().toString()
+
+
+def test_frame_sample_single_arrow_pass_no_shuffle(spark, sf_small):
+    """The frame flat-map is exactly one Arrow python eval over the
+    scan — map-only, no shuffle (the multimodal plumbing contract)."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_frame_sample"](spark, sf_small)
+    assert shuffle_count(q) == 0, q._jdf.queryExecution().toString()
+    assert _physical_plan(q).count("ArrowEvalPython") + _physical_plan(q).count(
+        "MapInPandas"
+    ) >= 1
