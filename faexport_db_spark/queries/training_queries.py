@@ -4970,3 +4970,60 @@ def t_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
     )
+
+
+@register(
+    "t_char_trigram_profile",
+    oracle="""
+    WITH t AS (
+      SELECT lang, lower(text) AS s
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+    ),
+    g AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, length(s) - 2),
+                    i -> substr(s, i, 3))) AS gram
+      FROM t
+    ),
+    c AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY lang, gram
+    )
+    SELECT lang, gram, n, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n DESC, gram) AS BIGINT) AS rnk
+      FROM c
+    ) WHERE rnk <= 10
+    """,
+)
+def t_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 character trigrams — the profile table a
+    char-n-gram language identifier trains on (the model-building
+    side of t_lang_id's marker-word heuristic). The explode is
+    map-side (in-row position sequence); the aggregate is keyed on
+    (lang, gram) whose cardinality is alphabet-bounded (~30³), so
+    the shuffle never scales with corpus size; the top-k window runs
+    per language over that bounded table. Replayed gram-for-gram in
+    SQL (ASCII fixture: char slices == byte slices)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    )
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )
