@@ -409,3 +409,36 @@ def j12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 1).select(
         "id_a", "id_b", dist.cast("bigint").alias("dist")
     )
+
+
+@register(
+    "j13_bloom_pruned_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j13_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — selective-dim join with a runtime Bloom filter
+    (operators/bloomjoin.py): the high-value orders subset folds into
+    a broadcast bitmap that prunes lineitem MAP-SIDE before the
+    shuffle join — at 100 TB the fact shuffle carries ~the matching
+    1-2% plus the Bloom's false-positive tail instead of everything.
+    No false negatives, so the oracle is simply the PLAIN join: the
+    optimization must be invisible in the result."""
+    from faexport_db_spark.operators.bloomjoin import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    joined = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )

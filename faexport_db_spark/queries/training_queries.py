@@ -5027,3 +5027,50 @@ def t_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "t_power_iteration",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 100) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, unnest(qv) AS x,
+             CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS i
+      FROM q
+    ),
+    m AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS m
+      FROM comp a JOIN comp b USING (vec_id)
+      GROUP BY a.i, b.i
+    ),
+    v1 AS (
+      SELECT i AS pos, CAST(sum(m) AS BIGINT) // 1000 AS v
+      FROM m GROUP BY i
+    ),
+    v2 AS (
+      SELECT m.i AS pos, CAST(sum(m.m * v1.v) AS BIGINT) // 1000 AS v
+      FROM m JOIN v1 ON v1.pos = m.j
+      GROUP BY m.i
+    )
+    SELECT pos, v FROM v2
+    """,
+)
+def t_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding corpus by 2
+    damped integer power-iteration steps on the Gram matrix
+    (power_iteration_quantized) — embeddings-QC's "what single axis
+    explains this corpus", bit-reproducible because every step is
+    integer multiply-sum with a literal floor-division rescale (the
+    unnormalized-HITS trick: positive division preserves the
+    direction ordering). Corpus is touched once for the dim²-bounded
+    Gram aggregate; each step is a dim-row broadcast into an M-keyed
+    aggregate, replayed exactly by the CTE oracle."""
+    from faexport_db_spark.training.similarity import power_iteration_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_quantized(emb, iters=2, scale=100, damp=1000)

@@ -1688,3 +1688,82 @@ def mmr_rerank_quantized(
         )
         selected = selected.unionAll(pick).localCheckpoint(eager=True)
     return selected.drop("qv")
+
+
+def power_iteration_quantized(
+    corpus: DataFrame,
+    iters: int = 2,
+    scale: int = 100,
+    damp: int = 1_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leading principal direction by POWER ITERATION on the Gram
+    matrix, in exact integer arithmetic end-to-end — the
+    dimensionality-reduction sibling of ``kmeans_quantized``: the
+    direction embeddings-QC wants ("what single axis explains this
+    corpus") with a result that is bit-reproducible across runs,
+    partitionings, and engines.
+
+    Mechanics: components quantize to floor(x·scale) (|q| ≤ scale for
+    unit-ish embeddings); M = Σ_rows q qᵀ is a dim² integer aggregate;
+    v₀ = 1; each step is v ← M v with a fixed integer floor-division
+    rescale (``damp``) between steps so bigint never overflows —
+    division by a positive literal preserves the direction argmax
+    exactly like the un-normalized HITS trick. Overflow budget:
+    |M_ij| ≤ rows·scale², |v| after a damped step ≤ dim·|M|·|v_prev|/
+    damp — two iterations stay far inside int64 for any plausible
+    (rows, scale, damp) this is called with.
+
+    Shape at scale: the Gram build is the ONLY corpus-sized work —
+    an in-row pair explode (dim² fan-out per row, map-side combining
+    into ≤ dim² cells; for dim ≳ 128 swap the explode for per-
+    partition numpy Gram partials over mapInPandas — same exact
+    integer sums, the ``kmeans_quantized`` Arrow-path rule). The
+    iteration itself runs on the dim²-row M frame: per step one
+    broadcast of the dim-row vector and one M-keyed aggregate —
+    the corpus is never touched again.
+
+    Output: (pos, v) — the un-normalized integer direction after
+    ``iters`` damped steps, one row per dimension.
+    """
+    if iters < 1 or scale < 1 or damp < 1:
+        raise ValueError(
+            f"need iters/scale/damp >= 1, got {iters}/{scale}/{damp}"
+        )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    pairs = corpus.select(q.alias("qv")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (x, i) ->"
+                " transform(qv, (y, j) -> struct(i AS i, j AS j,"
+                " x * y AS p))))"
+            )
+        ).alias("c")
+    )
+    m = (
+        pairs.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    # v0 = ones: first step is just damped row sums
+    v = (
+        m.groupBy(F.col("i").alias("pos"))
+        .agg(F.expr(f"CAST(sum(m) DIV {int(damp)} AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters - 1):
+        v = (
+            m.join(
+                F.broadcast(v.select(F.col("pos").alias("j"), F.col("v").alias("vj"))),
+                "j",
+            )
+            .groupBy(F.col("i").alias("pos"))
+            .agg(
+                F.expr(f"CAST(sum(m * vj) DIV {int(damp)} AS BIGINT)").alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v

@@ -3419,3 +3419,53 @@ def test_length_filter_sweep_monotone(spark, sf_small):
         assert rows[b]["docs_kept"] <= rows[a]["docs_kept"]
         assert rows[b]["tokens_kept"] <= rows[a]["tokens_kept"]
     assert rows[ts[0]]["docs_kept"] <= rows[ts[0]]["all_docs"]
+
+
+def test_power_iteration_matches_numpy_direction(spark):
+    """The damped integer trajectory points the same way as float
+    power iteration on a corpus with one dominant axis; parameter
+    guards raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from faexport_db_spark.training.similarity import power_iteration_quantized
+
+    rng_rows = []
+    # dominant direction e0: vectors hug [1, 0.1, 0] with small wiggles
+    for i in range(40):
+        rng_rows.append((i, [1.0, 0.1 * ((i % 3) - 1), 0.01 * (i % 2)]))
+    df = spark.createDataFrame(rng_rows, "vec_id bigint, embedding array<float>")
+    out = {r["pos"]: r["v"] for r in
+           power_iteration_quantized(df, iters=2, scale=100, damp=10).collect()}
+    assert out[0] > abs(out[1]) and out[0] > abs(out[2])
+    with _pytest.raises(ValueError):
+        power_iteration_quantized(df, iters=0)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """Row-for-row equality with the plain inner join (no false
+    negatives) while the probe provably drops non-matching keys; a
+    mis-sized bitmap raises."""
+    import pytest as _pytest
+
+    from faexport_db_spark.operators.bloomjoin import (
+        bloom_pruned_join,
+        build_key_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], "row_id bigint, fk bigint")
+    dim = spark.createDataFrame([(7, "a"), (13, "b")], "pk bigint, tag string")
+    got = sorted(
+        (r["row_id"], r["tag"]) for r in
+        bloom_pruned_join(fact, dim, "fk", "pk").collect())
+    want = sorted(
+        (r["row_id"], r["tag"]) for r in
+        fact.join(dim, fact["fk"] == dim["pk"]).collect())
+    assert got == want and len(got) == 40
+    # the bitmap really prunes: probing all 100 fk values keeps few
+    words = build_key_bloom(dim, "pk", m_bits=1 << 12, k=3)
+    assert sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) <= 6
+    with _pytest.raises(ValueError):
+        build_key_bloom(dim, "pk", m_bits=100)
