@@ -91,3 +91,34 @@ def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return ev.exceptAll(high)
+
+
+@register(
+    "u5_symmetric_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT 'only_a' AS side, o_orderkey, o_custkey
+    FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_b', o_orderkey, o_custkey
+    FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def u5_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — tagged symmetric difference of two snapshots: the
+    two-sided reconciliation view (what's only in yesterday's load,
+    what's only in today's) that v5's fingerprints POINT at — this op
+    shows the actual rows. Two hash-keyed EXCEPTs sharing the same
+    exchange key; each side tags its provenance so one frame carries
+    the whole diff."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 0)
+    only_a = a.exceptAll(b).select(
+        F.lit("only_a").alias("side"), "o_orderkey", "o_custkey"
+    )
+    only_b = b.exceptAll(a).select(
+        F.lit("only_b").alias("side"), "o_orderkey", "o_custkey"
+    )
+    return only_a.unionAll(only_b)

@@ -5074,3 +5074,74 @@ def t_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_quantized(emb, iters=2, scale=100, damp=1000)
+
+
+@register(
+    "t_dedup_funnel",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE text IS NOT NULL
+    ),
+    s1 AS (
+      SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+    ),
+    s1d AS (SELECT b.doc_id, b.text, b.n_chars FROM base b
+            JOIN s1 USING (doc_id)),
+    s2 AS (
+      SELECT min(doc_id) AS doc_id FROM s1d
+      GROUP BY md5(trim(regexp_replace(
+        regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        '\s+', ' ', 'g')))
+    ),
+    s2d AS (SELECT d.doc_id, d.n_chars FROM s1d d JOIN s2 USING (doc_id)),
+    s3d AS (SELECT doc_id FROM s2d WHERE n_chars >= 200),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1d),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2d),
+    n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3d)
+    SELECT 1 AS stage, 'exact_hash' AS mechanism,
+           n0.n AS docs_in, n1.n AS docs_out, n0.n - n1.n AS docs_dropped
+    FROM n0, n1
+    UNION ALL
+    SELECT 2, 'normalized_hash', n1.n, n2.n, n1.n - n2.n FROM n1, n2
+    UNION ALL
+    SELECT 3, 'min_length_200', n2.n, n3.n, n2.n - n3.n FROM n2, n3
+    """,
+)
+def t_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged corpus-cleaning FUNNEL report (the text sibling of the
+    media pipeline report): exact content-hash dedup → normalized
+    dedup → minimum-length filter, one row per stage with in/out/
+    dropped counts — the table a curation review reads to see where
+    the corpus went. Each stage is the already-proven single-groupBy
+    dedup shape; stage outputs chain (a doc must survive stage k to
+    be seen by k+1), and every count replays in SQL."""
+    from faexport_db_spark.training.text import normalized_text_expr
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    s1 = base.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1d = base.join(s1.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    s2 = s1d.groupBy(F.md5(normalized_text_expr("text"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2d = s1d.join(s2.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    s3d = s2d.filter(F.col("n_chars") >= 200)
+    n0 = base.count()
+    n1 = s1d.count()
+    n2 = s2d.count()
+    n3 = s3d.count()
+    rows = [
+        (1, "exact_hash", n0, n1, n0 - n1),
+        (2, "normalized_hash", n1, n2, n1 - n2),
+        (3, "min_length_200", n2, n3, n2 - n3),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage int, mechanism string, docs_in bigint, docs_out bigint,"
+        " docs_dropped bigint",
+    )
