@@ -397,3 +397,93 @@ def g8_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("deg_b").cast("bigint").alias("deg_b"),
         )
     )
+
+
+@register(
+    "g9_modularity",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS ({_SPARSE_EDGE_SQL}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.lab
+    ),
+    comp AS (SELECT node, min(lab) AS c FROM reach GROUP BY node),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY u),
+    lc AS (
+      SELECT ca.c AS component, CAST(count(*) AS BIGINT) AS internal_edges
+      FROM e JOIN comp ca ON ca.node = e.a JOIN comp cb ON cb.node = e.b
+      WHERE ca.c = cb.c
+      GROUP BY ca.c
+    ),
+    dc AS (
+      SELECT comp.c AS component, CAST(sum(deg.d) AS BIGINT) AS degree_sum
+      FROM comp JOIN deg USING (node)
+      GROUP BY comp.c
+    )
+    SELECT dc.component,
+           CAST(coalesce(lc.internal_edges, 0) AS BIGINT) AS internal_edges,
+           dc.degree_sum,
+           CAST(4 * m.m * coalesce(lc.internal_edges, 0)
+                - dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num
+    FROM dc LEFT JOIN lc USING (component), m
+    """,
+)
+def g9_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — per-community modularity contributions for the CONVERGED
+    component partition (g6's labels): internal edge count L_c,
+    degree mass D_c, and the INTEGER numerator 4m·L_c − D_c² of the
+    modularity term (Q_c = L_c/m − (D_c/2m)², scaled by 4m² — the
+    by-now-standard trick: a positive constant scale preserves every
+    comparison, so community quality ranks exactly, no floats).
+    Engine: star-contraction labels + two label-keyed joins/aggs; the
+    oracle recomputes the partition from first principles via the
+    recursive closure, so label AND metric must both agree."""
+    from faexport_db_spark.operators.graph import degrees
+    from faexport_db_spark.training.dedup import dedup_clusters_star
+
+    edges = _sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    comp = dedup_clusters_star(
+        edges.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    ).select(F.col("doc_id").alias("node"), F.col("cluster_rep").alias("c"))
+    comp = comp.localCheckpoint(eager=True)
+    m = edges.count()
+    ca = comp.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
+    cb = comp.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+    lc = (
+        edges.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    dc = (
+        comp.join(degrees(edges), "node")
+        .groupBy(F.col("c").alias("component"))
+        .agg(F.sum("degree").cast("bigint").alias("degree_sum"))
+    )
+    return (
+        dc.join(lc, "component", "left")
+        .select(
+            "component",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            "degree_sum",
+            (
+                F.lit(4 * m) * F.coalesce("internal_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+    )

@@ -3469,3 +3469,31 @@ def test_bloom_pruned_join_equals_plain_join(spark):
     assert sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) <= 6
     with _pytest.raises(ValueError):
         build_key_bloom(dim, "pk", m_bits=100)
+
+
+def test_modularity_numerator_hand_graph(spark):
+    """Two triangles joined by nothing: each component's q_num =
+    4m*L_c - D_c^2 with m=6, L_c=3, D_c=6 -> 72 - 36 = 36."""
+    from faexport_db_spark.operators.graph import canonical_edges, degrees
+    from faexport_db_spark.training.dedup import dedup_clusters_star
+    from pyspark.sql import functions as F
+
+    edges = canonical_edges(spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "src bigint, dst bigint"))
+    comp = dedup_clusters_star(
+        edges.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    ).select(F.col("doc_id").alias("node"), F.col("cluster_rep").alias("c"))
+    m = edges.count()
+    ca = comp.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
+    cb = comp.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+    lc = (edges.join(ca, "a").join(cb, "b")
+          .filter(F.col("c_a") == F.col("c_b"))
+          .groupBy(F.col("c_a").alias("component"))
+          .agg(F.count(F.lit(1)).alias("L")))
+    dc = (comp.join(degrees(edges), "node")
+          .groupBy(F.col("c").alias("component"))
+          .agg(F.sum("degree").alias("D")))
+    got = {r["component"]: 4 * m * r["L"] - r["D"] * r["D"]
+           for r in dc.join(lc, "component").collect()}
+    assert got == {1: 36, 10: 36}
