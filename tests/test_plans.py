@@ -1228,3 +1228,27 @@ def test_frame_sample_single_arrow_pass_no_shuffle(spark, sf_small):
     assert _physical_plan(q).count("ArrowEvalPython") + _physical_plan(q).count(
         "MapInPandas"
     ) >= 1
+
+
+def test_power_iteration_corpus_touched_once(spark, sf_small):
+    """The Gram aggregate is the only corpus pass; the iteration runs
+    on the pinned dim^2 M frame (0 parquet scans in the final plan)."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["t_power_iteration"](spark, sf_small)
+    assert _physical_plan(q).count("Scan parquet") == 0
+    assert_plan(q, max_python_evals=0)
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark, sf_small):
+    """J13: the Bloom probe must sit below the join's exchange — the
+    fact scan's output is filtered map-side (the bitmap rides as a
+    broadcast), and the final aggregate keeps the usual shape."""
+    from faexport_db_spark.plans.audit import _physical_plan
+
+    q = QUERIES["j13_bloom_pruned_join"](spark, sf_small)
+    plan = _physical_plan(q)
+    # bitmap arrives via a broadcast nested-loop (1-row frame), and
+    # the real join is still an equi-join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert_plan(q, max_python_evals=0)
