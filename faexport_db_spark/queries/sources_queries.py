@@ -845,3 +845,43 @@ def k9_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
     )
     return bin_rows(li, "ship_month", target_rows=5000)
+
+
+@register(
+    "k10_partition_skew_report",
+    oracle="""
+    WITH b AS (
+      SELECT l_suppkey % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY bucket
+    ),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                 CAST(max(n_rows) AS BIGINT) AS max_n,
+                 CAST(count(*) AS BIGINT) AS k FROM b)
+    SELECT b.bucket, b.n_rows,
+           b.n_rows * 10000 // t.total AS share_bp,
+           t.max_n * t.k * 100 // t.total AS skew_pct_x100
+    FROM b, t
+    """,
+)
+def k10_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 — partition-skew diagnosis: per shuffle-bucket row counts
+    with basis-point shares and the global skew factor
+    (max/mean, x100 integer) — the table that says WHEN the salting
+    paths (a1s, j11) and AQE skew-join are worth their overhead.
+    One map-side aggregate over the fact table; stats broadcast;
+    all-integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy((F.col("l_suppkey") % 64).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    t = b.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.max("n_rows").cast("bigint").alias("max_n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_rows",
+        F.expr("n_rows * 10000 DIV total").alias("share_bp"),
+        F.expr("max_n * k * 100 DIV total").alias("skew_pct_x100"),
+    )

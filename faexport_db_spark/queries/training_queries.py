@@ -5145,3 +5145,80 @@ def t_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage int, mechanism string, docs_in bigint, docs_out bigint,"
         " docs_dropped bigint",
     )
+
+
+@register(
+    "t_label_balance",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM c)
+    SELECT c.label, c.n,
+           t.total // t.k AS expected,
+           c.n - t.total // t.k AS deviation,
+           c.n * 10000 // t.total AS share_bp
+    FROM c, t
+    """,
+)
+def t_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit over the embeddings corpus: per-class
+    count vs the uniform expectation, deviation, and basis-point
+    share — the class-imbalance table a fine-tuning set review reads
+    before choosing sampling weights (feeds group_sample /
+    temperature_mix). One map-side aggregate; totals broadcast;
+    all-integer (shares in basis points, not float percents)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.expr("total DIV k").alias("expected"),
+        F.expr("n - total DIV k").alias("deviation"),
+        F.expr("n * 10000 DIV total").alias("share_bp"),
+    )
+
+
+@register(
+    "t_zipf_table",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY tok)
+    SELECT tok, freq, rnk FROM (
+      SELECT tok, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk
+      FROM c
+    ) WHERE rnk <= 50
+    """,
+)
+def t_zipf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) table: the 50 most frequent tokens with
+    deterministic ranks — the curve whose slope diagnoses boilerplate
+    contamination (too-flat head) and tokenizer-vocabulary fit. One
+    token-keyed aggregate then a bounded top-k: the global window
+    runs AFTER a 50-row TakeOrdered-style cut at scale; integer
+    frequencies, exact tie order."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    c = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # bounded pre-cut: take the top 50 by (freq desc, tok) without a
+    # global sort of the whole vocabulary
+    top = c.orderBy(F.desc("freq"), F.asc("tok")).limit(50)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
