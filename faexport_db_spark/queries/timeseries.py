@@ -598,3 +598,54 @@ def ts11_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_cents",
         (F.abs("cusum_cents") > 2 * F.col("mean_cents")).alias("flagged"),
     )
+
+
+@register(
+    "ts12_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(round(round(CAST(sum(value) AS DOUBLE), 2) * 100, 0)
+               AS BIGINT) AS cents
+      FROM events GROUP BY user_id, wk
+    ),
+    lagged AS (
+      SELECT user_id, wk, cents,
+             lag(cents) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+      FROM weekly
+    )
+    SELECT user_id, strftime(wk, '%Y-%m-%d') AS wk, cents, prev,
+           CASE WHEN prev > 0 THEN (cents - prev) * 10000 // prev END
+             AS growth_bp
+    FROM lagged
+    """,
+)
+def ts12_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS12 — week-over-week growth per user in integer basis points:
+    weekly totals pinned to cents at aggregation (the ts9/ts11
+    discipline — floats leave the pipeline once and never re-enter),
+    lag + integer DIV growth. NULL growth for first weeks and
+    zero-baseline weeks rather than a fake infinity. One (user, week)
+    aggregate + one user-partitioned lag window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).agg(
+        F.round(F.round(F.sum("value"), 2) * 100, 0).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    return (
+        weekly.withColumn("prev", F.lag("cents").over(w))
+        .select(
+            "user_id",
+            F.date_format("wk", "yyyy-MM-dd").alias("wk"),
+            "cents",
+            "prev",
+            F.when(
+                F.col("prev") > 0,
+                F.expr("(cents - prev) * 10000 DIV prev"),
+            ).alias("growth_bp"),
+        )
+    )
