@@ -3497,3 +3497,61 @@ def test_modularity_numerator_hand_graph(spark):
     got = {r["component"]: 4 * m * r["L"] - r["D"] * r["D"]
            for r in dc.join(lc, "component").collect()}
     assert got == {1: 36, 10: 36}
+
+
+def test_dedup_funnel_stage_conservation(spark, sf_small):
+    """Each stage's docs_out equals the next stage's docs_in, drops
+    are non-negative, and stage 1 starts at the non-null doc count."""
+    from faexport_db_spark.datamodel.testdata import load_table
+    from faexport_db_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = {r["stage"]: r for r in QUERIES["t_dedup_funnel"](spark, sf_small).collect()}
+    n_base = (load_table(spark, sf_small, "documents")
+              .filter(F.col("text").isNotNull()).count())
+    assert rows[1]["docs_in"] == n_base
+    for s in (1, 2, 3):
+        assert rows[s]["docs_dropped"] == rows[s]["docs_in"] - rows[s]["docs_out"]
+        assert rows[s]["docs_dropped"] >= 0
+    assert rows[1]["docs_out"] == rows[2]["docs_in"]
+    assert rows[2]["docs_out"] == rows[3]["docs_in"]
+
+
+def test_symmetric_diff_sides_disjoint_and_complete(spark, sf_small):
+    """only_a rows divide by 3 but not 2; only_b by 2 but not 3; no
+    row appears on both sides."""
+    from faexport_db_spark.queries import QUERIES
+
+    rows = QUERIES["u5_symmetric_diff"](spark, sf_small).collect()
+    a_keys = {r["o_orderkey"] for r in rows if r["side"] == "only_a"}
+    b_keys = {r["o_orderkey"] for r in rows if r["side"] == "only_b"}
+    assert all(k % 3 == 0 and k % 2 != 0 for k in a_keys)
+    assert all(k % 2 == 0 and k % 3 != 0 for k in b_keys)
+    assert not (a_keys & b_keys)
+
+
+def test_wow_growth_basis_points_hand_case(spark):
+    """100 -> 125 cents is +2500 bp; first week NULL; zero baseline
+    yields NULL, not infinity."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t0 = dt.datetime(2024, 1, 1, 8)  # Monday
+    rows = [
+        (1, t0, 1, 1.00), (2, t0 + dt.timedelta(days=7), 1, 1.25),
+        (3, t0, 2, 0.00), (4, t0 + dt.timedelta(days=7), 2, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    weekly = ev.groupBy("user_id", F.date_trunc("week", "ts").alias("wk")).agg(
+        F.round(F.round(F.sum("value"), 2) * 100, 0).cast("bigint").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    out = (weekly.withColumn("prev", F.lag("cents").over(w))
+           .withColumn("g", F.when(F.col("prev") > 0,
+                                   F.expr("(cents - prev) * 10000 DIV prev"))))
+    got = {(r["user_id"], r["cents"]): r["g"] for r in out.collect()}
+    assert got[(1, 125)] == 2500
+    assert got[(1, 100)] is None          # first week
+    assert got[(2, 500)] is None          # zero baseline
