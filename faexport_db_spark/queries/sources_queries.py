@@ -819,10 +819,10 @@ def v5_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
       SELECT ship_month, n_rows,
-             CAST(coalesce(sum(n_rows) OVER (
+             coalesce(CAST(sum(n_rows) OVER (
                ORDER BY ship_month
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS bin_start_row
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS bin_start_row
       FROM c
     )
     SELECT ship_month, n_rows,

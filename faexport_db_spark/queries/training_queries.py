@@ -4922,8 +4922,8 @@ def t_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT th.min_chars,
            CAST(count(*) FILTER (WHERE d.n_chars >= th.min_chars)
              AS BIGINT) AS docs_kept,
-           CAST(coalesce(sum(d.n_toks)
-             FILTER (WHERE d.n_chars >= th.min_chars), 0) AS BIGINT)
+           coalesce(CAST(sum(d.n_toks)
+             FILTER (WHERE d.n_chars >= th.min_chars) AS BIGINT), 0)
              AS tokens_kept,
            tot.all_docs, tot.all_tokens
     FROM th CROSS JOIN d CROSS JOIN tot
