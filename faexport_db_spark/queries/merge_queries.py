@@ -514,3 +514,35 @@ def m11_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
         F.count(F.lit(1)).cast("bigint").alias("n_versions"),
     )
+
+
+@register(
+    "m12_conflict_report",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_snapshots,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           count(DISTINCT o_orderstatus) > 1
+             OR count(DISTINCT o_orderpriority) > 1 AS has_conflict
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def m12_conflict_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 — merge-conflict audit across an entity's snapshot stream:
+    how many distinct values each merged field saw, and whether any
+    field ever disagreed — the table that says which entities the
+    newest-non-null rule (M4) actually had to arbitrate vs merely
+    copy. One multi-distinct aggregate per entity key (Catalyst
+    expands it in a single scan), the audit sibling of the merge
+    family's latest-state ops."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_snapshots"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        (
+            (F.countDistinct("o_orderstatus") > 1)
+            | (F.countDistinct("o_orderpriority") > 1)
+        ).alias("has_conflict"),
+    )

@@ -577,3 +577,25 @@ def c24_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.alias("canon_url"),
         (F.size(all_params) - F.size(params)).cast("bigint").alias("n_dropped_params"),
     )
+
+
+@register(
+    "c25_slug",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
+             '^-+|-+$', '', 'g') AS slug
+    FROM customer
+    """,
+)
+def c25_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 — URL-slug canonicalization (lowercase, non-alphanumeric
+    runs to single dashes, edge dashes stripped) — the display-name →
+    stable-identifier scalar the reference's username canonicalizer
+    (C5) is a special case of. Map-only, lookaround-free regex
+    (identical RE2/Java semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    slug = F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "-")
+    slug = F.regexp_replace(slug, "^-+|-+$", "")
+    return c.select("c_custkey", slug.alias("slug"))
