@@ -456,7 +456,15 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
             _hashes_map(e["hashes_list"]).alias("hmap"),
         ),
     )
-    folded = F.aggregate(F.col("hist"), _m7_acc_init(), _m7_step)
+    # The fold lands in its OWN Project, referenced by attribute from a
+    # second Project that extracts the four output fields. Inlining the
+    # fold expression directly into each field (the pre-r09 form) put
+    # FOUR copies of the whole interpreted aggregate lambda in one
+    # Project — higher-order lambdas get no common-subexpression
+    # elimination, so every output row replayed the fold 4×.
+    # CollapseProject keeps the split: a non-cheap expression consumed
+    # by multiple references is never re-inlined.
+    folded = F.col("__folded")
     hashes_json = F.to_json(
         F.transform(
             F.array_sort(F.map_entries(folded["hashes"])),
@@ -471,6 +479,12 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
     return (
         keyed.groupBy("website_id", "site_submission_id", "site_file_id")
         .agg(hist.alias("hist"))
+        .select(
+            "website_id",
+            "site_submission_id",
+            "site_file_id",
+            F.aggregate(F.col("hist"), _m7_acc_init(), _m7_step).alias("__folded"),
+        )
         .select(
             "website_id",
             "site_submission_id",
