@@ -12,14 +12,34 @@ input genuinely under-parallelizes the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
-    """Round-robin repartition up to ``multiple × defaultParallelism``
-    — only when the input would scan with fewer tasks than that (never
-    a coalesce, never a shuffle on already-wide inputs).
+def fan_out(
+    df: DataFrame,
+    multiple: int = 1,
+    by: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Repartition up to ``multiple × defaultParallelism`` — only when
+    the input would scan with fewer tasks than that (never a coalesce,
+    never a shuffle on already-wide inputs).
+
+    ``by`` picks the partitioning expressions. Hash-partitioning beats
+    the round-robin default twice over: round-robin assignment is
+    nondeterministic per row, so Spark inserts a full local sort of the
+    rows' binary representation before the shuffle write
+    (``spark.sql.execution.sortBeforeRepartition``, kept on for
+    stage-retry safety) — hash partitioning is per-row deterministic
+    and skips it; and when ``by`` matches the operator's downstream
+    shuffle key, the exchange this fan-out pays REPLACES the one the
+    groupBy/window was about to insert (Catalyst sees the clustering
+    requirement already satisfied, including through Project aliases).
+    Callers should pass the downstream key when there is one, else the
+    row id (unique → uniform spread). Round-robin remains the fallback
+    for callers with no usable column.
 
     Intended for source scans (every call site wraps a freshly-loaded
     table). The width probe estimates the scan's split count from file
@@ -38,6 +58,9 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
             return df
     elif df.rdd.getNumPartitions() >= target:
         return df
+    if by:
+        cols = [F.col(c) if isinstance(c, str) else c for c in by]
+        return df.repartition(target, *cols)
     return df.repartition(target)
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from faexport_db_spark.operators.partitioning import fan_out
+
 # Marker-word profiles for the n-gram/stopword language heuristic.
 # Real pipelines plug fasttext/cld3 here; the operator contract is the
 # same: per-language evidence score -> argmax with deterministic ties.
@@ -68,37 +70,64 @@ def quality_features(
     score is a fixed linear blend — the operator contract (per-doc
     bounded score usable as a filter threshold) is what matters.
     ``keep`` carries extra source columns through (so a downstream
-    filter/groupBy never needs a self-join back to the corpus)."""
-    toks = tokens_expr(text_col)
-    n_chars = F.length(text_col)
-    n_toks = F.size(toks)
-    mean_tok = F.round(n_chars.cast("double") / n_toks, 6)
-    stop_ratio = F.round(
-        _profile_score(toks, STOPWORDS).cast("double") / n_toks, 6
-    )
-    non_alnum = F.round(
-        (
-            n_chars
-            - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
-        ).cast("double")
-        / n_chars,
-        6,
-    )
-    score = F.round(
-        F.least(n_toks / F.lit(400.0), F.lit(1.0)) * 0.4
-        + stop_ratio * 0.4
-        + (F.lit(1.0) - non_alnum) * 0.2,
-        6,
-    )
-    return docs.select(
+    filter/groupBy never needs a self-join back to the corpus).
+
+    The signals are let-bound across a chain of selects instead of one
+    wide projection: the tokenizer split, the stopword filter and the
+    regexp scrub each appear ONCE in the plan and downstream columns
+    reference them by attribute. The single-select form re-inlined the
+    split ~3× and both ratio subtrees 2× (the score reuses them), and
+    this Project evaluates interpreted (the higher-order stopword
+    filter blocks whole-stage codegen) with no common-subexpression
+    elimination — measured 0.42s → 0.30s at sf0.1. CollapseProject
+    never re-merges: every bound column is non-cheap and
+    multi-referenced. ``fan_out`` spreads the map work when the source
+    arrives with fewer splits than cores (no-op on wide inputs)."""
+    keep_cols = [F.col(c) for c in keep]
+    n_chars = F.col("n_chars_computed")
+    n_toks = F.col("__nt")
+    step0 = fan_out(docs, by=[id_col]).select(
         F.col(id_col),
-        *[F.col(c) for c in keep],
-        n_chars.cast("bigint").alias("n_chars_computed"),
+        *keep_cols,
+        F.col(text_col).alias("__text"),
+        tokens_expr(text_col).alias("__toks"),
+    )
+    step1 = step0.select(
+        F.col(id_col),
+        *keep_cols,
+        F.length("__text").cast("bigint").alias("n_chars_computed"),
+        F.size("__toks").alias("__nt"),
+        _profile_score(F.col("__toks"), STOPWORDS).alias("__stop"),
+        F.length(F.regexp_replace(F.col("__text"), r"[^A-Za-z0-9 ]", "")).alias(
+            "__alnum_len"
+        ),
+    )
+    step2 = step1.select(
+        F.col(id_col),
+        *keep_cols,
+        n_chars,
         n_toks.cast("bigint").alias("n_tokens"),
-        mean_tok.alias("mean_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        non_alnum.alias("non_alnum_ratio"),
-        score.alias("quality_score"),
+        F.round(n_chars.cast("double") / n_toks, 6).alias("mean_token_len"),
+        F.round(F.col("__stop").cast("double") / n_toks, 6).alias("stopword_ratio"),
+        F.round((n_chars - F.col("__alnum_len")).cast("double") / n_chars, 6).alias(
+            "non_alnum_ratio"
+        ),
+        n_toks,
+    )
+    return step2.select(
+        F.col(id_col),
+        *keep_cols,
+        n_chars,
+        F.col("n_tokens"),
+        F.col("mean_token_len"),
+        F.col("stopword_ratio"),
+        F.col("non_alnum_ratio"),
+        F.round(
+            F.least(n_toks / F.lit(400.0), F.lit(1.0)) * 0.4
+            + F.col("stopword_ratio") * 0.4
+            + (F.lit(1.0) - F.col("non_alnum_ratio")) * 0.2,
+            6,
+        ).alias("quality_score"),
     )
 
 
@@ -257,10 +286,13 @@ def token_counts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (letters runs,
-    digit runs, single punctuation — the classic pre-tokenizer shape)."""
+    digit runs, single punctuation — the classic pre-tokenizer shape).
+    ``fan_out`` spreads the regex map work across cores when the source
+    arrives with fewer splits than the cluster has (no-op on wide
+    inputs)."""
     ws = F.size(tokens_expr(text_col))
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
-    return docs.select(
+    return fan_out(docs, by=[id_col]).select(
         F.col(id_col),
         ws.cast("bigint").alias("ws_tokens"),
         bpe.cast("bigint").alias("bpe_tokens"),
