@@ -51,13 +51,24 @@ def join_strategies(df: DataFrame) -> dict[str, int]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Hash/range-partitioning exchanges in the plan (broadcast
-    exchanges excluded — they're the cheap kind; reused exchanges
-    excluded — they don't re-run)."""
+    """PLANNER-INSERTED hash/range-partitioning exchanges
+    (ENSURE_REQUIREMENTS) — the ceilings' scale signal: an exchange the
+    planner had to add moves the operator's full input at any scale.
+    Excluded: broadcast exchanges (the cheap kind), reused exchanges
+    (don't re-run), and explicit ``fan_out``/repartition spreads
+    (REPARTITION_BY_NUM/_BY_COL) — those exist ONLY while the input
+    scans narrower than the cluster and vanish at real scale (the
+    width probe no-ops on wide inputs). Round-robin fan-outs never
+    matched this counter's pattern either, so ceilings are unchanged
+    by the r09 switch to hash-keyed fan-outs."""
     plan = _physical_plan(df)
     # ReusedExchange nodes print without a partitioning spec, so the
     # pattern naturally counts only exchanges that actually run.
-    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    return len(
+        re.findall(
+            r"Exchange (?:hash|range)partitioning[^\n]*ENSURE_REQUIREMENTS", plan
+        )
+    )
 
 
 def codegen_span_count(df: DataFrame) -> int:

@@ -398,7 +398,7 @@ def j12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("name").substr(i + F.lit(1), F.lit(1000)),
         ),
     )
-    variants = fan_out(names).select(
+    variants = fan_out(names, by=["id"]).select(
         "id", "name",
         F.explode(F.array_union(F.array(F.col("name")), dels)).alias("v"),
     )

@@ -277,7 +277,7 @@ def m7_parts(
     from faexport_db_spark.operators.partitioning import fan_out
 
     raw = load_table(spark, sf_dir, "events")
-    ev = fan_out(raw)
+    ev = fan_out(raw, by=["event_id"])
     snaps = raw.select(
         F.lit("events").alias("website_id"),
         F.col("user_id").cast("string").alias("site_submission_id"),

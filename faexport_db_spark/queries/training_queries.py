@@ -106,7 +106,7 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs via inverted-index join
     (shared-shingle equi-join, never an all-pairs cross join)."""
     docs = _docs(spark, sf_dir)
-    shingled = fan_out(docs).select(
+    shingled = fan_out(docs, by=["doc_id"]).select(
         "doc_id", F.explode(word_shingles("text", 2)).alias("g")
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -2617,7 +2617,7 @@ def t_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     elbow sits), computed without re-running the expensive join per
     threshold. Output: (threshold, n_pairs)."""
     docs = _docs(spark, sf_dir)
-    shingled = fan_out(docs).select(
+    shingled = fan_out(docs, by=["doc_id"]).select(
         "doc_id", F.explode(word_shingles("text", 2)).alias("g")
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

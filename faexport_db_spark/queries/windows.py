@@ -22,10 +22,18 @@ from faexport_db_spark.queries.registry import register
 
 
 def _keep_one(df: DataFrame, keys: list[str], order_col: str, keep: str) -> DataFrame:
+    from faexport_db_spark.operators.partitioning import fan_out
+
     order = F.desc(order_col) if keep == "highest" else F.asc(order_col)
     w = Window.partitionBy(*keys).orderBy(order)
+    # fan_out by the window keys: the single-file fixture scan arrives
+    # as ONE task, so the pre-shuffle Sort+WindowGroupLimit pass ran
+    # single-threaded over the whole table; hash fan-out on the window
+    # keys both spreads that sort AND is the very exchange the Window
+    # required (no-op on wide inputs at real scale).
     return (
-        df.withColumn("rn", F.row_number().over(w))
+        fan_out(df, by=keys)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )

@@ -194,10 +194,39 @@ def corpus_prep(
     — min/max are order-independent (exactly reproducible), unlike a
     float mean.
     """
-    feats = quality_features(docs, text_col=text_col, id_col=id_col, keep=(stratum_col, text_col))
-    kept = feats.filter(F.col("quality_score") >= min_quality)
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
-    reps = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    # Fan out by the DEDUP WINDOW key (md5 of the text): the feature
+    # compute runs wide AND the window below needs no further exchange
+    # — the whole pipeline is the fan-out exchange plus the final
+    # per-stratum aggregation.
+    feats = quality_features(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        keep=(stratum_col, text_col),
+        fan_by=[F.md5(F.col(text_col))],
+    )
+    # The quality filter runs ABOVE the dedup window, not before it:
+    # a predicate on the projected quality_score would push down
+    # through every feature select to the scan, re-inlining the whole
+    # interpreted score expression on the (single-task) scan stage —
+    # while above the window it can't sink (quality_score is not a
+    # window partition key) and tests the already-computed column
+    # once. Equivalent output: same md5 ⇒ same text ⇒ same score, so
+    # a duplicate group is kept or dropped as a whole either way and
+    # rank-1 (lowest id) picks the same representative. The window
+    # exchange also goes NARROW: text is folded to its md5 key and
+    # dropped before the shuffle.
+    narrow = feats.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        "n_tokens",
+        "quality_score",
+        F.md5(F.col(text_col)).alias("__key"),
+    )
+    w = Window.partitionBy("__key").orderBy(F.asc(id_col))
+    reps = narrow.withColumn("__rn", F.row_number().over(w)).filter(
+        (F.col("__rn") == 1) & (F.col("quality_score") >= min_quality)
+    )
     return reps.groupBy(F.col(stratum_col)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),

@@ -57,7 +57,7 @@ def bm25_postings(
     """(term, doc_id, dl, tf) — the inverted index. One explode + one
     groupBy; ``dl`` (doc token count) rides along so scoring never
     joins back to the corpus."""
-    toks = fan_out(docs).select(
+    toks = fan_out(docs, by=[id_col]).select(
         F.col(id_col).alias("doc_id"), _terms(F.col(text_col)).alias("__toks")
     )
     return (

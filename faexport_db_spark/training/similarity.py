@@ -63,7 +63,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -106,7 +106,7 @@ def lsh_bucketed_topk(
     hyperplanes derive from a fixed seed and travel as literals.
     """
     planes = _hyperplanes(dim, nbits, seed)
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
     ).withColumn("bucket", _code_expr(F.col("c_vec"), planes))
@@ -158,7 +158,7 @@ def cosine_near_dup_pairs(
                 f"{n} rows (> max_rows={max_rows}). Use cosine_near_dup_pairs_lsh "
                 f"at this scale, or pass max_rows=None to force the quadratic scan."
             )
-    a = fan_out(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = fan_out(corpus, by=[id_col]).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
@@ -195,7 +195,7 @@ def _pair_cosines(
         F.collect_set(F.struct("id_a", "id_b")).alias("ps")
     )
     vecs = (
-        fan_out(corpus)
+        fan_out(corpus, by=[id_col])
         .join(F.broadcast(grouped), F.col(id_col) == F.col("mid"))
         .select(
             F.col(id_col).alias("vid"),
@@ -249,7 +249,7 @@ def _code_rows(
             out[:, t] = signs[:, t * nbits : (t + 1) * nbits] @ weights
         return pd.Series(out.astype(np.int32).tolist())
 
-    return fan_out(df).select(
+    return fan_out(df, by=[id_col]).select(
         F.col(id_col).alias(id_alias),
         F.posexplode(code_udf(vec_col)).alias("tbl", "code"),
     )
@@ -405,7 +405,7 @@ def ivf_centroids(
     the update is one groupBy; only the centroid table ever collects.
     """
     seeds = (
-        fan_out(corpus)
+        fan_out(corpus, by=[id_col])
         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
         .limit(n_centroids)
@@ -414,7 +414,7 @@ def ivf_centroids(
     centroids = [list(r["v"]) for r in seeds]
     assigned = None
     for _ in range(iters):
-        assigned = fan_out(corpus).select(
+        assigned = fan_out(corpus, by=[id_col]).select(
             _as_double(F.col(vec_col)).alias("v"),
             _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
         )
@@ -482,7 +482,7 @@ def semantic_dedup_pairs(
         centroids = ivf_centroids(
             corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    assign = fan_out(corpus).select(
+    assign = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("m"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
     )
@@ -552,7 +552,7 @@ def semantic_dedup_against_index(
 
     spark = new_vecs.sparkSession
     centroids = read_model_sidecar(spark, index_path, "_centroids.json")
-    assigned = fan_out(new_vecs).select(
+    assigned = fan_out(new_vecs, by=[id_col]).select(
         F.col(id_col).alias("new_id"),
         F.col(vec_col).alias("new_vec"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -598,7 +598,7 @@ def semantic_append_index(
 
     centroids = read_model_sidecar(new_vecs.sparkSession, index_path, "_centroids.json")
     (
-        fan_out(new_vecs)
+        fan_out(new_vecs, by=[id_col])
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
@@ -658,7 +658,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
-    cells = fan_out(corpus).select(
+    cells = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -685,7 +685,7 @@ def ivf_build(
     from faexport_db_spark.training.indexmeta import write_model_sidecar
 
     centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
-    assigned = fan_out(corpus).select(
+    assigned = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -841,7 +841,7 @@ def pq_train(
     codebook ever reaches the driver."""
     sub = dim // m
     books: list[list[list[float]]] = []
-    base = fan_out(corpus).select(
+    base = fan_out(corpus, by=[id_col]).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).localCheckpoint(eager=True)
     for j in range(m):
@@ -923,7 +923,7 @@ def pq_encode(
             for j in range(m)
         ]
     )
-    return fan_out(corpus).select(F.col(id_col).alias("nid"), codes.alias("codes"))
+    return fan_out(corpus, by=[id_col]).select(F.col(id_col).alias("nid"), codes.alias("codes"))
 
 
 def pq_topk(
@@ -1078,7 +1078,7 @@ def pq_train_residual(
     its centroids on the part of the vector the coarse quantizer
     hasn't already explained. One codebook set POOLED across cells
     (not per-cell) keeps the probe the same single ``cid`` equi-join."""
-    assigned = fan_out(corpus).select(
+    assigned = fan_out(corpus, by=[id_col]).select(
         F.col(id_col),
         F.col(vec_col),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -1144,7 +1144,7 @@ def ivfpq_topk(
     # Codes and cell id in ONE map-side projection — never a
     # corpus×corpus join (both are pure expressions over the vector).
     sub = len(codebooks[0][0])
-    assigned = fan_out(corpus).select(
+    assigned = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -1220,7 +1220,7 @@ def ivfpq_build(
         )
     )
     sub = len(codebooks[0][0])
-    assigned = fan_out(corpus).select(
+    assigned = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col),
         _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -1319,7 +1319,7 @@ def range_search(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, by=[id_col]).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     return (

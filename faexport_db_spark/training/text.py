@@ -7,6 +7,8 @@ DuckDB-oracle counterpart registered in queries/training_queries.py.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,7 @@ def quality_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: tuple[str, ...] = (),
+    fan_by: Sequence[str | Column] | None = None,
 ) -> DataFrame:
     """Quality-signal features + a composite score: char length, token
     count, mean token length, stopword ratio, non-alnum ratio. The
@@ -86,7 +89,7 @@ def quality_features(
     keep_cols = [F.col(c) for c in keep]
     n_chars = F.col("n_chars_computed")
     n_toks = F.col("__nt")
-    step0 = fan_out(docs, by=[id_col]).select(
+    step0 = fan_out(docs, by=list(fan_by) if fan_by is not None else [id_col]).select(
         F.col(id_col),
         *keep_cols,
         F.col(text_col).alias("__text"),

@@ -85,6 +85,30 @@ def test_fan_out_widens_narrow_input_only(spark, sf_small):
     assert fan_out(widened).rdd.getNumPartitions() == target  # idempotent
 
 
+def test_fan_out_by_key_hash_partitions_and_feeds_downstream_agg(spark, sf_small):
+    """``by=`` fans out with HASH partitioning (no round-robin
+    determinism sort) and, when the key matches the downstream
+    grouping, the fan-out exchange is the only one in the plan."""
+    docs = load_table(spark, sf_small, "documents")
+    widened = fan_out(docs, by=["doc_id"])
+    target = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == target
+    plan = widened._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "roundrobin" not in plan.lower(), plan
+    agg = widened.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # the planner inserts NO exchange of its own: the groupBy reuses
+    # the fan-out's hash partitioning (shuffle_count counts only
+    # planner-inserted exchanges)
+    assert shuffle_count(agg) == 0, "groupBy must reuse the fan-out exchange"
+    import re
+
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", agg_plan)) == 1, agg_plan
+    # same rows either way
+    assert widened.count() == docs.count()
+
+
 def test_fan_out_estimates_width_without_rdd_conversion(spark, sf_small, monkeypatch):
     """``df.rdd`` plans the query a second time per call (VERDICT r02
     item 5); for file-backed input the width probe must come from file

@@ -189,7 +189,9 @@ def test_embed_code_rows_is_one_arrow_eval_no_shuffle(spark, sf_small):
     coded = _code_rows(emb, "vec_id", "embedding", 12, 6, 64, 42)
     plan = _physical_plan(coded)
     assert plan.count("ArrowEvalPython") == 1, plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    # no planner-inserted exchange; the only allowed one is the
+    # explicit fan-out spread (hash-keyed since r09, no-op at scale)
+    assert shuffle_count(coded) == 0, plan
 
 
 def test_decontaminate_broadcasts_benchmark_not_corpus(spark, sf_small):
