@@ -42,6 +42,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing floors post-shuffle reads
+        # at minPartitionSize (default 1m). Byte-advisory coalescing
+        # misjudges CPU-DENSE, small-byte stages: the M7 clash fold
+        # (interpreted aggregate + canonical-JSON render per entity)
+        # shuffles ~6 MB and was squeezed onto 5 tasks — measured
+        # 1.7→1.1 s at sf0.1 with a 64k floor (embed verify −12%,
+        # others neutral). The floor only changes plans whose stage
+        # shuffles < cores × 1 MB; at real scale such a stage is
+        # either trivial (finishes in ms regardless) or CPU-dense —
+        # where more parallelism is exactly right. Env-overridable for
+        # clusters that prefer the coarser default.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
