@@ -332,7 +332,7 @@ def _m7_acc_init() -> Column:
     return F.expr(
         """named_struct(
           'url', cast(null as string), 'size', cast(null as bigint),
-          'extra', cast(null as map<string,string>),
+          'extra', cast(null as map<string,variant>),
           'hashes', cast(map() as map<bigint,string>), 'init', false)"""
     )
 
@@ -445,14 +445,16 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
         lambda e: F.struct(
             e["file_url"].alias("file_url"),
             e["file_size"].alias("file_size"),
-            # Values render to canonical JSON strings HERE (variant's
-            # to_json is key-sorted at every nesting level), so the
-            # fold steps work on cheap string maps; only the few
-            # surviving rows re-parse for the final rendering.
-            F.transform_values(
-                F.from_json(e["extra_data"], "map<string,variant>"),
-                lambda _k, v: F.to_json(v),
-            ).alias("extra_map"),
+            # Values stay VARIANT through the fold (one from_json per
+            # row, nothing else): the fold only tests KEY membership
+            # (map_filter/map_concat never look at a value), and the
+            # final render's to_json is key-sorted at every nesting
+            # level straight from variant. The earlier string-map form
+            # additionally paid one to_json per value per INPUT row
+            # here and one parse_json per value per survivor in the
+            # output projection — pure churn, r10 removes both
+            # (property tests + oracle pin the rendered bytes).
+            F.from_json(e["extra_data"], "map<string,variant>").alias("extra_map"),
             _hashes_map(e["hashes_list"]).alias("hmap"),
         ),
     )
@@ -491,9 +493,7 @@ def _merged_files_expr(keyed: DataFrame) -> DataFrame:
             "site_file_id",
             folded["url"].alias("file_url"),
             folded["size"].alias("file_size"),
-            _canonical_map_json(
-                F.transform_values(folded["extra"], lambda _k, v: F.parse_json(v))
-            ).alias("extra_data"),
+            _canonical_map_json(folded["extra"]).alias("extra_data"),
             hashes_json.alias("hashes"),
         )
     )
@@ -524,6 +524,18 @@ def merged_files(
     the one Arrow boundary from the flagship merge path.
     """
     keyed = _keyed_files(submission_snapshots, files, file_hashes)
+    return merged_files_keyed(keyed, impl=impl)
+
+
+def merged_files_keyed(keyed: DataFrame, impl: str = "expr") -> DataFrame:
+    """M7 fold over an already-keyed frame — the entry for callers that
+    can produce ``_keyed_files``'s output columns (website_id,
+    site_submission_id, site_file_id, scan_datetime,
+    submission_snapshot_id, file_id, file_url, file_size, extra_data,
+    hashes_list) WITHOUT the snapshot/hash joins, e.g. when all three
+    branches derive from one source row (guide §8: use what you know
+    that the optimizer does not). Semantics identical to
+    ``merged_files``; the golden/property tests pin the fold itself."""
     if impl == "python":
         # One shuffle on the entity key, sort establishes fold order,
         # then a streaming mapInPandas fold (see _fold_file_stream for

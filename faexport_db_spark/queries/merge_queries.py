@@ -307,8 +307,48 @@ def m7_file_clash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference semantics: models/file.py:50-72, models/submission.py:89-104;
     golden unit tests pin the exact fold. Not SQL-expressible (a clash
     discards accumulated hash state), so the driver records rows-only.
+
+    All three ``m7_parts`` branches derive from the SAME events row
+    (snapshot id = file id = event_id, one hash row per event), so the
+    generic ``merged_files`` prelude — a hash groupBy + two joins over
+    three scans of the table — collapses to ONE projection of one scan
+    (guide §8 problem knowledge / §2.4 remove shuffles outright):
+    the nested hash list is ``array(struct(...))`` of the row's own
+    derived hash (≡ the groupBy's single-element ``collect_list``) and
+    the snapshot keys ride the row itself (≡ the 1:1 snapshot join).
+    ``fan_out`` hash-partitions by the fold's grouping key, so its
+    exchange IS the groupBy's — the whole query is one exchange, no
+    joins. Output identical: the golden fold (``merged_files_keyed``)
+    is unchanged, and ``m7_clash_fold_checked`` oracle-checks the
+    result through DuckDB.
     """
-    return merged_files(*m7_parts(spark, sf_dir))
+    from faexport_db_spark.operators.folds import merged_files_keyed
+    from faexport_db_spark.operators.partitioning import fan_out
+
+    raw = load_table(spark, sf_dir, "events")
+    ev = fan_out(
+        raw, by=[F.col("user_id").cast("string"), F.col("event_type")]
+    )
+    keyed = ev.select(
+        F.lit("events").alias("website_id"),
+        F.col("user_id").cast("string").alias("site_submission_id"),
+        F.col("event_type").alias("site_file_id"),
+        F.col("ts").alias("scan_datetime"),
+        F.col("event_id").alias("submission_snapshot_id"),
+        F.col("event_id").alias("file_id"),
+        F.concat(F.lit("u"), F.floor(F.col("value") / 20).cast("string")).alias(
+            "file_url"
+        ),
+        (F.get_json_object("props", "$.k").cast("bigint") % 5).alias("file_size"),
+        F.col("props").alias("extra_data"),
+        F.array(
+            F.struct(
+                F.lit(1).cast("bigint").alias("algo_id"),
+                F.base64(F.unhex(F.md5(F.col("event_type")))).alias("hash_b64"),
+            )
+        ).alias("hashes_list"),
+    )
+    return merged_files_keyed(keyed)
 
 
 @register(

@@ -31,6 +31,8 @@ and executors, no Python in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -167,7 +169,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_n: int = 3,
-    impl: str = "expr",
+    impl: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature, computed without any shuffle.
 
@@ -190,13 +192,27 @@ def minhash_signatures(
     ABAB at sf0.1 (best-of-5 ×3 rounds, r09) measured the whole dedup
     1.6–1.9 s (expr) vs 2.3–2.8 s (arrow) — with 32 narrow partitions
     the per-task Arrow round-trip costs more wall-clock than the
-    interpreted fold saves. Flip it for fat-partition corpora where
+    interpreted fold saves. The r10 geometry signs on cores/4 FAT
+    partitions (each mapInArrow task pays one fixed Python round-trip,
+    so fewer/fatter tasks amortize it; the banding groupBy re-spreads
+    right after) — ABAB evidence for the default choice lives in
+    OPTIMIZATION_r10.md. Flip it for fat-partition corpora where
     per-task compute dominates the boundary."""
+    if impl is None:
+        # Prod knob (like SPARK_GRAFT_AQE_MIN_PARTITION): both impls
+        # are bit-exact (property-tested), so the default is a pure
+        # performance choice — env-selectable per deployment.
+        impl = os.environ.get("SPARK_GRAFT_MINHASH_IMPL", "expr")
+    if impl == "arrow":
+        sc = docs.sparkSession.sparkContext
+        fat = max(1, sc.defaultParallelism // 4)
+        hashed = fan_out(docs, by=[id_col], target=fat).select(
+            F.col(id_col), shingle_hashes(text_col, shingle_n).alias("hs")
+        )
+        return _minhash_mins_arrow(hashed, id_col, num_perm)
     hashed = fan_out(docs, by=[id_col]).select(
         F.col(id_col), shingle_hashes(text_col, shingle_n).alias("hs")
     )
-    if impl == "arrow":
-        return _minhash_mins_arrow(hashed, id_col, num_perm)
     # Seeds stay INT-typed: xxhash64 hashes int and long operands
     # differently, and the original per-column form hashed
     # xxhash64(h, lit(int)).

@@ -82,9 +82,14 @@ def sequence_pack(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = chunked.withColumn("__cum", F.sum("n_tokens").over(w))
+    # Per-chunk totals via a plain groupBy SUM — identical to the max
+    # of the running cumsum (same non-null addends), but the collect
+    # job skips the window sort entirely: it aggregates n_chunks rows
+    # map-side instead of sorting every chunk to its cumulative max
+    # (guide §1.2: don't compute things the pass throws away).
     totals = {
         r["__pid"]: r["t"]
-        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+        for r in chunked.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0

@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -27,6 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from faexport_db_spark.operators.partitioning import fan_out
+
+# r10 A/B toggle (temporary): fan the corpus out before the verify
+# broadcast join / Arrow coder. See OPTIMIZATION_r10.md.
+_EMBED_FANOUT = os.environ.get("SPARK_GRAFT_EMBED_FANOUT", "1") == "1"
+
+
+def _maybe_fan(df: DataFrame, by):
+    return fan_out(df, by=by) if _EMBED_FANOUT else df
 
 
 def _as_double(arr: Column) -> Column:
@@ -195,7 +205,7 @@ def _pair_cosines(
         F.collect_set(F.struct("id_a", "id_b")).alias("ps")
     )
     vecs = (
-        fan_out(corpus, by=[id_col])
+        _maybe_fan(corpus, by=[id_col])
         .join(F.broadcast(grouped), F.col(id_col) == F.col("mid"))
         .select(
             F.col(id_col).alias("vid"),
@@ -249,7 +259,7 @@ def _code_rows(
             out[:, t] = signs[:, t * nbits : (t + 1) * nbits] @ weights
         return pd.Series(out.astype(np.int32).tolist())
 
-    return fan_out(df, by=[id_col]).select(
+    return _maybe_fan(df, by=[id_col]).select(
         F.col(id_col).alias(id_alias),
         F.posexplode(code_udf(vec_col)).alias("tbl", "code"),
     )

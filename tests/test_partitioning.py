@@ -109,6 +109,41 @@ def test_fan_out_by_key_hash_partitions_and_feeds_downstream_agg(spark, sf_small
     assert widened.count() == docs.count()
 
 
+def test_fan_out_exchange_flavor_and_audit_visibility(spark, sf_small):
+    """Guard for the loosened ``shuffle_count`` (it counts only
+    ENSURE_REQUIREMENTS exchanges, VERDICT r09): every fan_out exchange
+    must be REPARTITION-flavored — so the exclusion is exact — and a
+    planner-inserted shuffle downstream of a fan-out must STILL be
+    counted (the exclusion can never hide a real shuffle)."""
+    docs = load_table(spark, sf_small, "documents")
+    widened = fan_out(docs, by=["doc_id"])
+    plan = widened._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    # a grouping key the fan-out does NOT satisfy → the planner inserts
+    # its own exchange, and the audit sees exactly it
+    other = widened.groupBy(F.md5("text").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert shuffle_count(other) == 1, "planner shuffle must stay visible"
+    # multi-split input: fan_out is an identity — NO exchange of either
+    # flavor exists for the exclusion to hide (same object back)
+    wide = spark.range(10000).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    assert fan_out(wide) is wide
+
+
+def test_fan_out_target_overrides_width(spark, sf_small):
+    """``target=`` pins the fan-out width (the Arrow-kernel fat-
+    partition geometry) instead of defaultParallelism × multiple."""
+    docs = load_table(spark, sf_small, "documents")
+    assert fan_out(docs, by=["doc_id"], target=3).rdd.getNumPartitions() == 3
+    # a target at-or-below the current width is a no-op, never a coalesce
+    wide = spark.range(10000).repartition(8)
+    assert fan_out(wide, target=4) is wide
+
+
 def test_fan_out_estimates_width_without_rdd_conversion(spark, sf_small, monkeypatch):
     """``df.rdd`` plans the query a second time per call (VERDICT r02
     item 5); for file-backed input the width probe must come from file

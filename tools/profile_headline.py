@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Round-9 optimization measurement harness.
+"""Optimization-round measurement harness.
 
 For each headline query (or the names passed as argv): build the DF,
 time noop-sink executions (warm + best-of-N), and dump
 ``explain('formatted')`` plus plan-shape counters (Exchange /
 WholeStageCodegen / BatchEvalPython / ArrowEvalPython nodes) to
-``plans/r09/<name>_<tag>.txt``.
+``plans/$SPARK_GRAFT_PLAN_DIR/<name>_<tag>.txt`` (default r10).
 
 Usage: python tools/profile_headline.py <tag> [query ...]
 """
@@ -51,9 +51,10 @@ def main() -> None:
     from faexport_db_spark.queries import QUERIES
     from faexport_db_spark.session import get_spark
 
-    spark = get_spark("r09-profile")
+    plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "r10")
+    spark = get_spark("opt-profile")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", plan_dir)
     os.makedirs(outdir, exist_ok=True)
 
     names = ONLY or HEADLINE
@@ -69,7 +70,7 @@ def main() -> None:
         explain = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        spark.sparkContext.setJobDescription(f"r09 {TAG}: {name}")
+        spark.sparkContext.setJobDescription(f"{plan_dir} {TAG}: {name}")
         df.write.format("noop").mode("overwrite").save()  # warm
         samples = []
         for _ in range(5):
