@@ -133,6 +133,7 @@ def _skewed_frames(spark, seed=7):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.slow
 def test_asof_salted_equals_plain_on_skew(spark, direction):
     """The exact skew path (per-key quantile slices + boundary
     prefix-carry) returns IDENTICAL rows to the plain single-partition
@@ -148,6 +149,7 @@ def test_asof_salted_equals_plain_on_skew(spark, direction):
     assert s == b
 
 
+@pytest.mark.slow
 def test_asof_salted_explicit_hot_keys_and_fallback(spark, frames):
     left, right = frames
     base = {tuple(r) for r in asof_join(left, right, on="k").collect()}

@@ -85,6 +85,7 @@ def store(spark, dumps):
     return {**tables, **dims}
 
 
+@pytest.mark.slow
 def test_dedup_collapsed_duplicate_delivery(store):
     """3 deliveries of 2 dumps × 2 posts → exactly 4 distinct snapshots."""
     assert store["submission_snapshots"].count() == 4
@@ -98,6 +99,7 @@ def test_dedup_collapsed_duplicate_delivery(store):
     )
 
 
+@pytest.mark.slow
 def test_children_survive_cleanup_consistently(store):
     """Every keyword/file row still points at a surviving snapshot;
     every hash at a surviving file (J4 orphan rules)."""
@@ -113,6 +115,7 @@ def test_children_survive_cleanup_consistently(store):
     assert files.count() == 4 and hashes.count() == 4
 
 
+@pytest.mark.slow
 def test_merged_view_reflects_latest_scrape(store):
     data = serve.view_submission(store, "e621", "2001")
     assert data["cache_data"]["snapshot_count"] == 2
@@ -133,6 +136,7 @@ def _b64_of_hex(hx: str) -> str:
     return base64.b64encode(bytes.fromhex(hx)).decode()
 
 
+@pytest.mark.slow
 def test_hash_search_finds_post_by_md5(store):
     results = serve.search_hash(store, e621.MD5_ALGO_ID, bytes.fromhex("c" * 32))
     assert [r["site_submission_id"] for r in results] == ["2001"]

@@ -31,6 +31,7 @@ def corpus(spark, sf_small):
     return docs.unionByName(exact_copies).unionByName(near_copies).localCheckpoint()
 
 
+@pytest.mark.slow
 def test_training_pipeline_composes(spark, sf_small, corpus):
     n0 = corpus.count()
 
@@ -85,6 +86,7 @@ def test_training_pipeline_composes(spark, sf_small, corpus):
     assert all(0 <= r["first_pos"] < 512 for r in by_pack)
 
 
+@pytest.mark.slow
 def test_round6_split_chunk_compose_with_dedup(spark, sf_small, corpus):
     """Round-6 composition: near-dup pairs -> connected components ->
     cluster-aware split -> chunking of the train slice. The leakage

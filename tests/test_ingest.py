@@ -169,6 +169,7 @@ def test_fa_indexer_adapter(spark, tmp_path):
     assert users.count() == 1  # seen-usernames dedup
 
 
+@pytest.mark.slow
 def test_findfurrypicbot_adapter(spark, tmp_path):
     db_path = str(tmp_path / "ffpb.sqlite")
     con = sqlite3.connect(db_path)
@@ -185,6 +186,7 @@ def test_findfurrypicbot_adapter(spark, tmp_path):
     assert hashes == {4: b"\x0a" * 8, 3: b"\x0c" * 8, 5: b"\x0b" * 8, 6: b"\x0d" * 8}
 
 
+@pytest.mark.slow
 def test_faexport_api_formats(spark):
     sub_payload = json.dumps(
         {
@@ -236,6 +238,7 @@ def test_faexport_api_formats(spark):
     ]
 
 
+@pytest.mark.slow
 def test_explode_to_store_roundtrip(spark, e621_csv):
     raw = e621.read_csv(spark, e621_csv)
     nested = e621.to_snapshots(raw, 1, "2022-07-13 00:00:00")
@@ -254,6 +257,7 @@ def test_explode_to_store_roundtrip(spark, e621_csv):
     assert store["submission_snapshots"].filter("keywords_recorded").count() == 3
 
 
+@pytest.mark.slow
 def test_with_dense_ids_dense_at_high_partition_counts(spark):
     """Ids stay bounded by the row count no matter the partition count —
     the property the streaming batch-id stride relies on. Raw
@@ -268,6 +272,7 @@ def test_with_dense_ids_dense_at_high_partition_counts(spark):
     assert ids == list(range(n))
 
 
+@pytest.mark.slow
 def test_faexport_user_full_extra_and_featured(spark):
     """The faexport_user format's full extra_data field set plus the
     featured/profile-id submission stubs (faexport.py:88-152)."""

@@ -1,3 +1,5 @@
+import pytest
+
 """Maintenance-job tests: W1-W4 dedup direction, J4 orphan removal,
 same-run cascade fidelity (remove_duplicates.py:127-138, 217-250), and
 fixpoint convergence/idempotence."""
@@ -29,6 +31,7 @@ def test_single_pass_cascades_like_reference(spark):
     assert _ids(out["submission_snapshot_file_hashes"], "hash_id") == []
 
 
+@pytest.mark.slow
 def test_single_pass_is_fixpoint(spark):
     once = cleanup(dirty_tables(spark))
     fixed = cleanup_to_fixpoint(dirty_tables(spark))
@@ -40,6 +43,7 @@ def test_single_pass_is_fixpoint(spark):
         assert df.count() == once[name].count(), name
 
 
+@pytest.mark.slow
 def test_compaction_shrinks_streaming_appends(spark, sf_small, tmp_path):
     """Ten tiny appends → compaction rewrites to few files with
     identical content, preserving the hive partition layout."""
@@ -82,6 +86,7 @@ def _mini_docs(spark, sf_small, lo, hi):
     )
 
 
+@pytest.mark.slow
 def test_compaction_survives_concurrent_append(spark, sf_small, tmp_path, monkeypatch):
     """A file appended by a streaming writer AFTER the entry snapshot
     (ADVICE r02, high): it must survive the swap, its rows present
@@ -453,6 +458,7 @@ class TestFormatStrategies:
         rows = {(r["part"], r["v"]) for r in fmt.read(spark, p).collect()}
         assert rows == {("a", 9), ("b", 3)}
 
+    @pytest.mark.slow
     def test_upsert_full_contract(self, spark, tmp_path, fmt):
         """Replace touched, keep same-partition untouched, purge
         no-recomputed-row keys, and VANISH partitions emptied

@@ -72,6 +72,7 @@ def test_file_clash_reset(merged):
     assert main["extra_data"] is None  # clash also resets extra_data
 
 
+@pytest.mark.slow
 def test_file_union_before_clash(spark):
     # restrict history to snapshots 1-2: no clash ⇒ hash union + extra merge
     snaps = submission_snapshots(spark).filter(F.col("submission_snapshot_id") <= 2)
@@ -94,6 +95,7 @@ def test_merged_users(spark):
     assert out["u9"]["snapshot_count"] == 1
 
 
+@pytest.mark.slow
 def test_order_insensitivity(spark):
     """Merged view must not depend on ingest/storage order (README.md:11:
     late-arriving old snapshots slot into history)."""
@@ -107,6 +109,7 @@ def test_order_insensitivity(spark):
     assert main["file_url"] == "http://a/2.png"
 
 
+@pytest.mark.slow
 def test_web_json_shape(spark):
     df = merged_submissions(
         submission_snapshots(spark), keywords(spark), files(spark), file_hashes(spark)

@@ -3,6 +3,8 @@ co-located joins — asserted on results AND on the physical plan."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from faexport_db_spark.datamodel.testdata import load_table
@@ -10,6 +12,7 @@ from faexport_db_spark.operators.partitioning import fan_out, salted_agg, write_
 from faexport_db_spark.plans.audit import shuffle_count
 
 
+@pytest.mark.slow
 def test_salted_agg_matches_plain_agg(spark, sf_small):
     """Two-phase salted aggregation is result-identical to the direct
     groupBy for decomposable aggregates."""

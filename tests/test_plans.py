@@ -8,6 +8,8 @@ sf0.001 (nothing executes; only the plan is inspected).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from faexport_db_spark.datamodel.testdata import load_table
@@ -22,6 +24,7 @@ from faexport_db_spark.plans import (
 from faexport_db_spark.queries import QUERIES
 
 
+@pytest.mark.slow
 def test_point_filter_pushes_to_scan(spark, sf_small):
     """F1 shape: the compound-key predicate must reach the parquet
     reader (the Spark analog of the reference's covering index,
@@ -75,6 +78,7 @@ def test_merged_entity_flagship_plan(spark, sf_small):
     assert strategies["BroadcastHashJoin"] >= 1
 
 
+@pytest.mark.slow
 def test_training_hot_paths_stay_jvm_side(spark, sf_small):
     """Dedup/text operators are expression-only: no Python eval
     operators anywhere in their plans (UDFs are the slow path)."""
@@ -102,6 +106,7 @@ def test_signature_stages_are_shuffle_free(spark, sf_small):
     assert shuffle_count(simhash_signatures(docs)) == 0
 
 
+@pytest.mark.slow
 def test_lsh_candidates_never_broadcast_the_corpus(spark, sf_small):
     """The near-dup pipelines' only broadcasts are the (small)
     candidate-pair frames in the verify stage — the banded corpus is
@@ -204,6 +209,7 @@ def test_decontaminate_broadcasts_benchmark_not_corpus(spark, sf_small):
     assert strategies["CartesianProduct"] == 0, strategies
 
 
+@pytest.mark.slow
 def test_pq_topk_df_scans_code_table_once(spark, sf_small):
     """Scale contract of the DataFrame PQ form: ONE scan of the code
     table no matter how many queries, no Python evals, and the query
@@ -248,6 +254,7 @@ def test_passage_dedup_never_broadcasts_corpus(spark, sf_small):
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_codes_are_one_projection_no_self_join(spark, sf_small):
     """The coded corpus (codes + cell id) must be a single map-side
     projection of the corpus — never a corpus-with-corpus join — and
@@ -290,6 +297,7 @@ def test_dedup_pipeline_shuffle_ceilings(spark, sf_small):
     assert shuffle_count(QUERIES["t_embed_cosine_dedup_lsh"](spark, sf_small)) <= 3
 
 
+@pytest.mark.slow
 def test_semantic_dedup_shuffle_ceilings(spark, sf_small):
     """SemDeDup exchange ceilings: pairs = cell-bucket agg + candidate
     distinct + member groupBy + per-pair groupBy (4); survivors re-derive
@@ -339,6 +347,7 @@ def test_new_join_and_agg_op_plans(spark, sf_small):
         assert strategies["BroadcastNestedLoopJoin"] == 0, (name, strategies)
 
 
+@pytest.mark.slow
 def test_bm25_shuffle_ceilings(spark, sf_small):
     """BM25 exchange-count regression ceilings: in-process = postings
     agg + df agg + doclens-stats agg + score agg + top-k window (6,

@@ -7,6 +7,8 @@ insensitivity, maintenance idempotence) run a handful of examples.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from datetime import datetime, timedelta
 
@@ -46,6 +48,7 @@ def test_json_fold_is_per_key_last_wins(history):
     assert out == expected
 
 
+@pytest.mark.slow
 def test_expression_fold_matches_python_golden_fold(spark):
     """The production expression-form M5 fold (variant first-wins map
     merge) must render byte-identically to the Python golden fold on
@@ -192,6 +195,7 @@ user_rows = st.lists(
 
 @given(user_rows, st.randoms())
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_merged_users_permutation_insensitive(spark, rows, rnd):
     """The merged view is a pure function of the snapshot SET
     (surrogate ids included — they are the documented tie-break for
@@ -225,6 +229,7 @@ def test_merged_users_permutation_insensitive(spark, rows, rnd):
 
 @given(user_rows)
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_reingest_plus_dedup_equals_single_ingest(spark, rows):
     """SURVEY §2.10 delivery contract: append-again + W4 dedup ≡ one
     ingest. Doubled snapshot rows (fresh ids, same dedup key) collapse
@@ -251,6 +256,7 @@ def test_reingest_plus_dedup_equals_single_ingest(spark, rows):
 
 @given(file_rows)
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_merged_files_expr_matches_python_fold(spark, rows):
     """The production expression-form M7 fold (aggregate over a sorted
     history) is byte-identical to the Python golden kernel on arbitrary
@@ -356,6 +362,7 @@ def test_passage_dedup_conservation_and_uniqueness(spark):
     assert all(out2[d]["clean_text"] == src[d] for d in out2)
 
 
+@pytest.mark.slow
 def test_format_strategies_agree_on_random_mutation_sequences(spark, tmp_path):
     """Model-based equivalence: the same deterministic pseudo-random
     sequence of append / delete_where / upsert_keys mutations applied
@@ -905,6 +912,7 @@ def _kmv_model(values, k):
     st.integers(1, 6),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_kmv_sketch_matches_python_model(spark, values, k, nparts):
     """The distributed bottom-k equals the single-machine reference
     for arbitrary duplicate-heavy inputs and partition counts; union

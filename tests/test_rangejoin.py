@@ -40,6 +40,7 @@ def frames(spark):
     return left, right
 
 
+@pytest.mark.slow
 def test_interval_join_inclusive_edges_and_fanout(spark, frames):
     left, right = frames
     out = {

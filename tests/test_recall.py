@@ -47,6 +47,7 @@ def doc_corpus(spark):
     return synthetic_near_dup_docs(spark, n_base=20_000, n_dup=5_000).localCheckpoint()
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recall_floor(spark, doc_corpus):
     truth = (
         _planted_with_texts(doc_corpus, spark, 5_000)
@@ -122,6 +123,7 @@ def test_embedding_lsh_recall_floor(spark):
     assert stats["recall"] >= 0.93
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_recall_at_least_matches_plain(spark):
     """VERDICT r04 item 6: residual-encoded IVFADC must not lose
     recall vs the non-residual form. All cells are probed (nprobe =

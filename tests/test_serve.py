@@ -40,6 +40,7 @@ def store(spark):
     }
 
 
+@pytest.mark.slow
 def test_website_point_lookup(store):
     row = serve.website(store, "fa")
     assert row["full_name"] == "Fur Affinity"
@@ -51,6 +52,7 @@ def test_authenticate_contributor(store):
     assert serve.authenticate_contributor(store, "bad") is None
 
 
+@pytest.mark.slow
 def test_view_submission_merged(store):
     data = serve.view_submission(store, "fa", "101")
     assert data["cache_data"]["snapshot_count"] == 3

@@ -47,6 +47,7 @@ def _delta_fmt_or_skip(spark, tmp_path):
     return fmt
 
 
+@pytest.mark.slow
 def test_streaming_dedup_store_via_delta_format(spark, sf_small, tmp_path):
     """One dedup-stream case through the Delta strategy (runs only
     where delta-spark is installed): batch 2's near-dup of a stored
@@ -88,6 +89,7 @@ def _payload(sub_id: int, title: str) -> str:
     )
 
 
+@pytest.mark.slow
 def test_streaming_ingest_two_batches(spark, tmp_path):
     dropzone = tmp_path / "dropzone"
     dropzone.mkdir()
@@ -205,6 +207,7 @@ def test_window_counts_oracle_parity(spark, sf_dir):
     assert_oracle_match(df, ORACLES["st_event_window_counts"], sf_dir, name="st_event_window_counts")
 
 
+@pytest.mark.slow
 def test_first_seen_stateful_across_batches(spark, tmp_path):
     """applyInPandasWithState: a key emitted in batch 1 is suppressed in
     batch 2; new keys still emit (reference analog: fa_indexer's
@@ -249,6 +252,7 @@ def test_first_seen_stateful_across_batches(spark, tmp_path):
     assert got2["u3"]["first_value"] == "first-u3"
 
 
+@pytest.mark.slow
 def test_asof_enrich_stateful_across_batches(spark, tmp_path):
     """Streaming as-of: refs update per-key carried state, events
     enrich from the latest at-or-before ref — in-batch via merge_asof
@@ -303,6 +307,7 @@ def test_asof_enrich_stateful_across_batches(spark, tmp_path):
     assert len(got2) == 2
 
 
+@pytest.mark.slow
 def test_asof_enrich_stream_matches_batch_operator(spark, sf_small, tmp_path):
     """The stateful streaming as-of and the batch asof_join agree on
     the fixture: views enriched with the latest at-or-before click.
@@ -429,6 +434,7 @@ def test_first_seen_rearms_timeout_for_active_keys():
     assert st.timeout_calls == 1  # but timeout slid forward
 
 
+@pytest.mark.slow
 def test_failed_batch_redelivery_then_dedup_is_exactly_once(spark, tmp_path):
     """SURVEY §2.10 delivery contract under an injected crash: the batch
     fails AFTER its parquet appends but BEFORE the checkpoint commits,
@@ -496,6 +502,7 @@ def test_failed_batch_redelivery_then_dedup_is_exactly_once(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_dedup_filters_within_and_across_batches(
     spark, sf_small, tmp_path, fmt_name
 ):
@@ -558,6 +565,7 @@ def test_streaming_dedup_recovers_from_footerless_store(spark, sf_small, tmp_pat
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_embed_dedup_filters_within_and_across_batches(
     spark, sf_small, tmp_path, fmt_name
 ):
@@ -615,6 +623,7 @@ def test_streaming_embed_dedup_filters_within_and_across_batches(
         )
 
 
+@pytest.mark.slow
 def test_streaming_semantic_dedup_filters_within_and_across_batches(
     spark, sf_small, tmp_path
 ):
@@ -677,6 +686,7 @@ def test_streaming_semantic_dedup_filters_within_and_across_batches(
     assert spark.read.parquet(store).count() == 3
 
 
+@pytest.mark.slow
 def test_batch_commit_marker_skips_redelivered_batch(spark, tmp_path):
     """A batch re-delivered AFTER its commit marker was written must be
     skipped entirely — no duplicate store rows, no duplicate index
@@ -709,6 +719,7 @@ def test_batch_commit_marker_skips_redelivered_batch(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path, fmt_name):
     """Passage-level streaming dedup: batch 2's passages that repeat
     batch 1's are cut via the growing tile index; cleaned docs land in
@@ -748,6 +759,7 @@ def test_streaming_passage_dedup_cleans_across_batches(spark, tmp_path, fmt_name
     # doc 11 was entirely duplicated passages → cleaned empty, not stored
 
 
+@pytest.mark.slow
 def test_passage_dedup_retry_windows_never_lose_text(spark, tmp_path):
     """ADVICE r04 (high): the passage stream must append survivors to
     the STORE before their tile digests hit the index — the digest
@@ -803,6 +815,7 @@ def test_passage_dedup_retry_windows_never_lose_text(spark, tmp_path):
     assert spark.read.parquet(store).distinct().count() == 1
 
 
+@pytest.mark.slow
 def test_funnel_track_advances_across_batches(spark, tmp_path):
     """Streaming funnel: stage state persists across micro-batches —
     a purchase in batch 2 completes a click from batch 1; pre-signup
@@ -848,6 +861,7 @@ def test_funnel_track_advances_across_batches(spark, tmp_path):
     assert got2 == {(1, 3), (2, 1)}  # cross-batch completion
 
 
+@pytest.mark.slow
 def test_funnel_track_matches_batch_fold(spark, sf_small, tmp_path):
     """Single-batch parity: max emitted stage per user == the batch
     ts3 funnel answer on the fixture events (users with stage 0 emit
@@ -887,6 +901,7 @@ def test_funnel_track_matches_batch_fold(spark, sf_small, tmp_path):
     assert stream_max == {u: s for u, s in batch.items() if s > 0}
 
 
+@pytest.mark.slow
 def test_line_dedup_stream_accumulates_and_retries_idempotently(spark, tmp_path):
     """Streaming line dedup: batch 2's repeat of batch 1's surviving
     line is cut (counts accumulate across batches); re-delivering a
@@ -951,6 +966,7 @@ def test_line_dedup_stream_accumulates_and_retries_idempotently(spark, tmp_path)
     assert total_fresh <= 2  # no digest's count exceeds its true occurrences
 
 
+@pytest.mark.slow
 def test_line_dedup_direct_calls_accumulate_counts(spark, tmp_path):
     """Direct (non-streaming, batch_id=None) calls must ACCUMULATE
     count deltas: a fixed src= partition name would make the second
@@ -994,6 +1010,7 @@ def test_line_dedup_direct_calls_accumulate_counts(spark, tmp_path):
     assert out3.collect()[0]["text"] == "fresh words appear only here now"
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
     """The watermarked stream-stream interval join emits exactly the
     batch range-join's pairs, across a two-batch split where a
@@ -1042,6 +1059,7 @@ def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
     assert canon(emitted) == canon(batch)
 
 
+@pytest.mark.slow
 def test_cdc_stream_materializes_across_batches(spark, tmp_path):
     """Streaming CDC: upserts, tombstones, cross-batch out-of-order
     events and a delete-then-revive, applied over two micro-batches,
@@ -1092,6 +1110,7 @@ def test_cdc_stream_materializes_across_batches(spark, tmp_path):
     assert got == {1: (20, "a2"), 2: (30, "b2"), 4: (30, "d3")}  # 3 deleted
 
 
+@pytest.mark.slow
 def test_cdc_batch_redelivery_is_exactly_once(spark, tmp_path):
     from faexport_db_spark.streaming.cdc_stream import (
         cdc_apply_batch_against_store,
@@ -1113,6 +1132,7 @@ def test_cdc_batch_redelivery_is_exactly_once(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_cdc_batches_agree_across_table_formats(spark, tmp_path, fmt_name):
     """The CDC materializer is format-agnostic through the seam: both
     real TableFormat strategies land the identical final state,
@@ -1139,6 +1159,7 @@ def test_cdc_batches_agree_across_table_formats(spark, tmp_path, fmt_name):
     assert got == {1: (10, "a1"), 3: (15, "c1")}
 
 
+@pytest.mark.slow
 def test_cdc_tombstone_gates_late_lower_seq_upsert(spark, tmp_path):
     """The ADVICE r06 hole: after a tombstone is APPLIED, a late
     upsert with a LOWER seq for the same key must stay rejected (the
@@ -1179,6 +1200,7 @@ def test_cdc_tombstone_gates_late_lower_seq_upsert(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_substring_dedup_cleans_across_batches(spark, tmp_path, fmt_name):
     """Substring-level streaming dedup (third granularity): batch 2's
     ≥8-token runs repeating batch 1's text are cut via the growing
@@ -1219,6 +1241,7 @@ def test_streaming_substring_dedup_cleans_across_batches(spark, tmp_path, fmt_na
     # doc 11 was entirely covered -> cleaned empty, never stored
 
 
+@pytest.mark.slow
 def test_substring_stream_retry_windows_converge(spark, tmp_path):
     """Both crash windows of the substring stream converge: a retry
     after the store append (index unchanged) re-appends duplicates the
@@ -1267,6 +1290,7 @@ def test_substring_stream_retry_windows_converge(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_media_dedup_across_batches(spark, tmp_path, fmt_name):
     """Byte-level media streaming dedup: batch 2's payload that is a
     one-chunk edit of batch 1's accepted payload is cut via the
@@ -1305,6 +1329,7 @@ def test_streaming_media_dedup_across_batches(spark, tmp_path, fmt_name):
     assert ids == [1, 11]  # 2 = exact in-batch copy, 10 = cross-batch near-dup
 
 
+@pytest.mark.slow
 def test_media_dedup_redelivery_is_noop(spark, tmp_path):
     from faexport_db_spark.streaming.dedup_stream import (
         media_dedup_batch_against_store,
@@ -1330,6 +1355,7 @@ def test_media_dedup_redelivery_is_noop(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_media_cdc_dedup_insertion_across_batches(spark, tmp_path, fmt_name):
     """CDC streaming media dedup: batch 2's payload with bytes
     INSERTED near the front of batch 1's accepted payload — the case
@@ -1372,6 +1398,7 @@ def test_streaming_media_cdc_dedup_insertion_across_batches(spark, tmp_path, fmt
     assert ids == [1, 11]
 
 
+@pytest.mark.slow
 def test_media_cdc_dedup_redelivery_and_incremental_parity(spark, tmp_path):
     """Marker short-circuits a redelivered batch; and the incremental
     probe form finds exactly the pairs the self-join form finds when
@@ -1430,6 +1457,7 @@ def test_media_cdc_dedup_redelivery_and_incremental_parity(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_fuzzy_decontaminate(spark, tmp_path, fmt_name):
     """Each batch drops paraphrased benchmark leaks (first word swapped
     — exact 13-grams all broken) and verbatim leaks, keeps novel docs;
@@ -1487,6 +1515,7 @@ def test_streaming_fuzzy_decontaminate(spark, tmp_path, fmt_name):
 
 
 @pytest.mark.parametrize("fmt_name", sorted(STORE_FORMATS))
+@pytest.mark.slow
 def test_streaming_bloom_decontaminate(spark, tmp_path, fmt_name):
     """The Bloom filter is built ONCE from the static benchmark; each
     batch's map-only probe drops every doc sharing a 5-gram with it
@@ -1557,6 +1586,7 @@ def test_streaming_bloom_decontaminate(spark, tmp_path, fmt_name):
     assert fmt.read(spark, store).count() == n2
 
 
+@pytest.mark.slow
 def test_streaming_hll_register_store(spark, tmp_path):
     """The stream's merged register store equals the one-shot register
     table over everything streamed (merge associativity end-to-end);
@@ -1606,6 +1636,7 @@ def test_streaming_hll_register_store(spark, tmp_path):
     assert sorted(read_hll_store(spark, store).collect()) == once
 
 
+@pytest.mark.slow
 def test_streaming_kmv_store(spark, tmp_path):
     """The stream's merged bottom-k store equals the one-shot sketch
     over everything streamed (union associativity end-to-end);
@@ -1652,6 +1683,7 @@ def test_streaming_kmv_store(spark, tmp_path):
     assert again == once
 
 
+@pytest.mark.slow
 def test_streaming_qsketch_store(spark, tmp_path):
     """The stream's summed register store equals the one-shot sketch
     over everything streamed; re-delivering a batch does NOT

@@ -24,6 +24,7 @@ def planted(spark, sf_small):
     return docs.unionByName(mutated)
 
 
+@pytest.mark.slow
 def test_minhash_finds_planted_pairs(planted):
     pairs = {
         (r["id_a"], r["id_b"])
@@ -146,6 +147,7 @@ def test_embed_cosine_dedup_lsh_recovers_planted_pairs(spark, sf_small):
     assert planted <= approx
 
 
+@pytest.mark.slow
 def test_semantic_dedup_recovers_planted_pairs(spark, sf_small):
     from faexport_db_spark.queries.training_queries import _planted_embeddings
     from faexport_db_spark.training.similarity import (
@@ -234,6 +236,7 @@ def test_pii_scrub_order_and_counts(spark):
     assert rows[3]["n_redactions"] == 2
 
 
+@pytest.mark.slow
 def test_centroid_assignment_literal_equals_arrow(spark, sf_small):
     """The size-gated assignment paths are interchangeable: literal
     expression and broadcast-matrix Arrow coder produce identical
@@ -629,6 +632,7 @@ def test_nonbinding_stop_bucket_guard_changes_nothing(spark, sf_small):
     )
 
 
+@pytest.mark.slow
 def test_pq_topk_df_matches_panel_form(spark, sf_small):
     """The scale form (queries as a DataFrame, one code scan) must
     produce exactly the panel form's output — same ADC distances,
@@ -664,6 +668,7 @@ def test_pq_train_rejects_undersized_corpus(spark, sf_small):
         pq_train(emb, m=8, k=8)
 
 
+@pytest.mark.slow
 def test_ivfpq_finds_identical_twin_within_probed_cell(spark, sf_small):
     from faexport_db_spark.training.similarity import ivfpq_topk
 
@@ -762,6 +767,7 @@ def test_passage_incremental_batches_dedup_against_each_other(spark, tmp_path):
         check_index_meta(spark, path, "passage_tiles", {"tile_tokens": 7})
 
 
+@pytest.mark.slow
 def test_ivfpq_persisted_matches_inline_and_prunes(spark, sf_small, tmp_path):
     """The persisted IVFADC layout must return exactly what the inline
     composition returns for the same models, and probing must prune
@@ -834,6 +840,7 @@ def test_simhash_max_group_caps_identical_signature_clusters(spark):
     assert len({roots[i] for i in range(1, n + 1)}) == 1
 
 
+@pytest.mark.slow
 def test_ann_model_sidecars_go_through_hadoop_fs(spark, sf_small, tmp_path):
     """VERDICT r04 #4 / ADVICE r04: ivf_build / ivfpq_build must write
     their model sidecars through the index's own Hadoop filesystem —
@@ -1133,6 +1140,7 @@ def test_bm25_compact_preserves_topk_and_folds_stats(spark, sf_small, tmp_path):
     assert len(names2) == 1
 
 
+@pytest.mark.slow
 def test_streaming_bm25_index_maintenance(spark, sf_small, tmp_path):
     """foreachBatch BM25 maintenance: batch 1 bootstraps the index,
     batch 2 appends; the final probe equals a batch build over

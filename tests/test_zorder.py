@@ -1,3 +1,5 @@
+import pytest
+
 """zorder_write layout effect (operators/zorder.py): files written
 along the z-curve must have tighter per-file (user_id, value) bounding
 boxes — the parquet footer min/max stats that drive file/row-group
@@ -37,6 +39,7 @@ def _box_volume_sum(path: str, cols: list[str], spans: dict[str, float]) -> floa
     return total
 
 
+@pytest.mark.slow
 def test_zorder_write_tightens_file_bounding_boxes(spark, sf_small, tmp_path):
     ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
     row = ev.agg(
