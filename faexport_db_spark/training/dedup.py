@@ -195,9 +195,13 @@ def minhash_signatures(
     interpreted fold saves. The r10 geometry signs on cores/4 FAT
     partitions (each mapInArrow task pays one fixed Python round-trip,
     so fewer/fatter tasks amortize it; the banding groupBy re-spreads
-    right after) — ABAB evidence for the default choice lives in
-    OPTIMIZATION_r10.md. Flip it for fat-partition corpora where
-    per-task compute dominates the boundary."""
+    right after): fresh-JVM ABAB at sf0.1 measured a statistical TIE
+    with the expr fold (quiet reps: 1.73/1.68 and 1.65/1.64 — the r09
+    full-width loss is gone). On a tie the expr fold keeps the default
+    for the same reason as the m7 fold: JVM-only plan, no Python
+    workers. Select per deployment with SPARK_GRAFT_MINHASH_IMPL —
+    fat-partition corpora where per-task compute dominates the
+    boundary are where ``arrow`` wins."""
     if impl is None:
         # Prod knob (like SPARK_GRAFT_AQE_MIN_PARTITION): both impls
         # are bit-exact (property-tested), so the default is a pure

@@ -20,8 +20,6 @@
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -29,14 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from faexport_db_spark.operators.partitioning import fan_out
-
-# r10 A/B toggle (temporary): fan the corpus out before the verify
-# broadcast join / Arrow coder. See OPTIMIZATION_r10.md.
-_EMBED_FANOUT = os.environ.get("SPARK_GRAFT_EMBED_FANOUT", "1") == "1"
-
-
-def _maybe_fan(df: DataFrame, by):
-    return fan_out(df, by=by) if _EMBED_FANOUT else df
 
 
 def _as_double(arr: Column) -> Column:
@@ -204,8 +194,15 @@ def _pair_cosines(
     grouped = member.groupBy("mid").agg(
         F.collect_set(F.struct("id_a", "id_b")).alias("ps")
     )
+    # NO fan_out before this broadcast probe (r10, ABAB'd −30% for the
+    # whole embed dedup): the probe is a cheap hash lookup, the explode
+    # fans out STORED columns, and the expensive cosine runs after the
+    # pair groupBy — post-exchange, already wide. Fanning the corpus
+    # here paid a full corpus-vector exchange to parallelize trivial
+    # work (the same negative result as r09's j1 probe-side fan-out).
+    # At scale the corpus arrives wide and the fan-out would no-op.
     vecs = (
-        _maybe_fan(corpus, by=[id_col])
+        corpus
         .join(F.broadcast(grouped), F.col(id_col) == F.col("mid"))
         .select(
             F.col(id_col).alias("vid"),
@@ -259,7 +256,13 @@ def _code_rows(
             out[:, t] = signs[:, t * nbits : (t + 1) * nbits] @ weights
         return pd.Series(out.astype(np.int32).tolist())
 
-    return _maybe_fan(df, by=[id_col]).select(
+    # NO fan_out before the coder (r10, ABAB'd together with
+    # _pair_cosines' removal): one BLAS matmul per Arrow batch is far
+    # too cheap to justify a corpus exchange — and FEWER partitions
+    # mean fewer per-task Python round-trips. The banding groupBy
+    # right after re-spreads the work; at scale the input arrives wide
+    # and the fan-out would no-op anyway.
+    return df.select(
         F.col(id_col).alias(id_alias),
         F.posexplode(code_udf(vec_col)).alias("tbl", "code"),
     )
