@@ -71,6 +71,15 @@ def sequence_pack(
     map. The naive alternative, a global ``Window.orderBy(id)``, plans
     an Exchange SinglePartition and funnels the whole corpus through
     one task; this never does (asserted in tests/test_plans.py).
+
+    Deliberately NOT fanned out (r10 negative result, cross-tree ABAB
+    +60%: fanning the scan by the chunk id — the window's own key, the
+    corpus_prep pattern — trades this plan's one AQE-coalescible
+    ENSURE exchange for an explicit REPARTITION exchange AQE cannot
+    coalesce, plus a second evaluation of the chunk-id chain in the
+    partitioner; the regexp count on the narrow scan is far cheaper
+    than the lost coalescing at sf0.1, and at scale the input arrives
+    wide so there is nothing to win).
     """
     sized = docs.select(F.col(id_col), _bpe_count(text_col).alias("n_tokens"))
     probs = [i / n_chunks for i in range(1, n_chunks)]
