@@ -268,6 +268,13 @@ def m7_parts(
     file rows — entity=user, site_file_id=event_type, url/size derived
     from value so url changes across the stream force clash resets.
 
+    Since r10 the registered ``m7_file_clash_merge`` no longer goes
+    through this trio — all three branches derive from the same events
+    row, so the query builds ``merged_files``'s keyed frame directly
+    (one projection, no joins; see its docstring). This constructor
+    remains the generic-operator fixture: the plan tests drive
+    ``merged_files`` through it, and it documents the recast mapping.
+
     Only the ``files`` branch is fanned out: it is the probe/fold side
     that carries every row through the entity exchange, while ``snaps``
     and ``hashes`` feed a broadcast join / pre-aggregation whose own
