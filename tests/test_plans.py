@@ -122,11 +122,10 @@ def test_lsh_candidates_never_broadcast_the_corpus(spark, sf_small):
 def test_m7_expression_fold_has_no_python(spark, sf_small):
     """The expression-form M7 clash-reset fold is pure Catalyst: a
     single aggregate left fold after the (entity, file)-key groupBy,
-    with NO Python eval operator in the plan. (The Arrow-batched
-    mapInPandas fold measured faster at sf0.1 and is the default —
-    see merged_files — so the audit targets the expr variant, and the
-    default's Python footprint is pinned to exactly one streaming
-    MapInPandas below.)"""
+    with NO Python eval operator in the plan. (expr is the default —
+    r10 ABAB: expr ~2x faster than the mapInPandas fold on the keyed
+    path — and the python variant's footprint is pinned to exactly one
+    streaming MapInPandas below.)"""
     from faexport_db_spark.queries.merge_queries import m7_parts
 
     snaps, files, hashes = m7_parts(spark, sf_small)
@@ -134,6 +133,24 @@ def test_m7_expression_fold_has_no_python(spark, sf_small):
 
     assert_plan(merged_files(snaps, files, hashes, impl="expr"), max_python_evals=0)
     assert_plan(merged_files(snaps, files, hashes, impl="python"), max_python_evals=1)
+
+
+def test_m7_registered_query_is_one_exchange_no_joins(spark, sf_small):
+    """The registered m7_file_clash_merge (r10 shape): all three
+    m7_parts branches derive from the same events row, so the plan must
+    be ONE projection of ONE scan — no joins, no planner-inserted
+    exchange (the keyed fan-out IS the fold groupBy's clustering), and
+    zero Python evals (expr fold)."""
+    from faexport_db_spark.plans.audit import _physical_plan
+    from faexport_db_spark.queries import QUERIES
+
+    df = QUERIES["m7_file_clash_merge"](spark, sf_small)
+    plan = _physical_plan(df)
+    assert shuffle_count(df) == 0, "fold groupBy must reuse the fan-out exchange"
+    for node in ("Join", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, (node, plan)
+    # exactly one scan of the events fixture feeds the whole query
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_sequence_pack_never_single_partitions(spark, sf_small):
