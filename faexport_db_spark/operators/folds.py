@@ -521,7 +521,12 @@ def merged_files(
     (BENCHNOTES Round 7). On a tie the expression form wins the
     default: it keeps the heaviest headline query whole-stage-codegen
     JVM-only, needs no Python workers on the executors, and removes
-    the one Arrow boundary from the flagship merge path.
+    the one Arrow boundary from the flagship merge path. The r10
+    re-measure on the keyed single-exchange path broke the tie
+    outright — expr median 0.55 s vs python 1.04 s (the expr fold
+    shed its JSON churn; the python fold still pays per-batch Arrow
+    framing + the Python loop) — so the default is now measured, not
+    a tie-break (OPTIMIZATION_r10.md).
     """
     keyed = _keyed_files(submission_snapshots, files, file_hashes)
     return merged_files_keyed(keyed, impl=impl)
